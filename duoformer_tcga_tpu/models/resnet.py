@@ -1,0 +1,173 @@
+"""ResNet-50/18 feature-pyramid backbones, NHWC, XLA-native.
+
+Behavioral twin of the reference's three backbone paths:
+  * torchvision resnet50/resnet18 tapped at the 4 stage outputs
+    (get_features, /root/reference/models/model_wo_extra_params.py:214-224);
+  * ResNetTrunkByScale — torchvision ResNet minus fc returning the pyramid
+    list (/root/reference/models/resnet50ssl.py:30-45), used for the
+    lunit-io SSL (SwAV/BT/MoCoV2) TCGA-pretrained weights;
+  * ResNet50withFC — SSL trunk + global avgpool + linear probe
+    (resnet50ssl.py:104-123).
+
+All three produce the same math; here a single functional ResNet covers
+them. TPU-first choices: NHWC layout, HWIO kernels, BN in inference mode by
+default (running stats — the backbone is frozen in every release config,
+model_wo_extra_params.py:72-75), f32 accumulation under bf16 compute.
+
+Parameter tree mirrors torch state_dict structure (conv1/bn1/layer{1..4}/
+{i}/conv{j}/bn{j}/downsample) so the torch->JAX weight converter is a pure
+rename+transpose (utils/torch_convert.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import initializers as init
+from ..ops import nn
+
+# (block type, stage block counts, base width expansion)
+RESNET_SPECS = {
+    50: ("bottleneck", [3, 4, 6, 3], 4),
+    18: ("basic", [2, 2, 2, 2], 1),
+}
+
+
+def _conv_init(key, kh, kw, cin, cout, dtype):
+    """torchvision ResNet conv init: kaiming fan_out / relu, no bias."""
+    return {"w": init.kaiming_normal_conv_fan_out(key, (kh, kw, cin, cout), dtype)}
+
+
+def _bottleneck_init(key, cin, width, cout, stride, dtype):
+    ks = jax.random.split(key, 4)
+    p = {
+        "conv1": _conv_init(ks[0], 1, 1, cin, width, dtype),
+        "bn1": nn.batchnorm_init(width, dtype),
+        "conv2": _conv_init(ks[1], 3, 3, width, width, dtype),
+        "bn2": nn.batchnorm_init(width, dtype),
+        "conv3": _conv_init(ks[2], 1, 1, width, cout, dtype),
+        "bn3": nn.batchnorm_init(cout, dtype),
+    }
+    if stride != 1 or cin != cout:
+        p["downsample"] = {
+            "conv": _conv_init(ks[3], 1, 1, cin, cout, dtype),
+            "bn": nn.batchnorm_init(cout, dtype),
+        }
+    return p
+
+
+def _bottleneck_apply(p, x, stride, train=False):
+    """torchvision v1.5 bottleneck: stride lives on the 3x3 conv2."""
+    idn = x
+    y = nn.conv2d(p["conv1"], x, 1, "VALID")
+    y = nn.relu(nn.batchnorm(p["bn1"], y, train=train))
+    y = nn.conv2d(p["conv2"], y, stride, 1)
+    y = nn.relu(nn.batchnorm(p["bn2"], y, train=train))
+    y = nn.conv2d(p["conv3"], y, 1, "VALID")
+    y = nn.batchnorm(p["bn3"], y, train=train)
+    if "downsample" in p:
+        idn = nn.conv2d(p["downsample"]["conv"], x, stride, "VALID")
+        idn = nn.batchnorm(p["downsample"]["bn"], idn, train=train)
+    return nn.relu(y + idn)
+
+
+def _basic_init(key, cin, cout, stride, dtype):
+    ks = jax.random.split(key, 3)
+    p = {
+        "conv1": _conv_init(ks[0], 3, 3, cin, cout, dtype),
+        "bn1": nn.batchnorm_init(cout, dtype),
+        "conv2": _conv_init(ks[1], 3, 3, cout, cout, dtype),
+        "bn2": nn.batchnorm_init(cout, dtype),
+    }
+    if stride != 1 or cin != cout:
+        p["downsample"] = {
+            "conv": _conv_init(ks[2], 1, 1, cin, cout, dtype),
+            "bn": nn.batchnorm_init(cout, dtype),
+        }
+    return p
+
+
+def _basic_apply(p, x, stride, train=False):
+    idn = x
+    y = nn.conv2d(p["conv1"], x, stride, 1)
+    y = nn.relu(nn.batchnorm(p["bn1"], y, train=train))
+    y = nn.conv2d(p["conv2"], y, 1, 1)
+    y = nn.batchnorm(p["bn2"], y, train=train)
+    if "downsample" in p:
+        idn = nn.conv2d(p["downsample"]["conv"], x, stride, "VALID")
+        idn = nn.batchnorm(p["downsample"]["bn"], idn, train=train)
+    return nn.relu(y + idn)
+
+
+class ResNetBackbone:
+    """Feature-pyramid ResNet. apply() returns {"0": 56x56, "1": 28x28,
+    "2": 14x14, "3": 7x7} NHWC stage features for a 224x224 input."""
+
+    def __init__(self, depth=50, dtype=jnp.float32):
+        self.depth = depth
+        self.kind, self.stage_blocks, self.expansion = RESNET_SPECS[depth]
+        self.dtype = dtype
+        base = 64
+        self.stage_widths = [base * (2 ** i) for i in range(4)]          # 64..512
+        self.stage_out = [w * self.expansion for w in self.stage_widths]  # r50: 256..2048
+
+    def init(self, key):
+        kstem, *kstage = jax.random.split(key, 5)
+        p = {
+            "conv1": _conv_init(kstem, 7, 7, 3, 64, self.dtype),
+            "bn1": nn.batchnorm_init(64, self.dtype),
+        }
+        cin = 64
+        for si, (nblocks, width, cout) in enumerate(
+                zip(self.stage_blocks, self.stage_widths, self.stage_out)):
+            blocks = []
+            for bi in range(nblocks):
+                kb = jax.random.fold_in(kstage[si], bi)
+                stride = 2 if (si > 0 and bi == 0) else 1
+                if self.kind == "bottleneck":
+                    blocks.append(_bottleneck_init(kb, cin, width, cout, stride, self.dtype))
+                else:
+                    blocks.append(_basic_init(kb, cin, cout, stride, self.dtype))
+                cin = cout
+            p[f"layer{si + 1}"] = blocks
+        return p
+
+    def apply(self, params, x, train=False):
+        """x: [B, 224, 224, 3] NHWC -> stage feature dict."""
+        block_apply = _bottleneck_apply if self.kind == "bottleneck" else _basic_apply
+        y = nn.conv2d(params["conv1"], x, 2, 3)
+        y = nn.relu(nn.batchnorm(params["bn1"], y, train=train))
+        y = nn.maxpool2d(y, window=3, stride=2, padding=1)
+        features = {}
+        for si in range(4):
+            for bi, blk in enumerate(params[f"layer{si + 1}"]):
+                stride = 2 if (si > 0 and bi == 0) else 1
+                y = block_apply(blk, y, stride, train=train)
+            features[str(si)] = y
+        return features
+
+
+class ResNet50withFC:
+    """SSL trunk + frozen-feature linear probe (resnet50ssl.py:104-123)."""
+
+    def __init__(self, num_classes=4, dtype=jnp.float32):
+        self.backbone = ResNetBackbone(50, dtype)
+        self.num_classes = num_classes
+        self.dtype = dtype
+
+    def init(self, key):
+        kb, kf = jax.random.split(key)
+        return {
+            "trunk": self.backbone.init(kb),
+            "fc": nn.linear_init(kf, 2048, self.num_classes, scheme="torch",
+                                 dtype=self.dtype),
+        }
+
+    def apply(self, params, x, train=False, freeze=True):
+        feats = self.backbone.apply(params["trunk"], x, train=train and not freeze)
+        h = feats["3"]
+        if freeze:
+            h = jax.lax.stop_gradient(h)
+        pooled = nn.avgpool_global(h)
+        return nn.linear(params["fc"], pooled)

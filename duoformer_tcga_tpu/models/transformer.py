@@ -1,0 +1,451 @@
+"""DuoFormer transformer cores, TPU-first.
+
+Reimplements the behavior of the reference's three transformer stacks
+(/root/reference/models/scale_attention.py, multi_vision_transformer.py,
+multiscale_attn.py) as pure functions over stacked per-depth parameter
+pytrees, iterated with `lax.scan` so XLA compiles one block body regardless
+of depth. All shapes are static; all control flow is trace-time.
+
+Stacks:
+  * MultiscaleFormer  — 12 ScaleBlocks then 12 chained PatchBlocks; the
+    release-variant core (scale_attention.py:239-344).
+  * ScaleFormer       — scale-attention-only stack (scale_attention.py:96-170).
+  * MultiscaleTransformer — MultiscaleBlock stack with the block-11-only
+    region pass (multi_vision_transformer.py:19-171).
+
+Reproduced reference quirks (SURVEY.md register):
+  * Q7: MultiscaleFormer computes fc_norm(cls) and DISCARDS it; the head
+    sees the un-normalized CLS (scale_attention.py:341-343).
+  * Q4: MultiscaleTransformer's region pass never feeds block i's output to
+    block i+1; only block 11's CLS reaches the head
+    (multi_vision_transformer.py:151-158). Blocks 1-10 of that pass are
+    dead compute in the reference; we compute only block 0 and block 11,
+    which is bitwise-identical output without the waste.
+  * Q12: MultiscaleTransformer attention uses scale = 2*dim**-0.5 for BOTH
+    passes (multiscale_attn.py:142,212); MultiscaleFormer uses the standard
+    head_dim**-0.5.
+  * Q6 (fixed): the reference sets fea_dim=21 for scales==2
+    (scale_attention.py:300) which cannot broadcast against the actual 6
+    tokens; we compute num_scale_tokens = 1 + sum(4^i) correctly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops import attention as attn_ops
+from ..ops import initializers as init
+from ..ops import nn
+
+
+def num_scale_tokens(scales: int) -> int:
+    """1 scale/cls token + 4^0 + ... + 4^(scales-1) pyramid tokens.
+
+    {1:2, 2:6, 3:22, 4:86} — matches the reference's fea_dim table except
+    the scales==2 typo (Q6)."""
+    return 1 + sum(4 ** i for i in range(scales))
+
+
+# ---------------------------------------------------------------------------
+# Blocks
+# ---------------------------------------------------------------------------
+
+def scale_block_init(key, dim, num_heads, mlp_ratio=4.0, qkv_bias=True,
+                     qk_norm=False, init_values=None, dtype=jnp.float32):
+    """ScaleBlock: pre-norm attention + MLP with optional LayerScale
+    (scale_attention.py:48-93)."""
+    k1, k2 = jax.random.split(key)
+    p = {
+        "norm1": nn.layernorm_init(dim, dtype),
+        "attn": attn_ops.attention_init(k1, dim, num_heads, qkv_bias, qk_norm, dtype),
+        "norm2": nn.layernorm_init(dim, dtype),
+        "mlp": nn.mlp_init(k2, dim, int(dim * mlp_ratio), scheme="vit", dtype=dtype),
+    }
+    if init_values is not None:
+        p["ls1"] = {"gamma": jnp.full((dim,), init_values, dtype)}
+        p["ls2"] = {"gamma": jnp.full((dim,), init_values, dtype)}
+    return p
+
+
+def _maybe_ls(p, name, x):
+    if name in p:
+        return x * p[name]["gamma"].astype(x.dtype)
+    return x
+
+
+def scale_block_apply(p, x, num_heads, scale=None, ln_eps=1e-6,
+                      attn_drop=0.0, proj_drop=0.0, rng=None, train=False):
+    """x: [B, R, S, C] -> [B, R, S, C]."""
+    r1 = r2 = None
+    if train and rng is not None:
+        r1, r2 = jax.random.split(rng)
+    h = attn_ops.multihead_attention(
+        p["attn"], nn.layernorm(p["norm1"], x, ln_eps), num_heads,
+        scale=scale, attn_drop=attn_drop, proj_drop=proj_drop, rng=r1, train=train)
+    x = x + _maybe_ls(p, "ls1", h)
+    h = nn.mlp(p["mlp"], nn.layernorm(p["norm2"], x, ln_eps),
+               drop=proj_drop, rng=r2, train=train)
+    x = x + _maybe_ls(p, "ls2", h)
+    return x
+
+
+def patch_block_init(key, dim, num_heads, qkv_bias=True, qk_norm=False,
+                     dtype=jnp.float32):
+    """PatchBlock: bare attention, no residual/MLP (scale_attention.py:214-236)."""
+    return {"attn": attn_ops.attention_init(key, dim, num_heads, qkv_bias,
+                                            qk_norm, dtype)}
+
+
+def patch_block_apply(p, x, num_heads, scale=None, attn_drop=0.0,
+                      proj_drop=0.0, rng=None, train=False):
+    """x: [B, N, C] -> [B, N, C] (pure attention, chained)."""
+    return attn_ops.multihead_attention(
+        p["attn"], x, num_heads, scale=scale,
+        attn_drop=attn_drop, proj_drop=proj_drop, rng=rng, train=train)
+
+
+def multiscale_block_init(key, dim, num_heads, mlp_ratio=4.0, qkv_bias=True,
+                          qk_norm=False, init_values=None, dtype=jnp.float32):
+    """MultiscaleBlock: one timm-style block owning TWO attention param sets —
+    attn1 (qkv1/proj1, scale pass) and attn2 (inherited qkv/proj, region
+    pass) (multiscale_attn.py:224-259).
+
+    Note (Q9): in the reference, positional-arg misuse can turn qk_norm on
+    for the region param set when attn_drop>0; we expose qk_norm explicitly
+    instead."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    p = {
+        "norm1": nn.layernorm_init(dim, dtype),
+        "attn1": attn_ops.attention_init(k1, dim, num_heads, qkv_bias, False, dtype),
+        "attn2": attn_ops.attention_init(k2, dim, num_heads, qkv_bias, qk_norm, dtype),
+        "norm2": nn.layernorm_init(dim, dtype),
+        "mlp": nn.mlp_init(k3, dim, int(dim * mlp_ratio), scheme="vit", dtype=dtype),
+    }
+    if init_values is not None:
+        p["ls1"] = {"gamma": jnp.full((dim,), init_values, dtype)}
+        p["ls2"] = {"gamma": jnp.full((dim,), init_values, dtype)}
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Depth stacking helpers
+# ---------------------------------------------------------------------------
+
+def stack_init(block_init, key, depth, *args, **kwargs):
+    """Initialize `depth` independent blocks and stack their params along a
+    leading axis for lax.scan iteration."""
+    keys = jax.random.split(key, depth)
+    return jax.vmap(lambda k: block_init(k, *args, **kwargs))(keys)
+
+
+def _scan_blocks(apply_fn, stacked, x, rng, train, depth):
+    """Run x through `depth` stacked blocks with lax.scan."""
+    if train and rng is not None:
+        rngs = jax.random.split(rng, depth)
+    else:
+        rngs = jnp.zeros((depth, 2), dtype=jnp.uint32)  # unused placeholder
+
+    def body(carry, xs):
+        blk, r = xs
+        r = r if train and rng is not None else None
+        return apply_fn(blk, carry, rng=r), None
+
+    x, _ = lax.scan(body, x, (stacked, rngs))
+    return x
+
+
+def _slice_block(stacked, i):
+    return jax.tree.map(lambda a: a[i], stacked)
+
+
+# ---------------------------------------------------------------------------
+# MultiscaleFormer — the release-variant core (scale_attention.py:239-344)
+# ---------------------------------------------------------------------------
+
+class MultiscaleFormer:
+    """12 ScaleBlocks over [B,49,S,C], then 12 chained PatchBlocks over
+    [B,50,C]; head on un-normalized CLS (Q7).
+
+    patch_attn=False skips the patch stack and classifies from the mean of
+    the per-region scale tokens (extension — the reference accepts the flag
+    but its MultiscaleFormer signature rejects it, model_wo_extra_params.py:105).
+    """
+
+    def __init__(self, depth=12, scales=2, num_heads=12, embed_dim=768,
+                 mlp_ratio=4.0, qkv_bias=True, qk_norm=False,
+                 proj_drop_rate=0.0, attn_drop_rate=0.0, init_values=None,
+                 num_classes=100, num_patches=49, pos_drop_rate=0.0,
+                 patch_attn=True, ln_eps=1e-6, dtype=jnp.float32):
+        self.depth = depth
+        self.scales = scales
+        self.num_heads = num_heads
+        self.embed_dim = embed_dim
+        self.mlp_ratio = mlp_ratio
+        self.qkv_bias = qkv_bias
+        self.qk_norm = qk_norm
+        self.proj_drop_rate = proj_drop_rate
+        self.attn_drop_rate = attn_drop_rate
+        self.init_values = init_values
+        self.num_classes = num_classes
+        self.num_patches = num_patches
+        self.pos_drop_rate = pos_drop_rate
+        self.patch_attn = patch_attn
+        self.ln_eps = ln_eps
+        self.dtype = dtype
+        self.fea_dim = num_scale_tokens(scales)
+
+    def init(self, key):
+        ks, kp, kpe, kpe2, kcls, khead = jax.random.split(key, 6)
+        d = self.dtype
+        p = {
+            "scale_blocks": stack_init(
+                scale_block_init, ks, self.depth, self.embed_dim,
+                self.num_heads, self.mlp_ratio, self.qkv_bias, self.qk_norm,
+                self.init_values, d),
+            "patch_blocks": stack_init(
+                patch_block_init, kp, self.depth, self.embed_dim,
+                self.num_heads, self.qkv_bias, self.qk_norm, d),
+            # trunc_normal std 0.036 (scale_attention.py:324-325)
+            "pos_embed_for_scale": init.trunc_normal(
+                kpe, (1, 1, self.fea_dim, self.embed_dim), std=0.036, dtype=d),
+            "pos_embed": init.trunc_normal(
+                kpe2, (1, self.num_patches + 1, self.embed_dim), std=0.036, dtype=d),
+            # normal std 0.036 (scale_attention.py:326)
+            "cls_token": init.normal(kcls, (1, 1, self.embed_dim), std=0.036, dtype=d),
+            # fc_norm + head: torch defaults (never timm-re-inited,
+            # scale_attention.py:318-320)
+            "fc_norm": nn.layernorm_init(self.embed_dim, d),
+            "head": nn.linear_init(khead, self.embed_dim, self.num_classes,
+                                   scheme="torch", dtype=d),
+        }
+        return p
+
+    def apply(self, params, x, rng=None, train=False):
+        """x: [B, 49, S+1, C] (scale token already prepended) -> logits [B, num_classes]."""
+        B = x.shape[0]
+        nh = self.num_heads
+        r_scale = r_patch = r_pos = None
+        if train and rng is not None:
+            r_scale, r_patch, r_pos = jax.random.split(rng, 3)
+
+        x = x + params["pos_embed_for_scale"].astype(x.dtype)
+        x = nn.dropout(x, self.pos_drop_rate, r_pos, train)
+
+        scale_apply = functools.partial(
+            scale_block_apply, num_heads=nh, scale=None, ln_eps=self.ln_eps,
+            attn_drop=self.attn_drop_rate, proj_drop=self.proj_drop_rate,
+            train=train)
+        x = _scan_blocks(scale_apply, params["scale_blocks"], x,
+                         r_scale, train, self.depth)
+
+        if not self.patch_attn:
+            cls = jnp.mean(x[:, :, 0, :], axis=1)
+            return nn.linear(params["head"], cls)
+
+        # Patch pass: block 0 consumes the 4-D tokens + CLS + pos embed;
+        # blocks 1..depth-1 chain over [B, 50, C] (scale_attention.py:335-340).
+        tokens = x[:, :, 0, :]                                   # [B, 49, C]
+        cls = jnp.broadcast_to(params["cls_token"].astype(x.dtype),
+                               (B, 1, self.embed_dim))
+        tokens = jnp.concatenate([cls, tokens], axis=1)          # [B, 50, C]
+        tokens = tokens + params["pos_embed"].astype(x.dtype)
+        tokens = nn.dropout(tokens, self.pos_drop_rate, r_pos, train)
+
+        blk0 = _slice_block(params["patch_blocks"], 0)
+        r0 = None
+        rest_rng = None
+        if train and r_patch is not None:
+            r0, rest_rng = jax.random.split(r_patch)
+        tokens = patch_block_apply(blk0, tokens, nh,
+                                   attn_drop=self.attn_drop_rate,
+                                   proj_drop=self.proj_drop_rate,
+                                   rng=r0, train=train)
+        rest = jax.tree.map(lambda a: a[1:], params["patch_blocks"])
+        patch_apply = functools.partial(
+            patch_block_apply, num_heads=nh,
+            attn_drop=self.attn_drop_rate, proj_drop=self.proj_drop_rate,
+            train=train)
+        tokens = _scan_blocks(patch_apply, rest, tokens, rest_rng, train,
+                              self.depth - 1)
+
+        cls = tokens[:, 0, :]
+        _ = nn.layernorm(params["fc_norm"], cls, self.ln_eps)  # Q7: discarded
+        return nn.linear(params["head"], cls)
+
+
+# ---------------------------------------------------------------------------
+# ScaleFormer — scale-attention-only stack (scale_attention.py:96-170)
+# ---------------------------------------------------------------------------
+
+class ScaleFormer:
+    """Prepends its own cls token per region, runs `depth` ScaleBlocks, and
+    returns the token at index 1 (Q13 second half: the reference extracts
+    x[:, :, 1, :], scale_attention.py:168)."""
+
+    def __init__(self, depth=12, scales=2, num_heads=6, embed_dim=384,
+                 mlp_ratio=4.0, qkv_bias=True, qk_norm=False,
+                 proj_drop_rate=0.0, attn_drop_rate=0.0, init_values=None,
+                 pos_drop_rate=0.0, ln_eps=1e-6, dtype=jnp.float32):
+        self.depth = depth
+        self.scales = scales
+        self.num_heads = num_heads
+        self.embed_dim = embed_dim
+        self.mlp_ratio = mlp_ratio
+        self.qkv_bias = qkv_bias
+        self.qk_norm = qk_norm
+        self.proj_drop_rate = proj_drop_rate
+        self.attn_drop_rate = attn_drop_rate
+        self.init_values = init_values
+        self.pos_drop_rate = pos_drop_rate
+        self.ln_eps = ln_eps
+        self.dtype = dtype
+        self.fea_dim = num_scale_tokens(scales)
+
+    def init(self, key):
+        kb, kcls, kpe = jax.random.split(key, 3)
+        d = self.dtype
+        return {
+            "blocks": stack_init(
+                scale_block_init, kb, self.depth, self.embed_dim,
+                self.num_heads, self.mlp_ratio, self.qkv_bias, self.qk_norm,
+                self.init_values, d),
+            "cls_token1": init.normal(kcls, (1, 1, 1, self.embed_dim),
+                                      std=0.036, dtype=d),
+            "pos_embed_for_scale": init.trunc_normal(
+                kpe, (1, 1, self.fea_dim, self.embed_dim), std=0.036, dtype=d),
+        }
+
+    def apply(self, params, x, rng=None, train=False):
+        """x: [B, 49, S, C] -> per-region token [B, 49, C]."""
+        B, R = x.shape[0], x.shape[1]
+        cls = jnp.broadcast_to(params["cls_token1"].astype(x.dtype),
+                               (B, R, 1, self.embed_dim))
+        x = jnp.concatenate([cls, x], axis=2)
+        x = x + params["pos_embed_for_scale"].astype(x.dtype)
+        x = nn.dropout(x, self.pos_drop_rate, rng, train)
+        scale_apply = functools.partial(
+            scale_block_apply, num_heads=self.num_heads, scale=None,
+            ln_eps=self.ln_eps, attn_drop=self.attn_drop_rate,
+            proj_drop=self.proj_drop_rate, train=train)
+        x = _scan_blocks(scale_apply, params["blocks"], x, rng, train,
+                         self.depth)
+        return x[:, :, 1, :]   # index 1, not 0 (reference behavior)
+
+
+# ---------------------------------------------------------------------------
+# MultiscaleTransformer — inherited-ViT core (multi_vision_transformer.py:19-171)
+# ---------------------------------------------------------------------------
+
+class MultiscaleTransformer:
+    """MultiscaleBlock stack: scale pass through all blocks (full pre-norm
+    block with attn1 and scale 2*dim**-0.5, Q12), then the quirky region
+    pass (Q4) using attn2, final timm-ViT norm + head, and a squeeze on the
+    head output (Q13).
+
+    The inherited timm cls_token/pos_embed keep timm init (normal 1e-6 /
+    trunc_normal 0.02)."""
+
+    def __init__(self, depth=12, scales=2, num_heads=6, embed_dim=384,
+                 mlp_ratio=4.0, qkv_bias=True, qk_norm=False,
+                 drop_rate=0.0, attn_drop_rate=0.0, drop_path_rate=0.0,
+                 init_values=1e-5, num_classes=1000, num_patches=49,
+                 ln_eps=1e-6, dtype=jnp.float32):
+        self.depth = depth
+        self.scales = scales
+        self.num_heads = num_heads
+        self.embed_dim = embed_dim
+        self.mlp_ratio = mlp_ratio
+        self.qkv_bias = qkv_bias
+        self.qk_norm = qk_norm
+        self.drop_rate = drop_rate
+        self.attn_drop_rate = attn_drop_rate
+        self.drop_path_rate = drop_path_rate
+        self.init_values = init_values
+        self.num_classes = num_classes
+        self.num_patches = num_patches
+        self.ln_eps = ln_eps
+        self.dtype = dtype
+        self.fea_dim = num_scale_tokens(scales)
+        # Q12: shared scale for both attention passes.
+        self.attn_scale = 2.0 * embed_dim ** -0.5
+
+    def init(self, key):
+        kb, kpe, kpe2, kcls, khead = jax.random.split(key, 5)
+        d = self.dtype
+        return {
+            "blocks": stack_init(
+                multiscale_block_init, kb, self.depth, self.embed_dim,
+                self.num_heads, self.mlp_ratio, self.qkv_bias, self.qk_norm,
+                self.init_values, d),
+            "pos_embed_for_scale": init.trunc_normal(
+                kpe, (1, 1, self.fea_dim, self.embed_dim), std=0.036, dtype=d),
+            # timm VisionTransformer inherited params & init
+            "pos_embed": init.trunc_normal(
+                kpe2, (1, self.num_patches + 1, self.embed_dim), std=0.02, dtype=d),
+            "cls_token": init.normal(kcls, (1, 1, self.embed_dim), std=1e-6, dtype=d),
+            "norm": nn.layernorm_init(self.embed_dim, d),
+            "head": nn.linear_init(khead, self.embed_dim, self.num_classes,
+                                   scheme="vit", dtype=d),
+        }
+
+    def _region_attn(self, blk, tokens, rng, train):
+        """forward_with_region on a [B, 50, C] token set (multiscale_attn.py:205-218).
+        Uses attn2 (inherited qkv/proj) with the shared 2*dim**-0.5 scale."""
+        return attn_ops.multihead_attention(
+            blk["attn2"], tokens, self.num_heads, scale=self.attn_scale,
+            attn_drop=self.attn_drop_rate, proj_drop=self.drop_rate,
+            rng=rng, train=train)
+
+    def apply(self, params, x, rng=None, train=False):
+        """x: [B, 49, S+1, C] -> logits [B, num_classes] (squeezed, Q13)."""
+        B = x.shape[0]
+        r_scale = r_region = None
+        if train and rng is not None:
+            r_scale, r_region = jax.random.split(rng)
+
+        x = x + params["pos_embed_for_scale"].astype(x.dtype)
+
+        def one_scale_block(blk, h, rng=None):
+            r1 = r2 = None
+            if train and rng is not None:
+                r1, r2 = jax.random.split(rng)
+            a = attn_ops.multihead_attention(
+                blk["attn1"], nn.layernorm(blk["norm1"], h, self.ln_eps),
+                self.num_heads, scale=self.attn_scale,
+                attn_drop=self.attn_drop_rate, proj_drop=self.drop_rate,
+                rng=r1, train=train)
+            h = h + _maybe_ls(blk, "ls1", a)
+            m = nn.mlp(blk["mlp"], nn.layernorm(blk["norm2"], h, self.ln_eps),
+                       drop=self.drop_rate, rng=r2, train=train)
+            h = h + _maybe_ls(blk, "ls2", m)
+            return h
+
+        x = _scan_blocks(one_scale_block, params["blocks"], x, r_scale,
+                         train, self.depth)
+
+        # Region pass (Q4): block 0 builds [B,50,C]; the reference then runs
+        # blocks 1..11 each on block-0's output, keeping only block 11's CLS.
+        tokens = x[:, :, 0, :]
+        cls = jnp.broadcast_to(params["cls_token"].astype(x.dtype),
+                               (B, 1, self.embed_dim))
+        tokens = jnp.concatenate([cls, tokens], axis=1)
+        tokens = tokens + params["pos_embed"].astype(x.dtype)
+        r0 = rN = None
+        if train and r_region is not None:
+            r0, rN = jax.random.split(r_region)
+        blk0 = _slice_block(params["blocks"], 0)
+        tokens = self._region_attn(blk0, tokens, r0, train)
+        if self.depth > 1:
+            blkN = _slice_block(params["blocks"], self.depth - 1)
+            cls_out = self._region_attn(blkN, tokens, rN, train)[:, 0, :]
+        else:
+            cls_out = tokens[:, 0, :]
+
+        cls_out = nn.layernorm(params["norm"], cls_out, self.ln_eps)
+        logits = nn.linear(params["head"], cls_out)
+        return jnp.squeeze(logits)   # Q13: batch dim squeezed when B == 1

@@ -1,0 +1,97 @@
+"""Multi-head attention ops for DuoFormer's two attention patterns.
+
+Two patterns, both with small static sequence lengths:
+  * scale attention: MHSA over the <=86 multi-scale tokens *within* each of
+    the 49 regions, batched over B*49 (reference: forward_with_scale,
+    /root/reference/models/multiscale_attn.py:149-166 and AttentionForScale,
+    /root/reference/models/scale_attention.py:28-45).
+  * patch/region attention: MHSA over CLS + 49 region tokens
+    (AttentionForPatch, scale_attention.py:180-211; forward_with_region,
+    multiscale_attn.py:190-221).
+
+Sequence lengths are tiny (S+1 in {2,6,22,86}; 50 for patch attention), so
+the computation is QKV/proj-matmul-bound, not attention-bound. The default
+path below expresses the whole thing as batched einsums that XLA maps onto
+the MXU; a fused Pallas kernel (ops/pallas_attention.py) is available behind
+`use_pallas=True` for the softmax(QK^T)V core.
+
+Scale factor quirk (SURVEY Q12): the `MyModel` variant uses
+scale = 2 * dim**-0.5 shared by BOTH its scale and region passes
+(multiscale_attn.py:142,212); the release variant uses the standard
+head_dim**-0.5. Callers pass `scale` explicitly.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import nn
+
+
+def attention_init(key, dim, num_heads=8, qkv_bias=True, qk_norm=False,
+                   dtype=jnp.float32):
+    """One attention parameter set: qkv (dim -> 3*dim) + output proj.
+
+    qk_norm=True adds per-head LayerNorms over head_dim on q/k (timm qk_norm
+    hook, used by AttentionForPatch when enabled, scale_attention.py:201)."""
+    k1, k2 = jax.random.split(key)
+    p = {
+        "qkv": nn.linear_init(k1, dim, 3 * dim, bias=qkv_bias, scheme="vit", dtype=dtype),
+        "proj": nn.linear_init(k2, dim, dim, scheme="vit", dtype=dtype),
+    }
+    if qk_norm:
+        head_dim = dim // num_heads
+        p["q_norm"] = nn.layernorm_init(head_dim, dtype)
+        p["k_norm"] = nn.layernorm_init(head_dim, dtype)
+    return p
+
+
+def _qkv_heads(params, x, num_heads):
+    """x: [..., S, C] -> q, k, v each [..., H, S, D]."""
+    *lead, S, C = x.shape
+    D = C // num_heads
+    qkv = nn.linear(params["qkv"], x)                     # [..., S, 3C]
+    qkv = qkv.reshape(*lead, S, 3, num_heads, D)
+    # torch layout: reshape(..., 3, H, D) then permute heads before seq.
+    qkv = jnp.moveaxis(qkv, (-3, -2), (0, -3))            # [3, ..., H, S, D]
+    return qkv[0], qkv[1], qkv[2]
+
+
+def _sdpa(q, k, v, scale, attn_drop=0.0, rng=None, train=False):
+    """softmax(q k^T * scale) v over the last two axes. f32 softmax."""
+    attn = jnp.einsum("...sd,...td->...st", q, k,
+                      preferred_element_type=jnp.float32) * scale
+    attn = jax.nn.softmax(attn, axis=-1)
+    attn = nn.dropout(attn, attn_drop, rng, train)
+    out = jnp.einsum("...st,...td->...sd", attn.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(v.dtype)
+
+
+def multihead_attention(params, x, num_heads, scale=None, attn_drop=0.0,
+                        proj_drop=0.0, rng=None, train=False,
+                        qk_norm_eps=1e-6):
+    """Generic MHSA over the second-to-last axis. x: [..., S, C].
+
+    Leading axes are batch-like (e.g. [B, 49] for scale attention), so one
+    call covers both DuoFormer attention patterns.
+    """
+    *lead, S, C = x.shape
+    D = C // num_heads
+    if scale is None:
+        scale = D ** -0.5
+    r1 = r2 = None
+    if train and rng is not None:
+        r1, r2 = jax.random.split(rng)
+    q, k, v = _qkv_heads(params, x, num_heads)
+    if "q_norm" in params:
+        q = nn.layernorm(params["q_norm"], q, eps=qk_norm_eps)
+        k = nn.layernorm(params["k_norm"], k, eps=qk_norm_eps)
+    out = _sdpa(q, k, v, scale, attn_drop, r1, train)     # [..., H, S, D]
+    out = jnp.moveaxis(out, -3, -2).reshape(*lead, S, C)  # transpose(H,S) + merge
+    out = nn.linear(params["proj"], out)
+    out = nn.dropout(out, proj_drop, r2, train)
+    return out

@@ -1,0 +1,339 @@
+"""torch -> JAX parameter conversion.
+
+Maps reference checkpoints (torch state_dicts) onto this framework's
+parameter pytrees. Handles:
+  * torchvision-style ResNet trunks, both key layouts the reference
+    produces: the `nn.Sequential(*children)` numeric layout
+    ("0.weight", "4.0.conv1.weight", ... — model_wo_extra_params.py:56-58)
+    and the named layout ("conv1.weight", "layer1.0.conv1.weight" — the
+    lunit-io SSL trunks, resnet50ssl.py:30-45).
+  * The release-variant DuoFormer (MyModel_no_extra_params) including its
+    MultiscaleFormer core (scale_attention.py:239-344).
+  * The legacy MyModel / MultiscaleTransformer core (timm-inherited names:
+    blocks.{i}.attn.qkv1/proj1 for the scale pass, .attn.qkv/proj for the
+    region pass — multiscale_attn.py:144-147).
+
+Tensor layout transforms (torch -> ours):
+  Linear  [out, in]   -> [in, out]      (transpose)
+  Conv2d  OIHW        -> HWIO           (permute 2,3,1,0)
+  LayerNorm weight/bias -> scale/bias
+  BatchNorm weight/bias/running_mean/running_var -> scale/bias/mean/var
+
+The reference's released checkpoints pickle whole module objects (Q14,
+main_toy.py:139-149); `state_dict_from_reference_checkpoint` extracts a
+state_dict from such files with stub classes, without needing the reference
+importable.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def _t(x) -> np.ndarray:
+    """torch tensor / array-like -> numpy float array."""
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+def _linear(sd, prefix):
+    p = {"w": _t(sd[f"{prefix}.weight"]).T}
+    if f"{prefix}.bias" in sd:
+        p["b"] = _t(sd[f"{prefix}.bias"])
+    return p
+
+
+def _conv(sd, prefix):
+    p = {"w": _t(sd[f"{prefix}.weight"]).transpose(2, 3, 1, 0)}
+    if f"{prefix}.bias" in sd:
+        p["b"] = _t(sd[f"{prefix}.bias"])
+    return p
+
+
+def _layernorm(sd, prefix):
+    return {"scale": _t(sd[f"{prefix}.weight"]), "bias": _t(sd[f"{prefix}.bias"])}
+
+
+def _batchnorm(sd, prefix):
+    return {
+        "scale": _t(sd[f"{prefix}.weight"]),
+        "bias": _t(sd[f"{prefix}.bias"]),
+        "mean": _t(sd[f"{prefix}.running_mean"]),
+        "var": _t(sd[f"{prefix}.running_var"]),
+    }
+
+
+# ---------------------------------------------------------------------------
+# ResNet trunk
+# ---------------------------------------------------------------------------
+
+# torchvision children order -> Sequential numeric names
+# (model_wo_extra_params.py:56: Sequential(*children[:-2]))
+_SEQ_NAMES = {"conv1": "0", "bn1": "1", "layer1": "4", "layer2": "5",
+              "layer3": "6", "layer4": "7"}
+
+
+def _normalize_resnet_keys(sd: Dict, prefix: str = "") -> Dict:
+    """Return a sub-state_dict with canonical torchvision names
+    (conv1/bn1/layerN...), whichever of the two layouts the input uses."""
+    out = {}
+    rev = {v: k for k, v in _SEQ_NAMES.items()}
+    for k, v in sd.items():
+        if prefix:
+            if not k.startswith(prefix):
+                continue
+            k = k[len(prefix):]
+        first, _, rest = k.partition(".")
+        if first in rev:                      # numeric Sequential layout
+            out[f"{rev[first]}.{rest}"] = v
+        else:                                 # named layout
+            out[k] = v
+    return out
+
+
+def convert_resnet(sd: Dict, depth: int = 50, prefix: str = "") -> Dict:
+    """torchvision/SSL ResNet state_dict -> ResNetBackbone param tree."""
+    sd = _normalize_resnet_keys(sd, prefix)
+    stage_blocks = {50: [3, 4, 6, 3], 18: [2, 2, 2, 2]}[depth]
+    n_convs = {50: 3, 18: 2}[depth]
+    p = {"conv1": _conv(sd, "conv1"), "bn1": _batchnorm(sd, "bn1")}
+    for si, nblocks in enumerate(stage_blocks):
+        layer = []
+        for bi in range(nblocks):
+            pre = f"layer{si + 1}.{bi}"
+            blk = {}
+            for ci in range(1, n_convs + 1):
+                blk[f"conv{ci}"] = _conv(sd, f"{pre}.conv{ci}")
+                blk[f"bn{ci}"] = _batchnorm(sd, f"{pre}.bn{ci}")
+            if f"{pre}.downsample.0.weight" in sd:
+                blk["downsample"] = {
+                    "conv": _conv(sd, f"{pre}.downsample.0"),
+                    "bn": _batchnorm(sd, f"{pre}.downsample.1"),
+                }
+            layer.append(blk)
+        p[f"layer{si + 1}"] = layer
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Transformer stacks
+# ---------------------------------------------------------------------------
+
+def _stack(block_trees):
+    """List of per-block param trees -> stacked-leading-axis tree (the
+    lax.scan layout used by models/transformer.py)."""
+    import jax
+    return jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                        *block_trees)
+
+
+def _scale_block(sd, pre, has_ls):
+    blk = {
+        "norm1": _layernorm(sd, f"{pre}.norm1"),
+        "attn": {"qkv": _linear(sd, f"{pre}.attn.qkv"),
+                 "proj": _linear(sd, f"{pre}.attn.proj")},
+        "norm2": _layernorm(sd, f"{pre}.norm2"),
+        "mlp": {"fc1": _linear(sd, f"{pre}.mlp.fc1"),
+                "fc2": _linear(sd, f"{pre}.mlp.fc2")},
+    }
+    if has_ls:
+        blk["ls1"] = {"gamma": _t(sd[f"{pre}.ls1.gamma"])}
+        blk["ls2"] = {"gamma": _t(sd[f"{pre}.ls2.gamma"])}
+    return blk
+
+
+def convert_multiscale_former(sd: Dict, depth: int = 12,
+                              prefix: str = "vision_transformer.") -> Dict:
+    """MultiscaleFormer state_dict -> param tree (scale_attention.py names)."""
+    g = lambda k: f"{prefix}{k}"
+    has_ls = g("scaleBlocks.0.ls1.gamma") in sd
+    scale_blocks = [_scale_block(sd, g(f"scaleBlocks.{i}"), has_ls)
+                    for i in range(depth)]
+    patch_blocks = [
+        {"attn": {"qkv": _linear(sd, g(f"blocks.{i}.attn.qkv")),
+                  "proj": _linear(sd, g(f"blocks.{i}.attn.proj"))}}
+        for i in range(depth)
+    ]
+    return {
+        "scale_blocks": _stack(scale_blocks),
+        "patch_blocks": _stack(patch_blocks),
+        "pos_embed_for_scale": _t(sd[g("pos_embed_for_scale")]),
+        "pos_embed": _t(sd[g("pos_embed")]),
+        "cls_token": _t(sd[g("cls_token")]),
+        "fc_norm": _layernorm(sd, g("fc_norm")),
+        "head": _linear(sd, g("head")),
+    }
+
+
+def convert_multiscale_transformer(sd: Dict, depth: int = 12,
+                                   prefix: str = "vision_transformer.") -> Dict:
+    """MultiscaleTransformer (legacy/timm-inherited) state_dict -> tree.
+
+    blocks.{i}.attn.qkv1/proj1 -> attn1 (scale pass);
+    blocks.{i}.attn.qkv/proj   -> attn2 (region pass)
+    (multiscale_attn.py:144-147 / timm Attention).
+    Unused inherited params (patch_embed.*, attn q_norm/k_norm created by
+    quirk Q9) are ignored."""
+    g = lambda k: f"{prefix}{k}"
+    has_ls = g("blocks.0.ls1.gamma") in sd
+    blocks = []
+    for i in range(depth):
+        pre = g(f"blocks.{i}")
+        blk = {
+            "norm1": _layernorm(sd, f"{pre}.norm1"),
+            "attn1": {"qkv": _linear(sd, f"{pre}.attn.qkv1"),
+                      "proj": _linear(sd, f"{pre}.attn.proj1")},
+            "attn2": {"qkv": _linear(sd, f"{pre}.attn.qkv"),
+                      "proj": _linear(sd, f"{pre}.attn.proj")},
+            "norm2": _layernorm(sd, f"{pre}.norm2"),
+            "mlp": {"fc1": _linear(sd, f"{pre}.mlp.fc1"),
+                    "fc2": _linear(sd, f"{pre}.mlp.fc2")},
+        }
+        if has_ls:
+            blk["ls1"] = {"gamma": _t(sd[f"{pre}.ls1.gamma"])}
+            blk["ls2"] = {"gamma": _t(sd[f"{pre}.ls2.gamma"])}
+        blocks.append(blk)
+    return {
+        "blocks": _stack(blocks),
+        "pos_embed_for_scale": _t(sd[g("pos_embed_for_scale")]),
+        "pos_embed": _t(sd[g("pos_embed")]),
+        "cls_token": _t(sd[g("cls_token")]),
+        "norm": _layernorm(sd, g("norm")),
+        "head": _linear(sd, g("head")),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Full models
+# ---------------------------------------------------------------------------
+
+def _convert_projection(sd: Dict, stages, prefix="projection.") -> Dict:
+    # proj_heads3 -> "3", etc. (projection_head.py:22-59); single-stage
+    # models use the unsuffixed "proj_heads" (projection_head.py:16).
+    out = {}
+    for s in stages:
+        key = f"{prefix}proj_heads{s}"
+        if f"{key}.weight" not in sd and len(stages) == 1:
+            key = f"{prefix}proj_heads"
+        out[s] = _conv(sd, key)
+    return out
+
+
+def _convert_channel_proj(sd: Dict, prefix="") -> Dict:
+    p = {
+        "l1_conv1": _conv(sd, f"{prefix}chann_proj1.conv1"),
+        "l1_conv2": _conv(sd, f"{prefix}chann_proj1.conv2"),
+        "l2_conv1": _conv(sd, f"{prefix}chann_proj2.conv1"),
+        "fuse": [
+            {"conv": _conv(sd, f"{prefix}chann_proj_all.nConvs.{i}.conv"),
+             "bn": _batchnorm(sd, f"{prefix}chann_proj_all.nConvs.{i}.norm")}
+            for i in range(4)
+        ],
+    }
+    return p
+
+
+def convert_duoformer(sd: Dict, model) -> Dict:
+    """Full state_dict of MyModel_no_extra_params -> DuoFormer params.
+
+    `model` is a models.duoformer.DuoFormer instance (provides static
+    config: depth, stages, scale_token mode, backbone depth)."""
+    depth = {"r18": 18}.get(model.backbone_name, 50)
+    p = {
+        "backbone": convert_resnet(sd, depth, prefix="resnet_projector."),
+        "projection": _convert_projection(sd, model.projection.stages),
+        "transformer": convert_multiscale_former(sd, model.transformer.depth),
+    }
+    if model.scale_token == "random":
+        p["scale_token"] = _t(sd["channel_token"])
+    else:
+        p["channel_proj"] = _convert_channel_proj(sd)
+    return p
+
+
+def convert_duoformer_legacy(sd: Dict, model) -> Dict:
+    """Full state_dict of MyModel -> DuoFormerLegacy params."""
+    return {
+        "backbone": convert_resnet(sd, 50, prefix="resnet_projector."),
+        "projection": _convert_projection(sd, model.projection.stages),
+        "channel_proj": _convert_channel_proj(sd),
+        "transformer": convert_multiscale_transformer(
+            sd, model.transformer.depth),
+    }
+
+
+def to_jax(tree, dtype=None):
+    """numpy tree -> jnp tree (optionally casting floats)."""
+    import jax
+
+    def leaf(x):
+        a = jnp.asarray(x)
+        if dtype is not None and jnp.issubdtype(a.dtype, jnp.floating):
+            a = a.astype(dtype)
+        return a
+
+    return jax.tree.map(leaf, tree)
+
+
+# ---------------------------------------------------------------------------
+# Whole-object reference checkpoints (Q14)
+# ---------------------------------------------------------------------------
+
+def state_dict_from_reference_checkpoint(path: str) -> Dict:
+    """Extract a flat state_dict from the reference's pickled whole-module
+    checkpoint (main_toy.py:139-149) without importing the reference.
+
+    Uses a permissive unpickler that materializes unknown classes as
+    stubs; torch Modules reconstruct their parameter/buffer dicts through
+    __setstate__, which we walk recursively."""
+    import io
+    import pickle
+
+    import torch
+
+    class _Stub:
+        def __setstate__(self, state):
+            self.__dict__.update(state if isinstance(state, dict) else {})
+
+        def __getattr__(self, name):
+            raise AttributeError(name)
+
+    class _PermissiveUnpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            try:
+                return super().find_class(module, name)
+            except (ImportError, AttributeError):
+                return type(name, (_Stub,), {"__module__": module})
+
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=False,
+                         pickle_module=pickle)
+    except Exception:
+        with open(path, "rb") as f:
+            obj = _PermissiveUnpickler(io.BytesIO(f.read())).load()
+
+    model = obj["model"] if isinstance(obj, dict) and "model" in obj else obj
+    if hasattr(model, "state_dict"):
+        return {k: _t(v) for k, v in model.state_dict().items()}
+
+    # stub path: walk _parameters/_buffers/_modules
+    flat = {}
+
+    def walk(mod, prefix=""):
+        d = getattr(mod, "__dict__", {})
+        for k, v in d.get("_parameters", {}).items():
+            if v is not None:
+                flat[prefix + k] = _t(v)
+        for k, v in d.get("_buffers", {}).items():
+            if v is not None:
+                flat[prefix + k] = _t(v)
+        for k, v in d.get("_modules", {}).items():
+            walk(v, f"{prefix}{k}.")
+
+    walk(model)
+    return flat

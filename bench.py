@@ -1,0 +1,115 @@
+"""Benchmark: DuoFormer forward throughput (224^2 tiles/sec/chip).
+
+Primary metric per BASELINE.md: flagship 2-scale release DuoFormer forward,
+batch-256 224^2 tiles, bf16, single chip. vs_baseline is the ratio against
+the PyTorch-CPU reference forward (the torch oracle of the same
+architecture, full size), measured once and cached in
+baseline_torch_cpu.json since the reference publishes no numbers
+(SURVEY §6).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "baseline_torch_cpu.json")
+
+
+def measure_torch_cpu(batch=32, iters=3):
+    """PyTorch-CPU denominator: same architecture, full size, eval mode."""
+    import torch
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "tests"))
+    from torch_oracle import OracleDuoFormer
+
+    torch.manual_seed(0)
+    model = OracleDuoFormer(depth=12, embed_dim=768, num_heads=12,
+                            num_classes=2, num_layers=2, proj_dim=768)
+    model.eval()
+    x = torch.randn(batch, 3, 224, 224)
+    with torch.no_grad():
+        model(x)  # warmup
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            model(x)
+        dt = (time.perf_counter() - t0) / iters
+    return batch / dt   # tiles/sec
+
+
+def torch_baseline(rebuild=False):
+    if not rebuild and os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            return json.load(f)["tiles_per_sec"]
+    tps = measure_torch_cpu()
+    with open(BASELINE_FILE, "w") as f:
+        json.dump({"tiles_per_sec": tps,
+                   "config": "DuoFormer 2-scale 768/12/12, torch CPU fp32, "
+                             "forward-only"}, f)
+    return tps
+
+
+def measure_jax(batch=256, iters=20, dtype="bfloat16"):
+    """Times `iters` forwards chained inside ONE jit (lax.fori_loop with a
+    per-iteration input perturbation so XLA cannot CSE them), fetching a
+    scalar once. This is robust against async-dispatch undertiming: on this
+    environment's tunneled TPU, block_until_ready returns early, so only a
+    device->host value transfer proves completion."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    import duoformer_tcga_tpu as dft
+
+    model = dft.build_model_no_extra_params(
+        num_classes=2, num_layers=2, embed_dim=768, proj_dim=768,
+        num_heads=12, depth=12, dtype=getattr(jnp, dtype))
+    params = model.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (batch, 224, 224, 3),
+                          getattr(jnp, dtype))
+
+    def run_n(n):
+        def body(i, acc):
+            xi = x + (i.astype(x.dtype) * 0)  # data dependence on i
+            logits = model.apply(params, xi, train=False)
+            return acc + logits.astype(jnp.float32).sum()
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    chained = jax.jit(run_n)                      # n dynamic: one compile
+    _ = np.asarray(chained(2))                    # compile + warmup
+    t1 = time.perf_counter()
+    _ = np.asarray(chained(1))
+    t1 = time.perf_counter() - t1
+    tN = time.perf_counter()
+    _ = np.asarray(chained(iters + 1))
+    tN = time.perf_counter() - tN
+    # subtract the 1-iter run to cancel fixed dispatch/transfer latency
+    dt = (tN - t1) / iters
+    return batch / dt   # tiles/sec on this chip
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--rebaseline", action="store_true")
+    args = ap.parse_args()
+
+    baseline = torch_baseline(rebuild=args.rebaseline)
+    tps = measure_jax(batch=args.batch, iters=args.iters)
+    print(json.dumps({
+        "metric": "224^2 tiles/sec/chip (DuoFormer 2-scale forward, bf16, batch 256)",
+        "value": round(tps, 2),
+        "unit": "tiles/sec/chip",
+        "vs_baseline": round(tps / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

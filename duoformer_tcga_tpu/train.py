@@ -1,0 +1,132 @@
+"""Training / evaluation steps and optimizer assembly.
+
+TPU-native twin of the reference's driver loop (main_toy.py:17-54,111-114):
+Adam (+L2-style weight decay, torch semantics) with a OneCycle schedule,
+cross-entropy loss, accuracy metric. Differences by design:
+  * one jitted train_step (forward+backward+update fused by XLA) instead of
+    per-op dispatch; metrics stay on device;
+  * frozen-backbone handling is an optax partition (set_to_zero on the
+    backbone subtree) instead of requires_grad, so weight decay cannot leak
+    into frozen params (torch skips them because they never get grads);
+  * sharding-aware: pass a Mesh and the step runs SPMD data-parallel with
+    XLA-inserted gradient all-reduce over ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .parallel import mesh as mesh_lib
+
+
+def onecycle_schedule(peak_lr: float, total_steps: int, pct_start: float = 0.3,
+                      div_factor: float = 25.0, final_div_factor: float = 1e4):
+    """torch OneCycleLR defaults (cos anneal) — main_toy.py:112-114."""
+    return optax.cosine_onecycle_schedule(
+        transition_steps=total_steps, peak_value=peak_lr,
+        pct_start=pct_start, div_factor=div_factor,
+        final_div_factor=final_div_factor)
+
+
+def make_optimizer(schedule, weight_decay: float = 1e-4,
+                   frozen_label_fn=None):
+    """Adam with torch-style L2 weight decay (decay added to the gradient
+    BEFORE the Adam moments — torch.optim.Adam(weight_decay=...) semantics,
+    main_toy.py:111), with an optional frozen partition.
+
+    frozen_label_fn: params-tree -> label-tree of {"train","frozen"}."""
+    adam_l2 = optax.chain(
+        optax.add_decayed_weights(weight_decay) if weight_decay else optax.identity(),
+        optax.scale_by_adam(),
+        optax.scale_by_learning_rate(schedule),
+    )
+    if frozen_label_fn is None:
+        return adam_l2
+    return optax.multi_transform(
+        {"train": adam_l2, "frozen": optax.set_to_zero()}, frozen_label_fn)
+
+
+def backbone_frozen_labels(params: Dict) -> Dict:
+    """Label tree marking the backbone subtree frozen
+    (model_wo_extra_params.py:72-75)."""
+    return {k: jax.tree.map(lambda _: "frozen" if k == "backbone" else "train", v)
+            for k, v in params.items()}
+
+
+def cross_entropy(logits, labels):
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32))
+    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=1))
+
+
+def accuracy(logits, labels):
+    return jnp.mean((jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32))
+
+
+def init_train_state(model, key, optimizer) -> Dict[str, Any]:
+    params = model.init(key)
+    return {
+        "params": params,
+        "opt_state": optimizer.init(params),
+        "step": jnp.zeros((), jnp.int32),
+    }
+
+
+def make_train_step(model, optimizer, mesh=None, donate=True):
+    """Returns jitted (state, batch, rng) -> (state, metrics).
+
+    batch: {"image": [B,224,224,3], "label": [B]} — shard the batch dim
+    with parallel.mesh.shard_batch; params/opt_state replicated. XLA turns
+    the gradient reduction into an ICI all-reduce automatically."""
+
+    def loss_fn(params, batch, rng):
+        logits = model.apply(params, batch["image"], rng=rng, train=True)
+        loss = cross_entropy(logits, batch["label"])
+        return loss, logits
+
+    def step(state, batch, rng):
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state["params"], batch, rng)
+        updates, opt_state = optimizer.update(grads, state["opt_state"],
+                                              state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        metrics = {"loss": loss, "accuracy": accuracy(logits, batch["label"])}
+        return {"params": params, "opt_state": opt_state,
+                "step": state["step"] + 1}, metrics
+
+    kwargs = {}
+    if donate:
+        kwargs["donate_argnums"] = (0,)
+    if mesh is not None:
+        repl = mesh_lib.replicated(mesh)
+        bsh = mesh_lib.batch_sharding(mesh)
+        state_sh = {"params": repl, "opt_state": repl, "step": repl}
+        kwargs["in_shardings"] = (state_sh, {"image": bsh, "label": bsh}, repl)
+        kwargs["out_shardings"] = (state_sh, repl)
+    return jax.jit(step, **kwargs)
+
+
+def make_eval_step(model, mesh=None):
+    """Returns jitted (params, batch) -> metrics (loss, accuracy, and the
+    summed correct-count for exact multi-batch aggregation)."""
+
+    def step(params, batch):
+        logits = model.apply(params, batch["image"], train=False)
+        return {
+            "loss": cross_entropy(logits, batch["label"]),
+            "accuracy": accuracy(logits, batch["label"]),
+            "correct": jnp.sum((jnp.argmax(logits, -1) == batch["label"])
+                               .astype(jnp.int32)),
+        }
+
+    kwargs = {}
+    if mesh is not None:
+        repl = mesh_lib.replicated(mesh)
+        bsh = mesh_lib.batch_sharding(mesh)
+        kwargs["in_shardings"] = (repl, {"image": bsh, "label": bsh})
+        kwargs["out_shardings"] = repl
+    return jax.jit(step, **kwargs)

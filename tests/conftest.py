@@ -1,9 +1,13 @@
 """Test config: run on a virtual 8-device CPU mesh (standard JAX fake-backend
-idiom) so sharding tests work without TPU hardware."""
+idiom) so sharding tests work without TPU hardware.
+
+Note: this environment's axon TPU plugin ignores JAX_PLATFORMS=cpu, so we
+must select the CPU backend explicitly (jax.devices('cpu') +
+jax_default_device) rather than rely on the env var.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,6 +16,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_default_matmul_precision", "highest")
+try:
+    _cpus = jax.devices("cpu")
+    jax.config.update("jax_default_device", _cpus[0])
+except RuntimeError:
+    _cpus = jax.devices()
 
 import pytest  # noqa: E402
 
@@ -19,3 +28,8 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def rng():
     return jax.random.PRNGKey(0)
+
+
+@pytest.fixture(scope="session")
+def cpu_devices():
+    return _cpus

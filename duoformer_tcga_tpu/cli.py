@@ -1,0 +1,152 @@
+"""Train/eval driver CLI — the runnable twin of the reference's main_toy.py
+(which, as shipped, cannot run: missing dataset module Q1, NameError Q2,
+kwarg mismatch Q3).
+
+Usage:
+    python -m duoformer_tcga_tpu.cli train --preset=release-2scale \
+        --train.batch_size=64 --train.epochs=2 [--steps=N]
+    python -m duoformer_tcga_tpu.cli eval --preset=release-2scale
+
+Runs SPMD data-parallel over every visible chip, checkpoints with resume,
+and logs structured per-step metrics (loss, accuracy, tiles/sec/chip).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+import jax.numpy as jnp
+
+from . import config as config_lib
+from . import train as train_lib
+from .data import pipeline as data_lib
+from .parallel import mesh as mesh_lib
+from .utils.checkpoint import CheckpointManager
+from .utils.metrics import MetricLogger, StepTimer
+
+
+def _build(cfg):
+    model = cfg.model.build()
+    mesh = mesh_lib.make_mesh(model_parallel=cfg.train.model_parallel)
+    steps_per_epoch = cfg.train.steps_per_epoch or 100
+    total_steps = steps_per_epoch * cfg.train.epochs
+    sched = train_lib.onecycle_schedule(cfg.train.lr, total_steps)
+    frozen = (train_lib.backbone_frozen_labels
+              if cfg.model.freeze_backbone and
+              cfg.model.family.startswith("duoformer") else None)
+    opt = train_lib.make_optimizer(sched, cfg.train.weight_decay,
+                                   frozen_label_fn=frozen)
+    return model, mesh, opt, steps_per_epoch, total_steps
+
+
+def cmd_train(cfg, max_steps=None):
+    model, mesh, opt, steps_per_epoch, total_steps = _build(cfg)
+    if max_steps is not None:
+        total_steps = min(total_steps, max_steps)
+    state = train_lib.init_train_state(
+        model, jax.random.PRNGKey(cfg.train.seed), opt)
+
+    ckpt = CheckpointManager(cfg.train.checkpoint_dir,
+                             keep=cfg.train.keep_checkpoints)
+    restored = ckpt.restore(state)
+    if restored is not None:
+        state = restored
+        print(f"resumed from step {int(state['step'])}", flush=True)
+    state = mesh_lib.replicate(mesh, state)
+
+    step_fn = train_lib.make_train_step(model, opt, mesh=mesh)
+    logger = MetricLogger()
+    timer = StepTimer()
+    bsh = mesh_lib.batch_sharding(mesh)
+    dtype = getattr(jnp, cfg.model.dtype)
+
+    def batches():
+        for raw in data_lib.synthetic_tiles(cfg.train.batch_size,
+                                            cfg.model.num_classes,
+                                            seed=cfg.train.seed):
+            yield raw
+
+    loader = data_lib.PrefetchLoader(batches(), sharding=bsh)
+    rng = mesh_lib.replicate(mesh, jax.random.PRNGKey(cfg.train.seed + 1))
+
+    start = int(jax.device_get(state["step"]))
+    preprocess = jax.jit(
+        lambda img: data_lib.preprocess_tiles(img, dtype=dtype),
+        out_shardings=bsh)
+    for i, raw in zip(range(start, total_steps), loader):
+        batch = {"image": preprocess(raw["image"]), "label": raw["label"]}
+        state, metrics = step_fn(state, batch, rng)
+        timer.tick()
+        step = i + 1
+        if step % cfg.train.log_every == 0 or step == total_steps:
+            m = jax.device_get(metrics)
+            tps = timer.tiles_per_sec(cfg.train.batch_size)
+            logger.log(step, m, tiles_per_sec=tps or 0.0,
+                       epoch=step // steps_per_epoch)
+        if step % cfg.train.checkpoint_every == 0 or step == total_steps:
+            ckpt.save(step, jax.device_get(state))
+    ckpt.wait()
+    print("training done", flush=True)
+    return state
+
+
+def cmd_eval(cfg, num_batches=10):
+    model, mesh, opt, _, _ = _build(cfg)
+    state = train_lib.init_train_state(
+        model, jax.random.PRNGKey(cfg.train.seed), opt)
+    ckpt = CheckpointManager(cfg.train.checkpoint_dir)
+    restored = ckpt.restore(state)
+    if restored is not None:
+        state = restored
+        print(f"evaluating checkpoint step {int(state['step'])}", flush=True)
+    params = mesh_lib.replicate(mesh, state["params"])
+
+    eval_fn = train_lib.make_eval_step(model, mesh=mesh)
+    bsh = mesh_lib.batch_sharding(mesh)
+    dtype = getattr(jnp, cfg.model.dtype)
+    preprocess = jax.jit(
+        lambda img: data_lib.preprocess_tiles(img, dtype=dtype),
+        out_shardings=bsh)
+
+    total, correct, loss_sum = 0, 0, 0.0
+    for raw in data_lib.synthetic_tiles(cfg.train.batch_size,
+                                        cfg.model.num_classes,
+                                        num_batches=num_batches,
+                                        seed=cfg.train.seed + 7):
+        batch = {
+            "image": preprocess(jnp.asarray(raw["image"])),
+            "label": jax.device_put(raw["label"], bsh),
+        }
+        m = jax.device_get(eval_fn(params, batch))
+        total += cfg.train.batch_size
+        correct += int(m["correct"])
+        loss_sum += float(m["loss"])
+    print(f"eval: acc={correct / total:.4f} loss={loss_sum / num_batches:.4f}",
+          flush=True)
+    return correct / total
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] not in ("train", "eval"):
+        print(__doc__)
+        return 1
+    cmd, rest = argv[0], argv[1:]
+    max_steps = None
+    filtered = []
+    for a in rest:
+        if a.lstrip("-").startswith("steps="):
+            max_steps = int(a.split("=", 1)[1])
+        else:
+            filtered.append(a)
+    cfg = config_lib.from_args(filtered)
+    if cmd == "train":
+        cmd_train(cfg, max_steps=max_steps)
+    else:
+        cmd_eval(cfg)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

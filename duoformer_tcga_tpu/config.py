@@ -1,0 +1,164 @@
+"""Typed configuration for the full DuoFormer variant matrix.
+
+The reference scatters hyperparameters across constructor signatures and
+`main()` locals (/root/reference/main_toy.py:58-82, models/__init__.py:12-70)
+with mutually inconsistent defaults (its factory defaults embed_dim=256 vs
+proj_dim=384 cannot even broadcast). This module replaces that with one
+dataclass pair whose defaults are the *working* release configuration, plus
+named presets for every row of the SURVEY §2 variant matrix, and CLI
+override support (`--key=value` / `key=value`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax.numpy as jnp
+
+
+@dataclass
+class ModelConfig:
+    # architecture family: "duoformer" (release, MyModel_no_extra_params),
+    # "duoformer_legacy" (MyModel), "hybrid" (HybridModel), "vit" (ViTBase16),
+    # "resnet50_fc" (SSL linear probe), "scaleformer" (scale-attn-only)
+    family: str = "duoformer"
+    depth: int = 12
+    embed_dim: int = 768
+    proj_dim: int = 768
+    num_heads: int = 12
+    num_classes: int = 2
+    num_layers: int = 2            # pyramid scales in {1,2,3,4}
+    num_patches: int = 49
+    mlp_ratio: float = 4.0
+    attn_drop_rate: float = 0.0
+    proj_drop_rate: float = 0.0
+    init_values: Optional[float] = None   # LayerScale (1e-5 in legacy)
+    backbone: str = "r50"          # r50 | r18 | r50_Swav
+    scale_token: str = "random"    # random | channel
+    patch_attn: bool = True
+    freeze_backbone: bool = True
+    dtype: str = "bfloat16"        # compute dtype; params stay float32
+
+    def build(self):
+        import duoformer_tcga_tpu as dft
+        from .models.baselines import HybridModel, ViTBase16
+        from .models.resnet import ResNet50withFC
+
+        d = getattr(jnp, self.dtype)
+        if self.family == "duoformer":
+            return dft.DuoFormer(
+                depth=self.depth, embed_dim=self.embed_dim,
+                num_heads=self.num_heads, num_classes=self.num_classes,
+                num_layers=self.num_layers, num_patches=self.num_patches,
+                mlp_ratio=self.mlp_ratio,
+                attn_drop_rate=self.attn_drop_rate,
+                proj_drop_rate=self.proj_drop_rate, proj_dim=self.proj_dim,
+                freeze_backbone=self.freeze_backbone, backbone=self.backbone,
+                scale_token=self.scale_token, patch_attn=self.patch_attn,
+                init_values=self.init_values, dtype=d)
+        if self.family == "duoformer_legacy":
+            return dft.DuoFormerLegacy(
+                depth=self.depth, embed_dim=self.embed_dim,
+                num_heads=self.num_heads, num_classes=self.num_classes,
+                num_layers=self.num_layers, proj_dim=self.proj_dim,
+                init_values=self.init_values, freeze=self.freeze_backbone,
+                dtype=d)
+        if self.family == "hybrid":
+            return HybridModel(num_classes=self.num_classes,
+                               num_blocks=self.depth, proj_dim=self.proj_dim,
+                               num_heads=self.num_heads, dtype=d)
+        if self.family == "vit":
+            return ViTBase16(n_classes=self.num_classes, dtype=d)
+        if self.family == "resnet50_fc":
+            return ResNet50withFC(num_classes=self.num_classes, dtype=d)
+        if self.family == "scaleformer":
+            from .models.transformer import ScaleFormer
+            return ScaleFormer(depth=self.depth, scales=self.num_layers,
+                               num_heads=self.num_heads,
+                               embed_dim=self.embed_dim, dtype=d)
+        raise ValueError(f"unknown model family: {self.family}")
+
+
+@dataclass
+class TrainConfig:
+    batch_size: int = 128          # main_toy.py:59 (2-scale setting)
+    epochs: int = 50
+    lr: float = 1e-4               # main_toy.py:66: 1e-4 for 2-scale
+    weight_decay: float = 1e-4
+    seed: int = 0
+    steps_per_epoch: Optional[int] = None
+    checkpoint_dir: str = "./checkpoints"
+    checkpoint_every: int = 1000   # steps
+    keep_checkpoints: int = 3
+    log_every: int = 50
+    model_parallel: int = 1
+    dataset: str = "synthetic"
+
+
+@dataclass
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+
+
+# Named presets — the SURVEY §2 model-variant matrix.
+PRESETS = {
+    "release-2scale": ModelConfig(),
+    "release-2scale-channel": ModelConfig(scale_token="channel"),
+    "release-3scale": ModelConfig(num_layers=3),
+    "release-4scale": ModelConfig(num_layers=4),
+    "release-r18": ModelConfig(backbone="r18"),
+    "release-ssl": ModelConfig(backbone="r50_Swav"),
+    "legacy-channel": ModelConfig(family="duoformer_legacy",
+                                  init_values=1e-5, attn_drop_rate=0.1,
+                                  proj_drop_rate=0.1),
+    "hybrid-baseline": ModelConfig(family="hybrid", num_classes=100),
+    "vit-baseline": ModelConfig(family="vit", num_classes=100),
+    "resnet50-linear-probe": ModelConfig(family="resnet50_fc", num_classes=4),
+    "scaleformer-only": ModelConfig(family="scaleformer", embed_dim=384,
+                                    num_heads=6),
+}
+
+
+def _coerce(val: str, typ):
+    # `from __future__ import annotations` stringifies field types;
+    # resolve via typing.get_type_hints at the call site.
+    if typ is bool:
+        return val.lower() in ("1", "true", "yes")
+    if typ in (Optional[float], Optional[int]):
+        if val.lower() == "none":
+            return None
+        return float(val) if typ == Optional[float] else int(val)
+    return typ(val)
+
+
+def apply_overrides(cfg: Config, overrides) -> Config:
+    """Apply "section.key=value" strings (e.g. model.depth=6,
+    train.lr=3e-4)."""
+    for ov in overrides:
+        ov = ov.lstrip("-")
+        key, _, val = ov.partition("=")
+        section, _, name = key.partition(".")
+        target = getattr(cfg, section)
+        if not hasattr(target, name):
+            raise KeyError(f"no config field {key}")
+        import typing
+        hints = typing.get_type_hints(type(target))
+        setattr(target, name, _coerce(val, hints[name]))
+    return cfg
+
+
+def from_args(args) -> Config:
+    """args: list like ["--preset=release-2scale", "--model.depth=6",
+    "--train.lr=1e-4"]."""
+    cfg = Config()
+    rest = []
+    for a in args:
+        if a.lstrip("-").startswith("preset="):
+            name = a.split("=", 1)[1]
+            cfg.model = dataclasses.replace(PRESETS[name])
+        else:
+            rest.append(a)
+    return apply_overrides(cfg, rest)

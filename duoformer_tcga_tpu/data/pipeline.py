@@ -1,0 +1,121 @@
+"""Tile data path: on-device preprocessing + host->device streaming.
+
+The reference imports a `dataset` module that does not exist in its repo
+(quirk Q1, /root/reference/main_toy.py:11,107-109) — this module is the
+framework's replacement, built for the north-star "streamed WSI tile
+workload" (BASELINE.json): host threads hand raw uint8 tiles to a
+double-buffered prefetcher; everything numeric — dtype conversion,
+normalization, resize, WSI-region patchify — runs fused on device, so the
+host never touches float pixel data.
+
+TPU notes: normalization is expressed as one affine (x*a + b) so XLA fuses
+it into the backbone's first conv; patchify is a reshape/transpose
+(space-to-batch), free of gathers.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+# torchvision ImageNet normalization (the standard for the r50 backbones)
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def normalize(x, mean=IMAGENET_MEAN, std=IMAGENET_STD, dtype=jnp.bfloat16):
+    """uint8 [..., H, W, 3] -> normalized dtype. Single fused affine."""
+    a = (1.0 / (255.0 * np.asarray(std))).astype(np.float32)
+    b = (-np.asarray(mean) / np.asarray(std)).astype(np.float32)
+    return (x.astype(jnp.float32) * a + b).astype(dtype)
+
+
+def resize(x, size, method="bilinear", antialias=False):
+    """[..., H, W, C] -> [..., size, size, C]. antialias=False matches
+    torch F.interpolate's default sampling; True is the better choice for
+    real WSI downscales."""
+    *lead, H, W, C = x.shape
+    return jax.image.resize(x, (*lead, size, size, C), method=method,
+                            antialias=antialias)
+
+
+def patchify(region, tile: int = 224):
+    """WSI region [H, W, 3] (H, W multiples of tile) -> [n_tiles, tile, tile, 3].
+
+    Pure reshape/transpose — XLA lowers it to a copy at worst."""
+    H, W, C = region.shape
+    gh, gw = H // tile, W // tile
+    x = region[:gh * tile, :gw * tile]
+    x = x.reshape(gh, tile, gw, tile, C)
+    return x.transpose(0, 2, 1, 3, 4).reshape(gh * gw, tile, tile, C)
+
+
+def preprocess_tiles(raw_uint8, size: int = 224, dtype=jnp.bfloat16,
+                     mean=IMAGENET_MEAN, std=IMAGENET_STD):
+    """Fused device-side pipeline: uint8 tiles -> normalized, resized
+    batch. jit this together with the model step for zero host round-trips."""
+    x = normalize(raw_uint8, mean, std, dtype=jnp.float32)
+    if raw_uint8.shape[-2] != size:
+        x = resize(x, size)
+    return x.astype(dtype)
+
+
+class PrefetchLoader:
+    """Wraps a host batch iterator; device_puts batches with the given
+    sharding on a background thread, keeping `depth` batches in flight so
+    H2D transfer overlaps the previous step's compute."""
+
+    def __init__(self, it: Iterator, sharding=None, depth: int = 2):
+        self._it = it
+        self._sharding = sharding
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._done = object()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _put(self, batch):
+        if self._sharding is not None:
+            batch = jax.tree.map(
+                lambda x: jax.device_put(x, self._sharding), batch)
+        else:
+            batch = jax.tree.map(jnp.asarray, batch)
+        self._q.put(batch)
+
+    def _worker(self):
+        try:
+            for batch in self._it:
+                self._put(batch)
+        finally:
+            self._q.put(self._done)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._done:
+            raise StopIteration
+        return item
+
+
+def synthetic_tiles(batch_size: int, num_classes: int = 2,
+                    num_batches: Optional[int] = None, seed: int = 0,
+                    size: int = 224):
+    """Synthetic TCGA-style uint8 tile stream (the stand-in for the
+    reference's missing dataset module)."""
+    rng = np.random.default_rng(seed)
+    i = 0
+    while num_batches is None or i < num_batches:
+        yield {
+            "image": rng.integers(0, 256, (batch_size, size, size, 3),
+                                  dtype=np.uint8),
+            "label": rng.integers(0, num_classes, (batch_size,),
+                                  dtype=np.int32),
+        }
+        i += 1

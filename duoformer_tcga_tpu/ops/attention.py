@@ -71,27 +71,61 @@ def _sdpa(q, k, v, scale, attn_drop=0.0, rng=None, train=False):
     return out.astype(v.dtype)
 
 
+import os
+
+
+def _use_fused(params, attn_drop, train):
+    """Fused-kernel eligibility: no qk-norm, no active attention dropout.
+    Env override DUOFORMER_FUSED_ATTN=0/1 (read per-call so tests can
+    toggle it)."""
+    env = os.environ.get("DUOFORMER_FUSED_ATTN")
+    if env == "0":
+        return False
+    if "q_norm" in params or (train and attn_drop > 0.0):
+        return False
+    if env == "1":
+        return True
+    return jax.default_backend() == "tpu"
+
+
 def multihead_attention(params, x, num_heads, scale=None, attn_drop=0.0,
                         proj_drop=0.0, rng=None, train=False,
-                        qk_norm_eps=1e-6):
+                        qk_norm_eps=1e-6, fused=None):
     """Generic MHSA over the second-to-last axis. x: [..., S, C].
 
     Leading axes are batch-like (e.g. [B, 49] for scale attention), so one
-    call covers both DuoFormer attention patterns.
+    call covers both DuoFormer attention patterns. On TPU the
+    softmax(QK^T)V core runs the fused Pallas block-diagonal kernel
+    (ops/pallas_attention.py) unless qk-norm / attention dropout require
+    the reference path; set DUOFORMER_FUSED_ATTN=0/1 to force.
     """
     *lead, S, C = x.shape
     D = C // num_heads
     if scale is None:
         scale = D ** -0.5
+    if fused is None:
+        fused = _use_fused(params, attn_drop, train)
+
     r1 = r2 = None
     if train and rng is not None:
         r1, r2 = jax.random.split(rng)
-    q, k, v = _qkv_heads(params, x, num_heads)
-    if "q_norm" in params:
-        q = nn.layernorm(params["q_norm"], q, eps=qk_norm_eps)
-        k = nn.layernorm(params["k_norm"], k, eps=qk_norm_eps)
-    out = _sdpa(q, k, v, scale, attn_drop, r1, train)     # [..., H, S, D]
-    out = jnp.moveaxis(out, -3, -2).reshape(*lead, S, C)  # transpose(H,S) + merge
+
+    if fused:
+        from . import pallas_attention as pa
+        qkv = nn.linear(params["qkv"], x)                 # [..., S, 3C]
+        n_seg = 1
+        for d in lead:
+            n_seg *= d
+        out = pa.block_diag_attention(
+            qkv.reshape(n_seg, S, 3 * C), num_heads, S, float(scale))
+        out = out.reshape(*lead, S, C)
+    else:
+        q, k, v = _qkv_heads(params, x, num_heads)
+        if "q_norm" in params:
+            q = nn.layernorm(params["q_norm"], q, eps=qk_norm_eps)
+            k = nn.layernorm(params["k_norm"], k, eps=qk_norm_eps)
+        out = _sdpa(q, k, v, scale, attn_drop, r1, train)  # [..., H, S, D]
+        out = jnp.moveaxis(out, -3, -2).reshape(*lead, S, C)
     out = nn.linear(params["proj"], out)
     out = nn.dropout(out, proj_drop, r2, train)
     return out

@@ -1,0 +1,159 @@
+"""Fused block-diagonal attention — the Pallas kernel for DuoFormer's
+scale/patch attention patterns.
+
+Why a kernel: DuoFormer's attentions run over many tiny independent
+segments (S+1 in {2,6,22,86} tokens per region, batched over B*49 regions;
+50 tokens per image for patch attention). The XLA path materializes
+per-head tensors shaped [..., S, head_dim] whose trailing dims (S<=86,
+D=64) tile far below the TPU's (8,128) native tile, inflating HBM traffic
+~5x in transposes around the (cheap) attention core.
+
+The kernel instead packs G = floor(128/S) segments into one 128-row MXU
+tile and computes softmax(QK^T)V for ALL packed segments with two
+full-tile matmuls per head plus a static block-diagonal mask — trading a
+few extra (masked-out) FLOPs for perfect tiling and zero transposed
+intermediates. Everything between the qkv GEMM and the output projection
+fuses into one VMEM-resident pass.
+
+Mask correctness: rows attend only within their segment (row//S == col//S);
+padding rows (when the segment count isn't a multiple of G) are garbage-in/
+garbage-out and sliced off by the caller.
+
+Reference behavior being accelerated: forward_with_scale
+(/root/reference/models/multiscale_attn.py:149-166), AttentionForScale /
+AttentionForPatch (/root/reference/models/scale_attention.py:28-45,
+180-211).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _interpret() -> bool:
+    """Run the kernel in interpreter mode off-TPU. Env override
+    DUOFORMER_PALLAS_INTERPRET=0/1 (needed where computations are placed on
+    CPU while a TPU backend is still the process default)."""
+    env = os.environ.get("DUOFORMER_PALLAS_INTERPRET")
+    if env is not None:
+        return env == "1"
+    return jax.default_backend() != "tpu"
+
+
+def _segments_per_tile(seg_len: int) -> int:
+    return max(1, LANES // seg_len)
+
+
+def _kernel(qkv_ref, out_ref, *, num_heads, seg_len, groups, scale):
+    """One grid step: `groups` segments x seg_len tokens, all heads.
+
+    qkv_ref: [groups*seg_len, 3*C] VMEM; out_ref: [groups*seg_len, C].
+    """
+    rows = groups * seg_len
+    C = out_ref.shape[-1]
+    D = C // num_heads
+
+    # static block-diagonal mask: additive 0 within segment, -inf across
+    row_seg = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0) // seg_len
+    col_seg = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1) // seg_len
+    neg_inf = jnp.float32(-1e30)
+    mask = jnp.where(row_seg == col_seg, 0.0, neg_inf)
+
+    qkv = qkv_ref[:]                           # [rows, 3C]
+    for h in range(num_heads):
+        q = qkv[:, h * D:(h + 1) * D]
+        k = qkv[:, C + h * D:C + (h + 1) * D]
+        v = qkv[:, 2 * C + h * D:2 * C + (h + 1) * D]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [rows, rows]
+        s = s * scale + mask
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        o = jnp.dot(p.astype(v.dtype), v,
+                    preferred_element_type=jnp.float32)    # [rows, D]
+        out_ref[:, h * D:(h + 1) * D] = o.astype(out_ref.dtype)
+
+
+def _block_attention_impl(qkv, num_heads, seg_len, scale):
+    """qkv: [num_segments, seg_len, 3C] -> [num_segments, seg_len, C]."""
+    n_seg, S, threeC = qkv.shape
+    assert S == seg_len
+    C = threeC // 3
+    G = _segments_per_tile(seg_len)
+    n_pad = (-n_seg) % G
+    if n_pad:
+        qkv = jnp.concatenate(
+            [qkv, jnp.zeros((n_pad, S, threeC), qkv.dtype)], axis=0)
+    n_tiles = (n_seg + n_pad) // G
+    rows = G * S
+
+    flat = qkv.reshape(n_tiles * rows, threeC)
+    kern = functools.partial(_kernel, num_heads=num_heads, seg_len=seg_len,
+                             groups=G, scale=scale)
+    out = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec((rows, threeC), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((rows, C), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * rows, C), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * n_tiles * num_heads * rows * rows * (C // num_heads),
+            bytes_accessed=n_tiles * rows * (3 * C + C) * qkv.dtype.itemsize,
+            transcendentals=n_tiles * num_heads * rows * rows,
+        ),
+        interpret=_interpret(),
+    )(flat)
+    out = out.reshape(n_tiles * G, S, C)
+    return out[:n_seg] if n_pad else out
+
+
+def _xla_reference(qkv, num_heads, seg_len, scale):
+    """Pure-XLA equivalent (used for the custom-vjp backward and tests)."""
+    n_seg, S, threeC = qkv.shape
+    C = threeC // 3
+    D = C // num_heads
+    qkv = qkv.reshape(n_seg, S, 3, num_heads, D)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]   # [n, S, H, D]
+    s = jnp.einsum("nshd,nthd->nhst", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("nhst,nthd->nshd", p.astype(v.dtype), v,
+                   preferred_element_type=jnp.float32).astype(qkv.dtype)
+    return o.reshape(n_seg, S, C)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def block_diag_attention(qkv, num_heads, seg_len, scale):
+    """Fused attention over independent fixed-length segments.
+
+    qkv: [num_segments, seg_len, 3*C] (projection output, torch qkv
+    layout: [q | k | v] each C wide, heads contiguous within each).
+    Differentiable: forward runs the Pallas kernel, backward the XLA
+    reference vjp (recompute-from-qkv).
+    """
+    return _block_attention_impl(qkv, num_heads, seg_len, scale)
+
+
+def _fwd(qkv, num_heads, seg_len, scale):
+    return _block_attention_impl(qkv, num_heads, seg_len, scale), qkv
+
+
+def _bwd(num_heads, seg_len, scale, qkv, g):
+    _, vjp = jax.vjp(
+        lambda t: _xla_reference(t, num_heads, seg_len, scale), qkv)
+    return vjp(g)
+
+
+block_diag_attention.defvjp(_fwd, _bwd)

@@ -8,6 +8,12 @@ jax_default_device) rather than rely on the env var.
 
 import os
 
+# Tests place computation on CPU while the axon TPU plugin remains the
+# process-default backend: run Pallas kernels interpreted and keep the
+# model-level default on the XLA attention path (kernel tests opt in).
+os.environ.setdefault("DUOFORMER_PALLAS_INTERPRET", "1")
+os.environ.setdefault("DUOFORMER_FUSED_ATTN", "0")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,106 @@
+"""Data pipeline + config system + checkpoint roundtrip tests."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from duoformer_tcga_tpu import config as config_lib
+from duoformer_tcga_tpu.data import pipeline as data_lib
+
+
+class TestPipeline:
+    def test_normalize_matches_torchvision_semantics(self):
+        x = np.random.default_rng(0).integers(0, 256, (2, 8, 8, 3),
+                                              dtype=np.uint8)
+        out = data_lib.normalize(jnp.asarray(x), dtype=jnp.float32)
+        # torchvision: ToTensor (/255) then Normalize((x-mean)/std)
+        ref = (x.astype(np.float32) / 255.0
+               - np.array(data_lib.IMAGENET_MEAN)) / np.array(data_lib.IMAGENET_STD)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+    def test_patchify_roundtrip(self):
+        region = jnp.arange(4 * 6 * 3).reshape(4, 6, 3)
+        tiles = data_lib.patchify(region, tile=2)
+        assert tiles.shape == (6, 2, 2, 3)
+        # tile 0 is the top-left 2x2
+        np.testing.assert_array_equal(np.asarray(tiles[0]),
+                                      np.asarray(region[:2, :2]))
+        # tile order is row-major over the grid
+        np.testing.assert_array_equal(np.asarray(tiles[3]),
+                                      np.asarray(region[2:4, :2]))
+
+    def test_resize_matches_torch_bilinear(self):
+        torch.manual_seed(0)
+        x = torch.rand(1, 3, 16, 16)
+        ref = torch.nn.functional.interpolate(
+            x, size=(8, 8), mode="bilinear", align_corners=False,
+            antialias=False)
+        out = data_lib.resize(jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), 8)
+        np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2),
+                                   ref.numpy(), atol=1e-5)
+
+    def test_prefetch_loader(self):
+        it = data_lib.synthetic_tiles(4, num_classes=3, num_batches=5)
+        loader = data_lib.PrefetchLoader(it)
+        batches = list(loader)
+        assert len(batches) == 5
+        assert batches[0]["image"].shape == (4, 224, 224, 3)
+        assert batches[0]["label"].shape == (4,)
+
+
+class TestConfig:
+    def test_defaults_build(self):
+        cfg = config_lib.Config()
+        model = cfg.model.build()
+        assert model.transformer.depth == 12
+
+    def test_presets_cover_variant_matrix(self):
+        for name in ["release-2scale", "release-4scale", "legacy-channel",
+                     "hybrid-baseline", "resnet50-linear-probe"]:
+            assert name in config_lib.PRESETS
+
+    def test_overrides(self):
+        cfg = config_lib.from_args(
+            ["--preset=release-4scale", "--model.depth=6",
+             "--train.lr=0.003", "--model.init_values=1e-5",
+             "--model.freeze_backbone=false"])
+        assert cfg.model.num_layers == 4
+        assert cfg.model.depth == 6
+        assert cfg.train.lr == 0.003
+        assert cfg.model.init_values == 1e-5
+        assert cfg.model.freeze_backbone is False
+
+    def test_bad_override_raises(self):
+        with pytest.raises(KeyError):
+            config_lib.from_args(["--model.nonexistent=1"])
+
+
+class TestCheckpoint:
+    def test_npz_roundtrip(self, tmp_path):
+        from duoformer_tcga_tpu.utils import checkpoint as ckpt_lib
+
+        params = {"a": jnp.ones((2, 3)),
+                  "nested": {"b": jnp.arange(4.0)},
+                  "stack": [{"w": jnp.zeros((2,))}, {"w": jnp.ones((2,))}]}
+        path = str(tmp_path / "p.npz")
+        ckpt_lib.save_params_npz(path, params)
+        restored = ckpt_lib.load_params_npz(path, params)
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_orbax_roundtrip(self, tmp_path):
+        from duoformer_tcga_tpu.utils.checkpoint import CheckpointManager
+
+        state = {"params": {"w": jnp.ones((3,))},
+                 "step": jnp.asarray(7, jnp.int32)}
+        mgr = CheckpointManager(str(tmp_path / "ckpt"), keep=2)
+        mgr.save(7, jax.device_get(state))
+        mgr.wait()
+        assert mgr.latest_step() == 7
+        restored = mgr.restore(jax.device_get(state))
+        np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
+                                      np.ones((3,)))
+        mgr.close()

@@ -1,0 +1,69 @@
+"""Fused block-diagonal attention kernel vs the XLA reference (interpret
+mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from duoformer_tcga_tpu.ops import attention as attn_ops
+from duoformer_tcga_tpu.ops import pallas_attention as pa
+
+
+@pytest.mark.parametrize("n_seg,S,C,H", [
+    (98, 6, 96, 12),     # 2-scale: 21 segments/tile with padding
+    (21, 6, 96, 12),     # exact tile
+    (5, 86, 96, 8),      # 4-scale: 1 segment/tile (86 rows)
+    (7, 22, 96, 4),      # 3-scale
+    (4, 50, 96, 12),     # patch attention shape
+    (3, 2, 96, 12),      # 1-scale
+])
+def test_matches_xla_reference(n_seg, S, C, H):
+    key = jax.random.PRNGKey(0)
+    qkv = jax.random.normal(key, (n_seg, S, 3 * C), jnp.float32)
+    scale = (C // H) ** -0.5
+    ref = pa._xla_reference(qkv, H, S, scale)
+    out = pa.block_diag_attention(qkv, H, S, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_gradient_matches_reference():
+    key = jax.random.PRNGKey(1)
+    qkv = jax.random.normal(key, (10, 6, 3 * 48), jnp.float32)
+    scale = 0.25
+
+    def loss_fused(t):
+        return pa.block_diag_attention(t, 4, 6, scale).sum()
+
+    def loss_ref(t):
+        return pa._xla_reference(t, 4, 6, scale).sum()
+
+    g1 = jax.grad(loss_fused)(qkv)
+    g2 = jax.grad(loss_ref)(qkv)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_multihead_attention_fused_matches_unfused():
+    key = jax.random.PRNGKey(2)
+    C, H = 96, 12
+    params = attn_ops.attention_init(key, C, H)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 49, 6, C))
+    ref = attn_ops.multihead_attention(params, x, H, fused=False)
+    out = attn_ops.multihead_attention(params, x, H, fused=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_mask_blocks_cross_segment_leakage():
+    """Changing segment j must not affect segment i != j."""
+    key = jax.random.PRNGKey(4)
+    qkv = jax.random.normal(key, (8, 6, 3 * 48), jnp.float32)
+    out1 = pa.block_diag_attention(qkv, 4, 6, 0.2)
+    qkv2 = qkv.at[3].add(100.0)
+    out2 = pa.block_diag_attention(qkv2, 4, 6, 0.2)
+    np.testing.assert_array_equal(np.asarray(out1[:3]), np.asarray(out2[:3]))
+    np.testing.assert_array_equal(np.asarray(out1[4:]), np.asarray(out2[4:]))
+    assert np.abs(np.asarray(out1[3] - out2[3])).max() > 0

@@ -23,12 +23,16 @@ from . import train as train_lib
 from .data import pipeline as data_lib
 from .parallel import mesh as mesh_lib
 from .utils.checkpoint import CheckpointManager
-from .utils.metrics import MetricLogger, StepTimer
+from .utils.metrics import MetricLogger
 
 
 def _build(cfg):
+    if cfg.train.platform:
+        jax.config.update("jax_default_device",
+                          jax.devices(cfg.train.platform)[0])
     model = cfg.model.build()
-    mesh = mesh_lib.make_mesh(model_parallel=cfg.train.model_parallel)
+    mesh = mesh_lib.make_mesh(model_parallel=cfg.train.model_parallel,
+                              platform=cfg.train.platform)
     steps_per_epoch = cfg.train.steps_per_epoch or 100
     total_steps = steps_per_epoch * cfg.train.epochs
     sched = train_lib.onecycle_schedule(cfg.train.lr, total_steps)
@@ -57,7 +61,6 @@ def cmd_train(cfg, max_steps=None):
 
     step_fn = train_lib.make_train_step(model, opt, mesh=mesh)
     logger = MetricLogger()
-    timer = StepTimer()
     bsh = mesh_lib.batch_sharding(mesh)
     dtype = getattr(jnp, cfg.model.dtype)
 
@@ -74,15 +77,22 @@ def cmd_train(cfg, max_steps=None):
     preprocess = jax.jit(
         lambda img: data_lib.preprocess_tiles(img, dtype=dtype),
         out_shardings=bsh)
+    import time as _time
+    last_log_t, last_log_step = None, start
     for i, raw in zip(range(start, total_steps), loader):
         batch = {"image": preprocess(raw["image"]), "label": raw["label"]}
         state, metrics = step_fn(state, batch, rng)
-        timer.tick()
         step = i + 1
         if step % cfg.train.log_every == 0 or step == total_steps:
+            # device_get blocks on step completion -> honest wall-clock
             m = jax.device_get(metrics)
-            tps = timer.tiles_per_sec(cfg.train.batch_size)
-            logger.log(step, m, tiles_per_sec=tps or 0.0,
+            now = _time.perf_counter()
+            tps = 0.0
+            if last_log_t is not None and step > last_log_step:
+                tps = (cfg.train.batch_size * (step - last_log_step)
+                       / (now - last_log_t))
+            last_log_t, last_log_step = now, step
+            logger.log(step, m, tiles_per_sec=tps,
                        epoch=step // steps_per_epoch)
         if step % cfg.train.checkpoint_every == 0 or step == total_steps:
             ckpt.save(step, jax.device_get(state))

@@ -95,6 +95,9 @@ class TrainConfig:
     log_every: int = 50
     model_parallel: int = 1
     dataset: str = "synthetic"
+    # backend override ("cpu"/"tpu"); None = process default. Needed where
+    # a TPU plugin is registered but the CPU backend should run the job.
+    platform: Optional[str] = None
 
 
 @dataclass
@@ -127,9 +130,11 @@ def _coerce(val: str, typ):
     # resolve via typing.get_type_hints at the call site.
     if typ is bool:
         return val.lower() in ("1", "true", "yes")
-    if typ in (Optional[float], Optional[int]):
+    if typ in (Optional[float], Optional[int], Optional[str]):
         if val.lower() == "none":
             return None
+        if typ == Optional[str]:
+            return val
         return float(val) if typ == Optional[float] else int(val)
     return typ(val)
 

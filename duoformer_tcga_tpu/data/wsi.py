@@ -1,0 +1,157 @@
+"""WSI (whole-slide image) tile streaming — the north-star workload
+("streamed WSI tile workload: on-device decode/normalize/patchify ->
+batched DuoFormer", BASELINE.json config #5).
+
+Host side: a memory-mapped decoded WSI plane (uint8 [H, W, 3]) + a native
+C++ tile extractor (native/tile_extract.cpp, built on demand via g++ and
+loaded with ctypes; transparent numpy fallback). Device side: the fused
+normalize pipeline (data/pipeline.py) and the model forward, batched and
+sharded over the mesh.
+
+The reference has no data path at all (its `dataset` module is missing —
+quirk Q1); this subsystem is new capability.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           os.pardir, "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libtile_extract.so")
+_SRC_PATH = os.path.join(_NATIVE_DIR, "tile_extract.cpp")
+
+_lib = None
+_lib_tried = False
+
+
+def _load_native():
+    """Build (once) and load the C++ extractor; None on any failure."""
+    global _lib, _lib_tried
+    if _lib_tried:
+        return _lib
+    _lib_tried = True
+    try:
+        if (not os.path.exists(_LIB_PATH)
+                or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC_PATH)):
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB_PATH,
+                 _SRC_PATH, "-lpthread"],
+                check=True, capture_output=True)
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.extract_tiles.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64]
+        lib.downsample2x.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p]
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def extract_tiles(plane: np.ndarray, coords: np.ndarray,
+                  tile: int = 224, num_threads: Optional[int] = None
+                  ) -> np.ndarray:
+    """Gather [n, tile, tile, 3] uint8 tiles at (y, x) origins from a
+    [H, W, 3] uint8 plane. Native C++ path when available."""
+    assert plane.dtype == np.uint8 and plane.ndim == 3
+    coords = np.ascontiguousarray(coords, dtype=np.int64)
+    n = len(coords)
+    H, W, C = plane.shape
+    lib = _load_native()
+    if lib is not None and plane.flags["C_CONTIGUOUS"]:
+        out = np.empty((n, tile, tile, C), np.uint8)
+        nt = num_threads or min(8, os.cpu_count() or 1)
+        lib.extract_tiles(
+            plane.ctypes.data, H, W, C, coords.ctypes.data, n, tile,
+            out.ctypes.data, nt)
+        return out
+    return np.stack([plane[y:y + tile, x:x + tile] for y, x in coords])
+
+
+def downsample2x(plane: np.ndarray) -> np.ndarray:
+    """2x2 box-filter downsample (host-side pyramid level synthesis)."""
+    H, W, C = plane.shape
+    lib = _load_native()
+    if lib is not None and plane.flags["C_CONTIGUOUS"]:
+        out = np.empty((H // 2, W // 2, C), np.uint8)
+        lib.downsample2x(plane.ctypes.data, H, W, C, out.ctypes.data)
+        return out
+    p = plane[:H // 2 * 2, :W // 2 * 2].astype(np.uint16)
+    s = (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2] + 2) // 4
+    return s.astype(np.uint8)
+
+
+def grid_coords(H: int, W: int, tile: int = 224,
+                stride: Optional[int] = None) -> np.ndarray:
+    """Row-major (y, x) origins of all full tiles in an H x W plane."""
+    stride = stride or tile
+    ys = np.arange(0, H - tile + 1, stride)
+    xs = np.arange(0, W - tile + 1, stride)
+    yy, xx = np.meshgrid(ys, xs, indexing="ij")
+    return np.stack([yy.ravel(), xx.ravel()], axis=1).astype(np.int64)
+
+
+class WSIReader:
+    """A decoded WSI plane, optionally memory-mapped from a raw uint8 file.
+
+    File format (for mmap mode): raw C-order uint8 [H, W, 3]; dims passed
+    by the caller. Real slide decoders (openslide et al.) can plug in by
+    producing planes — decode stays host-side; everything numeric after
+    extraction runs on device.
+    """
+
+    def __init__(self, plane: Optional[np.ndarray] = None,
+                 path: Optional[str] = None,
+                 shape: Optional[Tuple[int, int, int]] = None):
+        if plane is not None:
+            self.plane = plane
+        else:
+            assert path and shape
+            self.plane = np.memmap(path, dtype=np.uint8, mode="r",
+                                   shape=shape)
+        self.shape = self.plane.shape
+
+    def iter_tile_batches(self, batch_size: int, tile: int = 224,
+                          stride: Optional[int] = None) -> Iterator[np.ndarray]:
+        """Stream uint8 tile batches covering the plane (row-major). The
+        final ragged batch is dropped (static shapes for jit)."""
+        plane = np.ascontiguousarray(self.plane) if isinstance(
+            self.plane, np.memmap) else self.plane
+        coords = grid_coords(self.shape[0], self.shape[1], tile, stride)
+        n_full = (len(coords) // batch_size) * batch_size
+        for i in range(0, n_full, batch_size):
+            yield extract_tiles(plane, coords[i:i + batch_size], tile)
+
+
+def stream_classify(model, params, reader: WSIReader, batch_size: int = 256,
+                    tile: int = 224, mesh=None, dtype=None):
+    """End-to-end streamed inference: native tile extraction -> prefetched
+    H2D -> fused on-device normalize -> batched forward. Yields per-batch
+    logits (device arrays; fetch as needed)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..parallel import mesh as mesh_lib
+    from . import pipeline as pipe
+
+    dtype = dtype or jnp.bfloat16
+    sharding = mesh_lib.batch_sharding(mesh) if mesh is not None else None
+
+    @jax.jit
+    def step(p, raw):
+        x = pipe.preprocess_tiles(raw, size=tile, dtype=dtype)
+        return model.apply(p, x, train=False)
+
+    loader = pipe.PrefetchLoader(
+        reader.iter_tile_batches(batch_size, tile), sharding=sharding)
+    for raw in loader:
+        yield step(params, raw)

@@ -79,18 +79,20 @@ def _maybe_ls(p, name, x):
 
 
 def scale_block_apply(p, x, num_heads, scale=None, ln_eps=1e-6,
-                      attn_drop=0.0, proj_drop=0.0, rng=None, train=False):
-    """x: [B, R, S, C] -> [B, R, S, C]."""
-    r1 = r2 = None
+                      attn_drop=0.0, proj_drop=0.0, drop_path=0.0,
+                      rng=None, train=False):
+    """x: [B, R, S, C] -> [B, R, S, C]. drop_path may be a traced scalar
+    (per-block stochastic-depth rate)."""
+    r1 = r2 = r3 = r4 = None
     if train and rng is not None:
-        r1, r2 = jax.random.split(rng)
+        r1, r2, r3, r4 = jax.random.split(rng, 4)
     h = attn_ops.multihead_attention(
         p["attn"], nn.layernorm(p["norm1"], x, ln_eps), num_heads,
         scale=scale, attn_drop=attn_drop, proj_drop=proj_drop, rng=r1, train=train)
-    x = x + _maybe_ls(p, "ls1", h)
+    x = x + nn.drop_path(_maybe_ls(p, "ls1", h), drop_path, r3, train)
     h = nn.mlp(p["mlp"], nn.layernorm(p["norm2"], x, ln_eps),
                drop=proj_drop, rng=r2, train=train)
-    x = x + _maybe_ls(p, "ls2", h)
+    x = x + nn.drop_path(_maybe_ls(p, "ls2", h), drop_path, r4, train)
     return x
 
 
@@ -143,19 +145,22 @@ def stack_init(block_init, key, depth, *args, **kwargs):
     return jax.vmap(lambda k: block_init(k, *args, **kwargs))(keys)
 
 
-def _scan_blocks(apply_fn, stacked, x, rng, train, depth):
-    """Run x through `depth` stacked blocks with lax.scan."""
+def _scan_blocks(apply_fn, stacked, x, rng, train, depth, extras=()):
+    """Run x through `depth` stacked blocks with lax.scan.
+
+    extras: tuple of [depth, ...] arrays scanned alongside the params and
+    passed positionally after the carry (e.g. per-block drop-path rates)."""
     if train and rng is not None:
         rngs = jax.random.split(rng, depth)
     else:
         rngs = jnp.zeros((depth, 2), dtype=jnp.uint32)  # unused placeholder
 
     def body(carry, xs):
-        blk, r = xs
+        blk, r, *ex = xs
         r = r if train and rng is not None else None
-        return apply_fn(blk, carry, rng=r), None
+        return apply_fn(blk, carry, *ex, rng=r), None
 
-    x, _ = lax.scan(body, x, (stacked, rngs))
+    x, _ = lax.scan(body, x, (stacked, rngs, *extras))
     return x
 
 
@@ -410,23 +415,27 @@ class MultiscaleTransformer:
 
         x = x + params["pos_embed_for_scale"].astype(x.dtype)
 
-        def one_scale_block(blk, h, rng=None):
-            r1 = r2 = None
+        # stochastic-depth decay rule (multi_vision_transformer.py:50-52)
+        dpr = jnp.linspace(0.0, self.drop_path_rate, self.depth)
+
+        def one_scale_block(blk, h, dp, rng=None):
+            r1 = r2 = r3 = r4 = None
             if train and rng is not None:
-                r1, r2 = jax.random.split(rng)
+                r1, r2, r3, r4 = jax.random.split(rng, 4)
             a = attn_ops.multihead_attention(
                 blk["attn1"], nn.layernorm(blk["norm1"], h, self.ln_eps),
                 self.num_heads, scale=self.attn_scale,
                 attn_drop=self.attn_drop_rate, proj_drop=self.drop_rate,
                 rng=r1, train=train)
-            h = h + _maybe_ls(blk, "ls1", a)
+            dp = dp if self.drop_path_rate else 0.0
+            h = h + nn.drop_path(_maybe_ls(blk, "ls1", a), dp, r3, train)
             m = nn.mlp(blk["mlp"], nn.layernorm(blk["norm2"], h, self.ln_eps),
                        drop=self.drop_rate, rng=r2, train=train)
-            h = h + _maybe_ls(blk, "ls2", m)
+            h = h + nn.drop_path(_maybe_ls(blk, "ls2", m), dp, r4, train)
             return h
 
         x = _scan_blocks(one_scale_block, params["blocks"], x, r_scale,
-                         train, self.depth)
+                         train, self.depth, extras=(dpr,))
 
         # Region pass (Q4): block 0 builds [B,50,C]; the reference then runs
         # blocks 1..11 each on block-0's output, keeping only block 11's CLS.

@@ -221,6 +221,20 @@ def dropout(x, rate, rng: Optional[jax.Array], train: bool):
     return jnp.where(mask, x / keep, 0).astype(x.dtype)
 
 
+def drop_path(x, rate, rng: Optional[jax.Array], train: bool):
+    """Stochastic depth (timm DropPath): drop the whole residual branch
+    per-sample, rescaled by 1/keep. Supports traced `rate` (so a stack's
+    linspace of rates can ride a lax.scan)."""
+    if not train or rng is None:
+        return x
+    if isinstance(rate, (int, float)) and rate == 0.0:   # static fast path
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape)
+    return jnp.where(mask, x / keep, 0).astype(x.dtype)
+
+
 # ---------------------------------------------------------------------------
 # MLP (timm Mlp: fc1 -> act -> drop -> fc2 -> drop)
 # ---------------------------------------------------------------------------

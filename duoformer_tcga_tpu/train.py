@@ -89,6 +89,9 @@ def make_train_step(model, optimizer, mesh=None, donate=True):
         return loss, logits
 
     def step(state, batch, rng):
+        # fold the step counter in so dropout masks differ per step even
+        # though the caller passes a fixed key
+        rng = jax.random.fold_in(rng, state["step"])
         (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state["params"], batch, rng)
         updates, opt_state = optimizer.update(grads, state["opt_state"],

@@ -67,10 +67,12 @@ def measure_jax(batch=256, iters=20, dtype="bfloat16"):
 
     import duoformer_tcga_tpu as dft
 
+    from duoformer_tcga_tpu.models.duoformer import fold_for_inference
+
     model = dft.build_model_no_extra_params(
         num_classes=2, num_layers=2, embed_dim=768, proj_dim=768,
         num_heads=12, depth=12, dtype=getattr(jnp, dtype))
-    params = model.init(jax.random.PRNGKey(0))
+    params = fold_for_inference(model.init(jax.random.PRNGKey(0)))
     x = jax.random.normal(jax.random.PRNGKey(1), (batch, 224, 224, 3),
                           getattr(jnp, dtype))
 

@@ -168,6 +168,19 @@ class DuoFormerLegacy:
                                       rng=rng, train=train)
 
 
+def fold_for_inference(params):
+    """Inference-optimized params: every backbone / channel-fuser
+    BatchNorm folded to a bare affine (exact under frozen/eval BN — the
+    only mode the release configs use). Use for serving and benchmarks."""
+    from .resnet import fold_bn
+
+    out = dict(params)
+    out["backbone"] = fold_bn(params["backbone"])
+    if "channel_proj" in params:
+        out["channel_proj"] = fold_bn(params["channel_proj"])
+    return out
+
+
 def count_parameters(params, trainable_mask=None):
     """(trainable_M, total_M) like the reference's count_parameters
     (model.py:449-452). With no mask, trainable == total."""

@@ -112,9 +112,10 @@ class ChannelProjectors:
         # torch cats on the channel dim in stage order 0..3
         # (model_wo_extra_params.py:242-244); NHWC cat on axis -1.
         x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+        from .resnet import _bn_or_affine
         for layer in params["fuse"]:
             x = nn.conv2d(layer["conv"], x, stride=1, padding=1)
-            x = nn.batchnorm(layer["bn"], x, train=train)
+            x = _bn_or_affine(layer["bn"], x, train=train)
             x = nn.relu(x)
         B = x.shape[0]
         # flatten 7x7 -> 49 tokens; torch flattens (C,H,W)->(C,49) then

@@ -39,6 +39,29 @@ def _conv_init(key, kh, kw, cin, cout, dtype):
     return {"w": init.kaiming_normal_conv_fan_out(key, (kh, kw, cin, cout), dtype)}
 
 
+def _bn_or_affine(p, x, train=False):
+    """Inference-folded BN params ({scale,bias} only, via fold_bn) apply as
+    a bare affine; full BN params apply normally."""
+    if "mean" in p:
+        return nn.batchnorm(p, x, train=train)
+    return nn.affine(p, x)
+
+
+def fold_bn(params):
+    """Fold every BatchNorm in a backbone param tree into (scale, bias)
+    pairs (inference only — exact for the frozen backbone every release
+    config uses). XLA then fuses the affine into the adjacent conv."""
+    def fold(tree):
+        if isinstance(tree, dict):
+            if "mean" in tree and "var" in tree:
+                return nn.fold_batchnorm(tree)
+            return {k: fold(v) for k, v in tree.items()}
+        if isinstance(tree, list):
+            return [fold(v) for v in tree]
+        return tree
+    return fold(params)
+
+
 def _bottleneck_init(key, cin, width, cout, stride, dtype):
     ks = jax.random.split(key, 4)
     p = {
@@ -61,14 +84,14 @@ def _bottleneck_apply(p, x, stride, train=False):
     """torchvision v1.5 bottleneck: stride lives on the 3x3 conv2."""
     idn = x
     y = nn.conv2d(p["conv1"], x, 1, "VALID")
-    y = nn.relu(nn.batchnorm(p["bn1"], y, train=train))
+    y = nn.relu(_bn_or_affine(p["bn1"], y, train=train))
     y = nn.conv2d(p["conv2"], y, stride, 1)
-    y = nn.relu(nn.batchnorm(p["bn2"], y, train=train))
+    y = nn.relu(_bn_or_affine(p["bn2"], y, train=train))
     y = nn.conv2d(p["conv3"], y, 1, "VALID")
-    y = nn.batchnorm(p["bn3"], y, train=train)
+    y = _bn_or_affine(p["bn3"], y, train=train)
     if "downsample" in p:
         idn = nn.conv2d(p["downsample"]["conv"], x, stride, "VALID")
-        idn = nn.batchnorm(p["downsample"]["bn"], idn, train=train)
+        idn = _bn_or_affine(p["downsample"]["bn"], idn, train=train)
     return nn.relu(y + idn)
 
 
@@ -91,12 +114,12 @@ def _basic_init(key, cin, cout, stride, dtype):
 def _basic_apply(p, x, stride, train=False):
     idn = x
     y = nn.conv2d(p["conv1"], x, stride, 1)
-    y = nn.relu(nn.batchnorm(p["bn1"], y, train=train))
+    y = nn.relu(_bn_or_affine(p["bn1"], y, train=train))
     y = nn.conv2d(p["conv2"], y, 1, 1)
-    y = nn.batchnorm(p["bn2"], y, train=train)
+    y = _bn_or_affine(p["bn2"], y, train=train)
     if "downsample" in p:
         idn = nn.conv2d(p["downsample"]["conv"], x, stride, "VALID")
-        idn = nn.batchnorm(p["downsample"]["bn"], idn, train=train)
+        idn = _bn_or_affine(p["downsample"]["bn"], idn, train=train)
     return nn.relu(y + idn)
 
 
@@ -137,7 +160,7 @@ class ResNetBackbone:
         """x: [B, 224, 224, 3] NHWC -> stage feature dict."""
         block_apply = _bottleneck_apply if self.kind == "bottleneck" else _basic_apply
         y = nn.conv2d(params["conv1"], x, 2, 3)
-        y = nn.relu(nn.batchnorm(params["bn1"], y, train=train))
+        y = nn.relu(_bn_or_affine(params["bn1"], y, train=train))
         y = nn.maxpool2d(y, window=3, stride=2, padding=1)
         features = {}
         for si in range(4):

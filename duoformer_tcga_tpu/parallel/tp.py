@@ -1,0 +1,72 @@
+"""Tensor-parallel sharding rules for DuoFormer parameter trees.
+
+Megatron-style TP expressed the XLA way: we annotate WEIGHT shardings over
+the mesh's "model" axis and let the SPMD partitioner infer activation
+layouts and insert the collectives (no hand-written all-reduces):
+
+  * attention qkv  [*, C, 3C]      -> column-parallel (shard 3C)
+  * attention proj [*, C, C]       -> row-parallel    (shard first C)
+  * mlp fc1        [*, C, 4C]      -> column-parallel (shard 4C)
+  * mlp fc2        [*, 4C, C]      -> row-parallel    (shard 4C)
+  * biases shard with their output dim; row-parallel outputs replicate
+  * norms/tokens/pos-embeds/head and the whole (frozen, conv-dominated)
+    backbone replicate — at DuoFormer scale (~139M params) TP is a
+    memory/latency knob for the transformer stacks only.
+
+Works on the stacked-[depth, ...] block layout (leading axis unsharded).
+Note head_dim granularity: shard-count must divide num_heads so attention
+heads split cleanly across the model axis.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import MODEL_AXIS
+
+
+def _spec_for(path_names, leaf) -> P:
+    """PartitionSpec for one parameter, by its tree path."""
+    names = path_names
+    rank = leaf.ndim
+
+    def last_dim(axis_name):
+        return P(*([None] * (rank - 1) + [axis_name]))
+
+    def second_last_dim(axis_name):
+        return P(*([None] * (rank - 2) + [axis_name, None]))
+
+    # attention / mlp linears inside block stacks
+    if "qkv" in names or ("fc1" in names and "mlp" in names):
+        if names[-1] == "w":
+            return last_dim(MODEL_AXIS)         # column-parallel
+        if names[-1] == "b":
+            return last_dim(MODEL_AXIS)
+    if "proj" in names and ("attn" in names or "attn1" in names
+                            or "attn2" in names):
+        if names[-1] == "w":
+            return second_last_dim(MODEL_AXIS)  # row-parallel
+        return P()                               # bias replicated
+    if "fc2" in names and "mlp" in names:
+        if names[-1] == "w":
+            return second_last_dim(MODEL_AXIS)
+        return P()
+    return P()                                   # replicate everything else
+
+
+def tp_shardings(mesh: Mesh, params):
+    """NamedSharding tree implementing the TP layout above."""
+    def spec(path, leaf):
+        names = [getattr(p, "name", getattr(p, "key", str(getattr(p, "idx", p))))
+                 for p in path]
+        return NamedSharding(mesh, _spec_for(names, leaf))
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def shard_params_tp(mesh: Mesh, params):
+    """Place a param tree according to the TP rules (replicated over the
+    data axis, sharded over model). Returns committed sharded arrays."""
+    sh = tp_shardings(mesh, params)
+    return jax.tree.map(jax.device_put, params, sh)

@@ -83,6 +83,25 @@ def test_train_step_runs_and_descends():
     assert np.abs(h0 - h1).max() > 0
 
 
+def test_tp_forward_matches_replicated():
+    """Megatron-style TP over the model axis: same logits as replicated."""
+    from duoformer_tcga_tpu.parallel import tp as tp_lib
+
+    model = _tiny_model()
+    params = model.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 224, 224, 3))
+    ref = jax.jit(lambda p, v: model.apply(p, v))(params, x)
+
+    mesh = mesh_lib.make_mesh(model_parallel=2, platform="cpu")
+    tp_params = tp_lib.shard_params_tp(mesh, params)
+    # qkv weights really are sharded over the model axis
+    qkv_sh = tp_params["transformer"]["scale_blocks"]["attn"]["qkv"]["w"].sharding
+    assert qkv_sh.spec == jax.sharding.PartitionSpec(None, None, "model")
+    xs = mesh_lib.shard_batch(mesh, x)
+    out = jax.jit(lambda p, v: model.apply(p, v))(tp_params, xs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
 def test_eval_step_metrics():
     model = _tiny_model()
     mesh = mesh_lib.make_mesh(platform="cpu")

@@ -28,6 +28,15 @@ from .models import (  # noqa: F401
     ScaleFormer,
     count_parameters,
 )
+from .models.duoformer import fold_for_inference  # noqa: F401
+
+
+def __getattr__(name):
+    # lazy submodule access: dft.config, dft.inference, dft.train, ...
+    import importlib
+    if name in ("config", "inference", "train", "data", "parallel", "utils"):
+        return importlib.import_module(f".{name}", __name__)
+    raise AttributeError(name)
 
 
 def build_model_no_extra_params(

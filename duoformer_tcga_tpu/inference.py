@@ -1,0 +1,73 @@
+"""Inference/serving front-end.
+
+One object that owns everything the serving path needs: folded-BN params,
+bf16 compute, a single jitted (preprocess + forward) step, optional mesh
+sharding, and optional torch-checkpoint loading. This is the deployable
+counterpart of the reference's `evaluation()` loop (main_toy.py:39-54).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .data import pipeline as data_lib
+from .models.duoformer import fold_for_inference
+from .parallel import mesh as mesh_lib
+
+
+class Predictor:
+    def __init__(self, model, params, mesh=None, dtype=jnp.bfloat16,
+                 fold: bool = True, preprocess: bool = True):
+        """model: any framework model with .apply(params, x, train=False).
+        params: f32 param tree (converted or trained). fold: fold BNs for
+        inference (exact; DuoFormer-family models only). preprocess: accept
+        raw uint8 NHWC tiles and normalize on device."""
+        self.model = model
+        self.mesh = mesh
+        self.dtype = dtype
+        if fold:
+            try:
+                params = fold_for_inference(params)
+            except (KeyError, TypeError):
+                pass   # non-DuoFormer param tree: serve as-is
+        if mesh is not None:
+            params = mesh_lib.replicate(mesh, params)
+        self.params = params
+        self._bsh = mesh_lib.batch_sharding(mesh) if mesh is not None else None
+
+        def fwd(p, x):
+            if preprocess:
+                x = data_lib.preprocess_tiles(x, dtype=dtype)
+            else:
+                x = x.astype(dtype)
+            return self.model.apply(p, x, train=False)
+
+        kwargs = {}
+        if mesh is not None:
+            kwargs["out_shardings"] = mesh_lib.replicated(mesh)
+        self._fwd = jax.jit(fwd, **kwargs)
+
+    def __call__(self, tiles):
+        """tiles: [B, 224, 224, 3] uint8 (or float if preprocess=False) ->
+        logits [B, num_classes] (device array; np.asarray to fetch)."""
+        if self._bsh is not None:
+            tiles = jax.device_put(tiles, self._bsh)
+        return self._fwd(self.params, tiles)
+
+    def predict_proba(self, tiles):
+        return jax.nn.softmax(self(tiles).astype(jnp.float32), axis=-1)
+
+
+def from_torch_checkpoint(model, path: str, mesh=None, dtype=jnp.bfloat16,
+                          legacy: bool = False) -> Predictor:
+    """Build a Predictor straight from a reference torch checkpoint
+    (state_dict file or the whole-object Q14 pickle)."""
+    from .utils import torch_convert as tc
+
+    sd = tc.state_dict_from_reference_checkpoint(path)
+    conv = tc.convert_duoformer_legacy if legacy else tc.convert_duoformer
+    params = tc.to_jax(conv(sd, model))
+    return Predictor(model, params, mesh=mesh, dtype=dtype)

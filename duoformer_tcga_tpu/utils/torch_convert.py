@@ -132,11 +132,19 @@ def _stack(block_trees):
                         *block_trees)
 
 
+def _attn(sd, pre):
+    p = {"qkv": _linear(sd, f"{pre}.qkv"), "proj": _linear(sd, f"{pre}.proj")}
+    # qk-norm LayerNorms when enabled (timm hook; also created by quirk Q9)
+    if f"{pre}.q_norm.weight" in sd:
+        p["q_norm"] = _layernorm(sd, f"{pre}.q_norm")
+        p["k_norm"] = _layernorm(sd, f"{pre}.k_norm")
+    return p
+
+
 def _scale_block(sd, pre, has_ls):
     blk = {
         "norm1": _layernorm(sd, f"{pre}.norm1"),
-        "attn": {"qkv": _linear(sd, f"{pre}.attn.qkv"),
-                 "proj": _linear(sd, f"{pre}.attn.proj")},
+        "attn": _attn(sd, f"{pre}.attn"),
         "norm2": _layernorm(sd, f"{pre}.norm2"),
         "mlp": {"fc1": _linear(sd, f"{pre}.mlp.fc1"),
                 "fc2": _linear(sd, f"{pre}.mlp.fc2")},
@@ -155,9 +163,7 @@ def convert_multiscale_former(sd: Dict, depth: int = 12,
     scale_blocks = [_scale_block(sd, g(f"scaleBlocks.{i}"), has_ls)
                     for i in range(depth)]
     patch_blocks = [
-        {"attn": {"qkv": _linear(sd, g(f"blocks.{i}.attn.qkv")),
-                  "proj": _linear(sd, g(f"blocks.{i}.attn.proj"))}}
-        for i in range(depth)
+        {"attn": _attn(sd, g(f"blocks.{i}.attn"))} for i in range(depth)
     ]
     return {
         "scale_blocks": _stack(scale_blocks),
@@ -236,6 +242,17 @@ def _convert_channel_proj(sd: Dict, prefix="") -> Dict:
         ],
     }
     return p
+
+
+def load_pretrained_backbone(params: Dict, sd: Dict, depth: int = 50,
+                             prefix: str = "") -> Dict:
+    """Replace the backbone subtree of a full model param tree with
+    converted torch weights (torchvision ImageNet or lunit-io SSL trunks,
+    resnet50ssl.py:48-57; the weight files must be provided locally —
+    this environment has no network egress)."""
+    out = dict(params)
+    out["backbone"] = convert_resnet(sd, depth, prefix)
+    return out
 
 
 def convert_duoformer(sd: Dict, model) -> Dict:
@@ -318,6 +335,12 @@ def state_dict_from_reference_checkpoint(path: str) -> Dict:
             obj = _PermissiveUnpickler(io.BytesIO(f.read())).load()
 
     model = obj["model"] if isinstance(obj, dict) and "model" in obj else obj
+    if isinstance(model, dict):
+        # already a state_dict (tensor-valued mapping)
+        tensorish = {k: v for k, v in model.items()
+                     if hasattr(v, "shape") or hasattr(v, "detach")}
+        if tensorish and len(tensorish) == len(model):
+            return {k: _t(v) for k, v in model.items()}
     if hasattr(model, "state_dict"):
         return {k: _t(v) for k, v in model.state_dict().items()}
 

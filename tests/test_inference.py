@@ -1,0 +1,76 @@
+"""Serving front-end: Predictor from a saved torch checkpoint, end-to-end
+(file -> permissive unpickle -> convert -> fold -> jitted uint8 pipeline ->
+logit parity with the torch oracle)."""
+
+import numpy as np
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from duoformer_tcga_tpu.inference import Predictor, from_torch_checkpoint
+from duoformer_tcga_tpu.models.duoformer import DuoFormer
+
+from torch_oracle import OracleDuoFormer
+
+
+def _small_pair(seed=0):
+    torch.manual_seed(seed)
+    oracle = OracleDuoFormer(depth=2, embed_dim=96, num_heads=12,
+                             num_classes=3, num_layers=2, proj_dim=96)
+    oracle.eval()
+    model = DuoFormer(depth=2, embed_dim=96, num_heads=12, num_classes=3,
+                      num_layers=2, proj_dim=96, dtype=jnp.float32)
+    return oracle, model
+
+
+def test_predictor_from_state_dict_checkpoint(tmp_path):
+    oracle, model = _small_pair()
+    path = str(tmp_path / "ckpt.pt")
+    torch.save(oracle.state_dict(), path)
+
+    pred = from_torch_checkpoint(model, path, dtype=jnp.float32)
+    tiles = np.random.default_rng(0).integers(
+        0, 256, (2, 224, 224, 3), dtype=np.uint8)
+
+    # oracle gets the exact same normalized input
+    from duoformer_tcga_tpu.data import pipeline as pipe
+    xn = np.asarray(pipe.normalize(jnp.asarray(tiles), dtype=jnp.float32))
+    with torch.no_grad():
+        ref = oracle(torch.from_numpy(xn.transpose(0, 3, 1, 2))).numpy()
+
+    out = np.asarray(pred(tiles))
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
+    proba = np.asarray(pred.predict_proba(tiles))
+    np.testing.assert_allclose(proba.sum(-1), 1.0, atol=1e-5)
+
+
+def test_predictor_from_whole_object_checkpoint(tmp_path):
+    """Q14 format: the reference pickles whole module objects
+    (main_toy.py:139-149)."""
+    oracle, model = _small_pair(seed=1)
+    path = str(tmp_path / "whole.pt")
+    torch.save({"epoch": 3, "model": oracle, "train_acc": [0.5]}, path)
+
+    pred = from_torch_checkpoint(model, path, dtype=jnp.float32)
+    tiles = np.random.default_rng(1).integers(
+        0, 256, (2, 224, 224, 3), dtype=np.uint8)
+    from duoformer_tcga_tpu.data import pipeline as pipe
+    xn = np.asarray(pipe.normalize(jnp.asarray(tiles), dtype=jnp.float32))
+    with torch.no_grad():
+        ref = oracle(torch.from_numpy(xn.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(np.asarray(pred(tiles)), ref,
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_predictor_on_mesh():
+    from duoformer_tcga_tpu.parallel import mesh as mesh_lib
+
+    oracle, model = _small_pair(seed=2)
+    params = model.init(jax.random.PRNGKey(0))
+    mesh = mesh_lib.make_mesh(platform="cpu")
+    pred = Predictor(model, params, mesh=mesh, dtype=jnp.float32)
+    tiles = np.random.default_rng(2).integers(
+        0, 256, (8, 224, 224, 3), dtype=np.uint8)
+    out = np.asarray(pred(tiles))
+    assert out.shape == (8, 3)

@@ -144,17 +144,31 @@ def main(argv=None):
         return 1
     cmd, rest = argv[0], argv[1:]
     max_steps = None
+    trace_dir = None
     filtered = []
     for a in rest:
-        if a.lstrip("-").startswith("steps="):
+        key = a.lstrip("-")
+        if key.startswith("steps="):
             max_steps = int(a.split("=", 1)[1])
+        elif key.startswith("trace="):
+            trace_dir = a.split("=", 1)[1]
+        elif key == "debug_nans":
+            from .utils import profiling
+            profiling.enable_nan_checks(True)
         else:
             filtered.append(a)
     cfg = config_lib.from_args(filtered)
-    if cmd == "train":
-        cmd_train(cfg, max_steps=max_steps)
-    else:
-        cmd_eval(cfg)
+
+    import contextlib
+    ctx = contextlib.nullcontext()
+    if trace_dir:
+        from .utils import profiling
+        ctx = profiling.trace(trace_dir)
+    with ctx:
+        if cmd == "train":
+            cmd_train(cfg, max_steps=max_steps)
+        else:
+            cmd_eval(cfg)
     return 0
 
 

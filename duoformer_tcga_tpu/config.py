@@ -39,6 +39,7 @@ class ModelConfig:
     scale_token: str = "random"    # random | channel
     patch_attn: bool = True
     freeze_backbone: bool = True
+    remat: bool = False            # activation rematerialization in stacks
     dtype: str = "bfloat16"        # compute dtype; params stay float32
 
     def build(self):
@@ -57,7 +58,7 @@ class ModelConfig:
                 proj_drop_rate=self.proj_drop_rate, proj_dim=self.proj_dim,
                 freeze_backbone=self.freeze_backbone, backbone=self.backbone,
                 scale_token=self.scale_token, patch_attn=self.patch_attn,
-                init_values=self.init_values, dtype=d)
+                init_values=self.init_values, remat=self.remat, dtype=d)
         if self.family == "duoformer_legacy":
             return dft.DuoFormerLegacy(
                 depth=self.depth, embed_dim=self.embed_dim,

@@ -145,11 +145,16 @@ def stack_init(block_init, key, depth, *args, **kwargs):
     return jax.vmap(lambda k: block_init(k, *args, **kwargs))(keys)
 
 
-def _scan_blocks(apply_fn, stacked, x, rng, train, depth, extras=()):
+def _scan_blocks(apply_fn, stacked, x, rng, train, depth, extras=(),
+                 remat=False):
     """Run x through `depth` stacked blocks with lax.scan.
 
     extras: tuple of [depth, ...] arrays scanned alongside the params and
-    passed positionally after the carry (e.g. per-block drop-path rates)."""
+    passed positionally after the carry (e.g. per-block drop-path rates).
+    remat=True wraps the block body in jax.checkpoint (activation
+    rematerialization): backward recomputes each block instead of saving
+    its activations — O(depth) -> O(1) residual memory, the standard
+    FLOPs-for-HBM trade for big batches."""
     if train and rng is not None:
         rngs = jax.random.split(rng, depth)
     else:
@@ -160,6 +165,8 @@ def _scan_blocks(apply_fn, stacked, x, rng, train, depth, extras=()):
         r = r if train and rng is not None else None
         return apply_fn(blk, carry, *ex, rng=r), None
 
+    if remat:
+        body = jax.checkpoint(body)
     x, _ = lax.scan(body, x, (stacked, rngs, *extras))
     return x
 
@@ -185,7 +192,8 @@ class MultiscaleFormer:
                  mlp_ratio=4.0, qkv_bias=True, qk_norm=False,
                  proj_drop_rate=0.0, attn_drop_rate=0.0, init_values=None,
                  num_classes=100, num_patches=49, pos_drop_rate=0.0,
-                 patch_attn=True, ln_eps=1e-6, dtype=jnp.float32):
+                 patch_attn=True, ln_eps=1e-6, remat=False,
+                 dtype=jnp.float32):
         self.depth = depth
         self.scales = scales
         self.num_heads = num_heads
@@ -201,6 +209,7 @@ class MultiscaleFormer:
         self.pos_drop_rate = pos_drop_rate
         self.patch_attn = patch_attn
         self.ln_eps = ln_eps
+        self.remat = remat
         self.dtype = dtype
         self.fea_dim = num_scale_tokens(scales)
 
@@ -246,7 +255,7 @@ class MultiscaleFormer:
             attn_drop=self.attn_drop_rate, proj_drop=self.proj_drop_rate,
             train=train)
         x = _scan_blocks(scale_apply, params["scale_blocks"], x,
-                         r_scale, train, self.depth)
+                         r_scale, train, self.depth, remat=self.remat)
 
         if not self.patch_attn:
             cls = jnp.mean(x[:, :, 0, :], axis=1)
@@ -276,7 +285,7 @@ class MultiscaleFormer:
             attn_drop=self.attn_drop_rate, proj_drop=self.proj_drop_rate,
             train=train)
         tokens = _scan_blocks(patch_apply, rest, tokens, rest_rng, train,
-                              self.depth - 1)
+                              self.depth - 1, remat=self.remat)
 
         cls = tokens[:, 0, :]
         _ = nn.layernorm(params["fc_norm"], cls, self.ln_eps)  # Q7: discarded
@@ -359,7 +368,7 @@ class MultiscaleTransformer:
                  mlp_ratio=4.0, qkv_bias=True, qk_norm=False,
                  drop_rate=0.0, attn_drop_rate=0.0, drop_path_rate=0.0,
                  init_values=1e-5, num_classes=1000, num_patches=49,
-                 ln_eps=1e-6, dtype=jnp.float32):
+                 ln_eps=1e-6, remat=False, dtype=jnp.float32):
         self.depth = depth
         self.scales = scales
         self.num_heads = num_heads
@@ -374,6 +383,7 @@ class MultiscaleTransformer:
         self.num_classes = num_classes
         self.num_patches = num_patches
         self.ln_eps = ln_eps
+        self.remat = remat
         self.dtype = dtype
         self.fea_dim = num_scale_tokens(scales)
         # Q12: shared scale for both attention passes.
@@ -435,7 +445,8 @@ class MultiscaleTransformer:
             return h
 
         x = _scan_blocks(one_scale_block, params["blocks"], x, r_scale,
-                         train, self.depth, extras=(dpr,))
+                         train, self.depth, extras=(dpr,),
+                         remat=self.remat)
 
         # Region pass (Q4): block 0 builds [B,50,C]; the reference then runs
         # blocks 1..11 each on block-0's output, keeping only block 11's CLS.

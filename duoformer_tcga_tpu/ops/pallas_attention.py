@@ -55,7 +55,10 @@ def _segments_per_tile(seg_len: int) -> int:
 def _kernel(qkv_ref, out_ref, *, num_heads, seg_len, groups, scale):
     """One grid step: `groups` segments x seg_len tokens, all heads.
 
-    qkv_ref: [groups*seg_len, 3*C] VMEM; out_ref: [groups*seg_len, C].
+    qkv_ref: [1, groups*seg_len, 3*C] VMEM; out_ref: [1, groups*seg_len, C].
+    (3-D blocks whose trailing dims equal the array dims — Mosaic requires
+    block dims divisible by (8, 128) OR equal to the array's; rows like
+    126 = 21 segments x 6 tokens satisfy only the latter.)
     """
     rows = groups * seg_len
     C = out_ref.shape[-1]
@@ -67,7 +70,7 @@ def _kernel(qkv_ref, out_ref, *, num_heads, seg_len, groups, scale):
     neg_inf = jnp.float32(-1e30)
     mask = jnp.where(row_seg == col_seg, 0.0, neg_inf)
 
-    qkv = qkv_ref[:]                           # [rows, 3C]
+    qkv = qkv_ref[0]                           # [rows, 3C]
     for h in range(num_heads):
         q = qkv[:, h * D:(h + 1) * D]
         k = qkv[:, C + h * D:C + (h + 1) * D]
@@ -81,7 +84,7 @@ def _kernel(qkv_ref, out_ref, *, num_heads, seg_len, groups, scale):
         p = e / jnp.sum(e, axis=-1, keepdims=True)
         o = jnp.dot(p.astype(v.dtype), v,
                     preferred_element_type=jnp.float32)    # [rows, D]
-        out_ref[:, h * D:(h + 1) * D] = o.astype(out_ref.dtype)
+        out_ref[0, :, h * D:(h + 1) * D] = o.astype(out_ref.dtype)
 
 
 def _block_attention_impl(qkv, num_heads, seg_len, scale):
@@ -97,24 +100,24 @@ def _block_attention_impl(qkv, num_heads, seg_len, scale):
     n_tiles = (n_seg + n_pad) // G
     rows = G * S
 
-    flat = qkv.reshape(n_tiles * rows, threeC)
+    tiled = qkv.reshape(n_tiles, rows, threeC)
     kern = functools.partial(_kernel, num_heads=num_heads, seg_len=seg_len,
                              groups=G, scale=scale)
     out = pl.pallas_call(
         kern,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec((rows, threeC), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec((1, rows, threeC), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((rows, C), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((1, rows, C), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_tiles * rows, C), qkv.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, rows, C), qkv.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * n_tiles * num_heads * rows * rows * (C // num_heads),
             bytes_accessed=n_tiles * rows * (3 * C + C) * qkv.dtype.itemsize,
             transcendentals=n_tiles * num_heads * rows * rows,
         ),
         interpret=_interpret(),
-    )(flat)
+    )(tiled)
     out = out.reshape(n_tiles * G, S, C)
     return out[:n_seg] if n_pad else out
 

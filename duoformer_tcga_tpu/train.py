@@ -26,9 +26,13 @@ from .parallel import mesh as mesh_lib
 
 def onecycle_schedule(peak_lr: float, total_steps: int, pct_start: float = 0.3,
                       div_factor: float = 25.0, final_div_factor: float = 1e4):
-    """torch OneCycleLR defaults (cos anneal) — main_toy.py:112-114."""
+    """torch OneCycleLR defaults (cos anneal) — main_toy.py:112-114.
+
+    total_steps is clamped to >= 4: optax's cosine_onecycle produces NaN
+    lr for shorter horizons (zero-length warmup interval -> 0/0), which
+    silently NaNs every trainable param after one Adam step."""
     return optax.cosine_onecycle_schedule(
-        transition_steps=total_steps, peak_value=peak_lr,
+        transition_steps=max(total_steps, 4), peak_value=peak_lr,
         pct_start=pct_start, div_factor=div_factor,
         final_div_factor=final_div_factor)
 

@@ -244,6 +244,41 @@ def _convert_channel_proj(sd: Dict, prefix="") -> Dict:
     return p
 
 
+def convert_vit(sd: Dict, depth: int = 12, prefix: str = "",
+                patch_embed: bool = True) -> Dict:
+    """timm-style VisionTransformer state_dict -> models/vit.py tree.
+    Covers the ViTBase16 baseline and HybridModel's ViT core
+    (model.py:356-358,415-446)."""
+    g = lambda k: f"{prefix}{k}"
+    has_ls = g("blocks.0.ls1.gamma") in sd
+    p = {
+        "cls_token": _t(sd[g("cls_token")]),
+        "pos_embed": _t(sd[g("pos_embed")]),
+        "blocks": _stack([_scale_block(sd, g(f"blocks.{i}"), has_ls)
+                          for i in range(depth)]),
+        "norm": _layernorm(sd, g("norm")),
+        "head": _linear(sd, g("head")),
+    }
+    if patch_embed and g("patch_embed.proj.weight") in sd:
+        p["patch_embed"] = _conv(sd, g("patch_embed.proj"))
+    return p
+
+
+def convert_hybrid(sd: Dict, model) -> Dict:
+    """HybridModel state_dict -> baselines.HybridModel params
+    (model.py:344-412: r18 trunk + 1x1 projection + patch-embed-bypassed
+    ViT). The ViT's unused patch_embed weights are dropped."""
+    vit = convert_vit(sd, model.vit.depth, prefix="vision_transformer.",
+                      patch_embed=False)
+    # HybridModel never runs patch_embed; keep our init for tree-structure
+    # compatibility if present in the target model.
+    return {
+        "backbone": convert_resnet(sd, 18, prefix="resnet_projector."),
+        "projection": _convert_projection(sd, ["3"]),
+        "vit": vit,
+    }
+
+
 def load_pretrained_backbone(params: Dict, sd: Dict, depth: int = 50,
                              prefix: str = "") -> Dict:
     """Replace the backbone subtree of a full model param tree with

@@ -51,11 +51,71 @@ def test_hybrid_model_forward():
     assert out.shape == (2, 7)
 
 
+def test_hybrid_model_parity():
+    """HybridModel vs torch oracle through the converter."""
+    from duoformer_tcga_tpu.utils import torch_convert as tc
+    from torch_oracle import OracleHybridModel
+
+    torch.manual_seed(11)
+    oracle = OracleHybridModel(num_classes=5, num_blocks=2, proj_dim=96,
+                               num_heads=12).eval()
+    m = HybridModel(num_classes=5, num_blocks=2, proj_dim=96, num_heads=12)
+    params = tc.to_jax(tc.convert_hybrid(oracle.state_dict(), m))
+    x = torch.randn(2, 3, 224, 224)
+    with torch.no_grad():
+        ref = oracle(x).numpy()
+    out = m.apply(params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4, rtol=1e-4)
+
+
 def test_vitbase16_forward():
     m = ViTBase16(n_classes=3)
     # full-size ViT-B/16 is heavy on 1-CPU; just check init structure
     params = m.init(jax.random.PRNGKey(0))
     assert params["model"]["pos_embed"].shape == (1, 197, 768)
+
+
+def test_vit_full_parity_with_patch_embed():
+    """Small ViT (patch embed + blocks + head) vs a torch oracle via
+    convert_vit — covers the ViTBase16 weight-loading path."""
+    from duoformer_tcga_tpu.utils import torch_convert as tc
+    from torch_oracle import OracleScaleBlock
+
+    torch.manual_seed(12)
+    C, P, IMG, depth = 64, 8, 32, 2
+    n_patches = (IMG // P) ** 2
+
+    class OracleViT(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            pe = torch.nn.Module()
+            pe.proj = torch.nn.Conv2d(3, C, P, stride=P)
+            self.patch_embed = pe
+            self.cls_token = torch.nn.Parameter(torch.randn(1, 1, C) * 0.02)
+            self.pos_embed = torch.nn.Parameter(
+                torch.randn(1, n_patches + 1, C) * 0.02)
+            self.blocks = torch.nn.Sequential(
+                *[OracleScaleBlock(C, 8) for _ in range(depth)])
+            self.norm = torch.nn.LayerNorm(C, eps=1e-6)
+            self.head = torch.nn.Linear(C, 3)
+
+        def forward(self, x):
+            t = self.patch_embed.proj(x).flatten(2).transpose(1, 2)
+            cls = self.cls_token.expand(t.shape[0], -1, -1)
+            t = torch.cat([cls, t], dim=1) + self.pos_embed
+            for blk in self.blocks:
+                t = blk(t)
+            return self.head(self.norm(t)[:, 0, :])
+
+    oracle = OracleViT().eval()
+    vit = VisionTransformer(img_size=IMG, patch_size=P, embed_dim=C,
+                            depth=depth, num_heads=8, num_classes=3)
+    params = tc.to_jax(tc.convert_vit(oracle.state_dict(), depth))
+    x = torch.randn(2, 3, IMG, IMG)
+    with torch.no_grad():
+        ref = oracle(x).numpy()
+    out = vit.apply(params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-5)
 
 
 def test_resnet50_fc_probe():

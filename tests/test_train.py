@@ -65,6 +65,15 @@ class TestAdamParity:
         np.testing.assert_allclose(float(sched_j(300)), lr, rtol=1e-3)
 
 
+class TestScheduleGuards:
+    def test_onecycle_finite_for_tiny_totals(self):
+        """optax cosine_onecycle NaNs for total_steps<=3; ours must not."""
+        for total in (1, 2, 3, 4):
+            s = train_lib.onecycle_schedule(1e-4, total)
+            for i in range(total + 1):
+                assert np.isfinite(float(s(i))), (total, i)
+
+
 class TestFrozenPartition:
     def test_set_to_zero_blocks_decay(self):
         params = {"backbone": {"w": jnp.ones((2,))},

@@ -444,6 +444,38 @@ class OracleDuoFormer(nn.Module):
         return self.vision_transformer(tokens)
 
 
+class OracleHybridModel(nn.Module):
+    """HybridModel twin (model.py:344-412): r18 trunk -> 1x1 projection ->
+    ViT blocks with patch embed bypassed; timm _pos_embed semantics
+    (cls prepended, pos added over CLS+patches)."""
+
+    def __init__(self, num_classes=7, num_blocks=2, proj_dim=96, num_heads=12):
+        super().__init__()
+        self.resnet_projector = OracleResNetTrunk(18)
+        self.projection = nn.Module()
+        self.projection.proj_heads = nn.Conv2d(512, proj_dim, 1)
+        vt = nn.Module()
+        vt.cls_token = nn.Parameter(torch.randn(1, 1, proj_dim) * 0.02)
+        vt.pos_embed = nn.Parameter(torch.randn(1, 50, proj_dim) * 0.02)
+        vt.blocks = nn.Sequential(*[
+            OracleScaleBlock(proj_dim, num_heads) for _ in range(num_blocks)])
+        vt.norm = nn.LayerNorm(proj_dim, eps=1e-6)
+        vt.head = nn.Linear(proj_dim, num_classes)
+        self.vision_transformer = vt
+
+    def forward(self, x):
+        feats = self.resnet_projector(x)
+        y = self.projection.proj_heads(feats["3"])          # [B, C, 7, 7]
+        tokens = y.flatten(2).transpose(1, 2)               # [B, 49, C]
+        vt = self.vision_transformer
+        cls = vt.cls_token.expand(tokens.shape[0], -1, -1)
+        tokens = torch.cat([cls, tokens], dim=1) + vt.pos_embed
+        for blk in vt.blocks:
+            tokens = blk(tokens)
+        tokens = vt.norm(tokens)
+        return vt.head(tokens[:, 0, :])
+
+
 class OracleDuoFormerLegacy(nn.Module):
     """MyModel twin: always-derived channel token + MultiscaleTransformer."""
 

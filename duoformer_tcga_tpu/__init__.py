@@ -57,6 +57,16 @@ def build_model_no_extra_params(
         remat=remat, dtype=dtype)
 
 
+def build_hybrid(num_classes=100, num_blocks=12, proj_dim=768, num_heads=12,
+                 dtype=jnp.float32):
+    """ResNet+ViT ablation baseline (reference build_hybrid,
+    models/__init__.py:73-80)."""
+    from .models.baselines import HybridModel
+
+    return HybridModel(num_classes=num_classes, num_blocks=num_blocks,
+                       proj_dim=proj_dim, num_heads=num_heads, dtype=dtype)
+
+
 def build_model(
     depth=12, embed_dim=768, num_heads=12, init_values=1e-5, num_classes=2,
     num_layers=2, proj_dim=768, pretrained=True, freeze=True,

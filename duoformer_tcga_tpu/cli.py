@@ -60,7 +60,9 @@ def cmd_train(cfg, max_steps=None):
     state = mesh_lib.replicate(mesh, state)
 
     step_fn = train_lib.make_train_step(model, opt, mesh=mesh)
-    logger = MetricLogger()
+    import os
+    logger = MetricLogger(os.path.join(cfg.train.checkpoint_dir,
+                                       "metrics.jsonl"))
     bsh = mesh_lib.batch_sharding(mesh)
     dtype = getattr(jnp, cfg.model.dtype)
 
@@ -77,13 +79,44 @@ def cmd_train(cfg, max_steps=None):
     preprocess = jax.jit(
         lambda img: data_lib.preprocess_tiles(img, dtype=dtype),
         out_shardings=bsh)
+    eval_fn = train_lib.make_eval_step(model, mesh=mesh)
+
+    def quick_eval(params, num_batches=4):
+        """Held-out eval on a fixed synthetic stream (epoch-end gate,
+        mirroring main_toy.py:131-138's per-epoch test accuracy)."""
+        correct = total = 0
+        for raw in data_lib.synthetic_tiles(cfg.train.batch_size,
+                                            cfg.model.num_classes,
+                                            num_batches=num_batches,
+                                            seed=cfg.train.seed + 7):
+            b = {"image": preprocess(jnp.asarray(raw["image"])),
+                 "label": jax.device_put(raw["label"], bsh)}
+            m = jax.device_get(eval_fn(params, b))
+            correct += int(m["correct"])
+            total += cfg.train.batch_size
+        return correct / total
+
     import time as _time
+    best_acc = 0.0
+    last_saved = -1
     last_log_t, last_log_step = None, start
     for i, raw in zip(range(start, total_steps), loader):
         batch = {"image": preprocess(raw["image"]), "label": raw["label"]}
         state, metrics = step_fn(state, batch, rng)
         step = i + 1
-        if step % cfg.train.log_every == 0 or step == total_steps:
+        extra = {}
+        if step % steps_per_epoch == 0 or step == total_steps:
+            acc = quick_eval(state["params"])
+            extra["eval_accuracy"] = acc
+            # best-accuracy checkpoint (reference gates at >=0.75,
+            # main_toy.py:138; we always keep the best)
+            if acc > best_acc:
+                best_acc = acc
+                if step != last_saved:
+                    ckpt.save(step, jax.device_get(state),
+                              metrics={"eval_accuracy": acc})
+                    last_saved = step
+        if step % cfg.train.log_every == 0 or step == total_steps or extra:
             # device_get blocks on step completion -> honest wall-clock
             m = jax.device_get(metrics)
             now = _time.perf_counter()
@@ -93,11 +126,13 @@ def cmd_train(cfg, max_steps=None):
                        / (now - last_log_t))
             last_log_t, last_log_step = now, step
             logger.log(step, m, tiles_per_sec=tps,
-                       epoch=step // steps_per_epoch)
-        if step % cfg.train.checkpoint_every == 0 or step == total_steps:
+                       epoch=step // steps_per_epoch, **extra)
+        if (step % cfg.train.checkpoint_every == 0 or step == total_steps) \
+                and step != last_saved:
             ckpt.save(step, jax.device_get(state))
+            last_saved = step
     ckpt.wait()
-    print("training done", flush=True)
+    print(f"training done (best eval acc {best_acc:.4f})", flush=True)
     return state
 
 

@@ -8,7 +8,7 @@ counterpart of the reference's `evaluation()` loop (main_toy.py:39-54).
 
 from __future__ import annotations
 
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp

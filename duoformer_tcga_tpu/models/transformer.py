@@ -32,7 +32,7 @@ Reproduced reference quirks (SURVEY.md register):
 from __future__ import annotations
 
 import functools
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp

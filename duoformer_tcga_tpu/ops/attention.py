@@ -23,7 +23,7 @@ head_dim**-0.5. Callers pass `scale` explicitly.
 
 from __future__ import annotations
 
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp

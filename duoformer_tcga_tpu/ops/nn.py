@@ -16,7 +16,6 @@ Conventions, chosen TPU-first:
 
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import jax

@@ -14,8 +14,7 @@ cross-entropy loss, accuracy metric. Differences by design:
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

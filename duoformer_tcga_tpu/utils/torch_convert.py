@@ -27,7 +27,6 @@ importable.
 
 from __future__ import annotations
 
-import re
 from typing import Dict
 
 import numpy as np

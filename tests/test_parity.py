@@ -8,7 +8,6 @@ import numpy as np
 import pytest
 import torch
 
-import jax
 import jax.numpy as jnp
 
 from duoformer_tcga_tpu.models.duoformer import DuoFormer, DuoFormerLegacy

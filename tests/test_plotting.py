@@ -1,6 +1,5 @@
 """Plotting/metrics utilities."""
 
-import json
 
 from duoformer_tcga_tpu.utils import plotting
 from duoformer_tcga_tpu.utils.metrics import MetricLogger

@@ -21,7 +21,6 @@ Behavioral contract being tested (with reference cites):
     multiscale_attn.py:135-304)
 """
 
-import math
 
 import torch
 from torch import nn

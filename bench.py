@@ -76,7 +76,10 @@ def measure_jax(batch=256, iters=20, dtype="bfloat16"):
     x = jax.random.normal(jax.random.PRNGKey(1), (batch, 224, 224, 3),
                           getattr(jnp, dtype))
 
-    def run_n(n):
+    # params/x MUST be jit arguments, not closures: closed-over arrays are
+    # baked into the HLO as constants, and this environment's remote
+    # compile service rejects the resulting ~600MB request (HTTP 413).
+    def run_n(params, x, n):
         def body(i, acc):
             xi = x + (i.astype(x.dtype) * 0)  # data dependence on i
             logits = model.apply(params, xi, train=False)
@@ -84,12 +87,12 @@ def measure_jax(batch=256, iters=20, dtype="bfloat16"):
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
     chained = jax.jit(run_n)                      # n dynamic: one compile
-    _ = np.asarray(chained(2))                    # compile + warmup
+    _ = np.asarray(chained(params, x, 2))         # compile + warmup
     t1 = time.perf_counter()
-    _ = np.asarray(chained(1))
+    _ = np.asarray(chained(params, x, 1))
     t1 = time.perf_counter() - t1
     tN = time.perf_counter()
-    _ = np.asarray(chained(iters + 1))
+    _ = np.asarray(chained(params, x, iters + 1))
     tN = time.perf_counter() - tN
     # subtract the 1-iter run to cancel fixed dispatch/transfer latency
     dt = (tN - t1) / iters

@@ -106,16 +106,23 @@ class PrefetchLoader:
 
 def synthetic_tiles(batch_size: int, num_classes: int = 2,
                     num_batches: Optional[int] = None, seed: int = 0,
-                    size: int = 224):
+                    size: int = 224, learnable: bool = False):
     """Synthetic TCGA-style uint8 tile stream (the stand-in for the
-    reference's missing dataset module)."""
+    reference's missing dataset module).
+
+    learnable=True makes the label a function of the image (per-class
+    color tint), so training-loop convergence is testable; otherwise
+    labels are random."""
     rng = np.random.default_rng(seed)
     i = 0
     while num_batches is None or i < num_batches:
-        yield {
-            "image": rng.integers(0, 256, (batch_size, size, size, 3),
-                                  dtype=np.uint8),
-            "label": rng.integers(0, num_classes, (batch_size,),
-                                  dtype=np.int32),
-        }
+        img = rng.integers(0, 256, (batch_size, size, size, 3), np.int16)
+        label = rng.integers(0, num_classes, (batch_size,), dtype=np.int32)
+        if learnable:
+            # tint channel (label % 3) upward by a visible margin
+            tint = np.zeros((batch_size, 1, 1, 3), np.int16)
+            for c in range(3):
+                tint[label % 3 == c, 0, 0, c] = 60
+            img = np.clip(img + tint, 0, 255)
+        yield {"image": img.astype(np.uint8), "label": label}
         i += 1

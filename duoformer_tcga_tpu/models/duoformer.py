@@ -80,10 +80,16 @@ class DuoFormer:
             p["channel_proj"] = self.channel_proj.init(kc)
         return p
 
-    def features(self, params, x, train=False):
-        """Backbone pyramid; frozen by default (stop_gradient + eval-mode BN,
-        model_wo_extra_params.py:72-75)."""
-        bn_train = train and not self.freeze_backbone
+    def features(self, params, x, train=False, bn_batch_stats=None):
+        """Backbone pyramid; frozen by default (stop_gradient,
+        model_wo_extra_params.py:72-75).
+
+        BN mode: eval (running stats) by default even in training — a
+        deliberate deviation; the reference's model.train() keeps BN in
+        batch-stat mode even when frozen. bn_batch_stats=True restores the
+        reference behavior (matters when fine-tuning from checkpoints)."""
+        bn_train = bn_batch_stats if bn_batch_stats is not None \
+            else (train and not self.freeze_backbone)
         feats = self.resnet.apply(params["backbone"], x, train=bn_train)
         if self.freeze_backbone:
             feats = jax.tree.map(jax.lax.stop_gradient, feats)

@@ -187,8 +187,15 @@ class ResNet50withFC:
                                  dtype=self.dtype),
         }
 
-    def apply(self, params, x, train=False, freeze=True):
-        feats = self.backbone.apply(params["trunk"], x, train=train and not freeze)
+    def apply(self, params, x, train=False, freeze=True, bn_batch_stats=None):
+        """bn_batch_stats: BN mode for the trunk. None (default) uses
+        running stats when frozen; True forces per-batch statistics — the
+        reference's actual train-mode behavior (torch model.train() keeps
+        BN in batch-stat mode even for requires_grad=False params,
+        main_toy.py:20)."""
+        bn_train = bn_batch_stats if bn_batch_stats is not None \
+            else (train and not freeze)
+        feats = self.backbone.apply(params["trunk"], x, train=bn_train)
         h = feats["3"]
         if freeze:
             h = jax.lax.stop_gradient(h)

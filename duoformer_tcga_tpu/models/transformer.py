@@ -32,7 +32,7 @@ Reproduced reference quirks (SURVEY.md register):
 from __future__ import annotations
 
 import functools
-
+import os
 
 import jax
 import jax.numpy as jnp
@@ -167,7 +167,8 @@ def _scan_blocks(apply_fn, stacked, x, rng, train, depth, extras=(),
 
     if remat:
         body = jax.checkpoint(body)
-    x, _ = lax.scan(body, x, (stacked, rngs, *extras))
+    x, _ = lax.scan(body, x, (stacked, rngs, *extras),
+                    unroll=int(os.environ.get("DUOFORMER_SCAN_UNROLL", "1")))
     return x
 
 

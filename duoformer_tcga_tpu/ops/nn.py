@@ -70,7 +70,15 @@ def layernorm_init(dim, dtype=jnp.float32):
 
 
 def layernorm(params, x, eps=1e-6):
-    """LayerNorm over the last axis. Stats in float32 for TPU numerics."""
+    """LayerNorm over the last axis. Stats in float32 for TPU numerics.
+
+    On TPU, lane-aligned feature dims route to the fused Pallas kernel
+    (ops/pallas_norm.py) — one bf16 read + one bf16 write instead of f32
+    materialization; DUOFORMER_FUSED_LN=0/1 overrides."""
+    from . import pallas_norm
+    if pallas_norm.use_fused_ln(x):
+        return pallas_norm.fused_layernorm(x, params["scale"],
+                                           params["bias"], eps)
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)

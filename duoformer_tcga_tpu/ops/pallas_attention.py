@@ -52,13 +52,16 @@ def _segments_per_tile(seg_len: int) -> int:
     return max(1, LANES // seg_len)
 
 
-def _kernel(qkv_ref, out_ref, *, num_heads, seg_len, groups, scale):
-    """One grid step: `groups` segments x seg_len tokens, all heads.
+def _kernel(qkv_ref, out_ref, *, num_heads, seg_len, groups, scale,
+            tiles_per_step):
+    """One grid step: `tiles_per_step` row-tiles of `groups` segments x
+    seg_len tokens, all heads.
 
-    qkv_ref: [1, groups*seg_len, 3*C] VMEM; out_ref: [1, groups*seg_len, C].
+    qkv_ref: [T, groups*seg_len, 3*C] VMEM; out_ref: [T, groups*seg_len, C].
     (3-D blocks whose trailing dims equal the array dims — Mosaic requires
     block dims divisible by (8, 128) OR equal to the array's; rows like
-    126 = 21 segments x 6 tokens satisfy only the latter.)
+    126 = 21 segments x 6 tokens satisfy only the latter. T > 1 amortizes
+    per-grid-step pipeline overhead, which dominates at these tiny tiles.)
     """
     rows = groups * seg_len
     C = out_ref.shape[-1]
@@ -70,21 +73,29 @@ def _kernel(qkv_ref, out_ref, *, num_heads, seg_len, groups, scale):
     neg_inf = jnp.float32(-1e30)
     mask = jnp.where(row_seg == col_seg, 0.0, neg_inf)
 
-    qkv = qkv_ref[0]                           # [rows, 3C]
-    for h in range(num_heads):
-        q = qkv[:, h * D:(h + 1) * D]
-        k = qkv[:, C + h * D:C + (h + 1) * D]
-        v = qkv[:, 2 * C + h * D:2 * C + (h + 1) * D]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)            # [rows, rows]
-        s = s * scale + mask
-        s = s - jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
-        o = jnp.dot(p.astype(v.dtype), v,
-                    preferred_element_type=jnp.float32)    # [rows, D]
-        out_ref[0, :, h * D:(h + 1) * D] = o.astype(out_ref.dtype)
+    for t in range(tiles_per_step):
+        qkv = qkv_ref[t]                       # [rows, 3C]
+        for h in range(num_heads):
+            q = qkv[:, h * D:(h + 1) * D]
+            k = qkv[:, C + h * D:C + (h + 1) * D]
+            v = qkv[:, 2 * C + h * D:2 * C + (h + 1) * D]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)        # [rows, rows]
+            s = s * scale + mask
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+            o = jnp.dot(p.astype(v.dtype), v,
+                        preferred_element_type=jnp.float32)  # [rows, D]
+            out_ref[t, :, h * D:(h + 1) * D] = o.astype(out_ref.dtype)
+
+
+def _tiles_per_step(rows: int, threeC: int, itemsize: int) -> int:
+    """Pick T so a double-buffered (in+out) block stays well under VMEM."""
+    per_tile = rows * (threeC + threeC // 3) * itemsize
+    budget = 5 * 1024 * 1024          # ~5MB live, ~10MB with double buffer
+    return max(1, min(8, budget // max(per_tile, 1)))
 
 
 def _block_attention_impl(qkv, num_heads, seg_len, scale):
@@ -93,22 +104,23 @@ def _block_attention_impl(qkv, num_heads, seg_len, scale):
     assert S == seg_len
     C = threeC // 3
     G = _segments_per_tile(seg_len)
-    n_pad = (-n_seg) % G
+    rows = G * S
+    T = _tiles_per_step(rows, threeC, qkv.dtype.itemsize)
+    n_pad = (-n_seg) % (G * T)
     if n_pad:
         qkv = jnp.concatenate(
             [qkv, jnp.zeros((n_pad, S, threeC), qkv.dtype)], axis=0)
     n_tiles = (n_seg + n_pad) // G
-    rows = G * S
 
     tiled = qkv.reshape(n_tiles, rows, threeC)
     kern = functools.partial(_kernel, num_heads=num_heads, seg_len=seg_len,
-                             groups=G, scale=scale)
+                             groups=G, scale=scale, tiles_per_step=T)
     out = pl.pallas_call(
         kern,
-        grid=(n_tiles,),
-        in_specs=[pl.BlockSpec((1, rows, threeC), lambda i: (i, 0, 0),
+        grid=(n_tiles // T,),
+        in_specs=[pl.BlockSpec((T, rows, threeC), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, rows, C), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((T, rows, C), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles, rows, C), qkv.dtype),
         cost_estimate=pl.CostEstimate(

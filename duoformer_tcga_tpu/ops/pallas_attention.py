@@ -92,10 +92,14 @@ def _kernel(qkv_ref, out_ref, *, num_heads, seg_len, groups, scale,
 
 
 def _tiles_per_step(rows: int, threeC: int, itemsize: int) -> int:
-    """Pick T so a double-buffered (in+out) block stays well under VMEM."""
-    per_tile = rows * (threeC + threeC // 3) * itemsize
-    budget = 5 * 1024 * 1024          # ~5MB live, ~10MB with double buffer
-    return max(1, min(8, budget // max(per_tile, 1)))
+    """Row-tiles per grid step. Measured on v5e: T=4 packing was ~15%
+    SLOWER than T=1 (coarser granules reduce DMA/compute overlap;
+    per-grid-step overhead is not the bottleneck), so this stays 1.
+    Override via DUOFORMER_ATTN_TILES for experiments."""
+    env = os.environ.get("DUOFORMER_ATTN_TILES")
+    if env:
+        return max(1, int(env))
+    return 1
 
 
 def _block_attention_impl(qkv, num_heads, seg_len, scale):

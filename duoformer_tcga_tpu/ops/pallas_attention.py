@@ -73,6 +73,11 @@ def _kernel(qkv_ref, out_ref, *, num_heads, seg_len, groups, scale,
     neg_inf = jnp.float32(-1e30)
     mask = jnp.where(row_seg == col_seg, 0.0, neg_inf)
 
+    # NOTE: a batched-heads dot_general variant (heads as a batch dim of
+    # one matmul) was tried and REJECTED: Mosaic cannot lane-split
+    # vector<rows x C> -> vector<rows x H x D> in-kernel
+    # ("infer-vector-layout: unsupported shape cast" on v5e). The per-head
+    # loop's 64-lane slices are the supported formulation.
     for t in range(tiles_per_step):
         qkv = qkv_ref[t]                       # [rows, 3C]
         for h in range(num_heads):

@@ -48,8 +48,23 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _segments_per_tile(seg_len: int) -> int:
-    return max(1, LANES // seg_len)
+def _segments_per_tile(seg_len: int, n_seg: int = 0) -> int:
+    """Segments packed per row-tile (G, with G*seg_len <= 128).
+
+    Prefer the largest G <= 128//S that DIVIDES n_seg: a non-dividing G
+    forces a pad-concat that copies the entire qkv tensor (~350MB per
+    block at B=256) before every kernel call. A slightly smaller tile
+    (e.g. 16x6=96 rows instead of 21x6=126) is cheaper than that copy."""
+    g_max = max(1, LANES // seg_len)
+    if n_seg:
+        for g in range(g_max, 0, -1):
+            if n_seg % g == 0:
+                # only worth shrinking moderately; below ~half fill the
+                # MXU row waste outweighs the copy
+                if g * seg_len * 2 >= g_max * seg_len:
+                    return g
+                break
+    return g_max
 
 
 def _kernel(qkv_ref, out_ref, *, num_heads, seg_len, groups, scale,
@@ -112,7 +127,7 @@ def _block_attention_impl(qkv, num_heads, seg_len, scale):
     n_seg, S, threeC = qkv.shape
     assert S == seg_len
     C = threeC // 3
-    G = _segments_per_tile(seg_len)
+    G = _segments_per_tile(seg_len, n_seg)
     rows = G * S
     T = _tiles_per_step(rows, threeC, qkv.dtype.itemsize)
     n_pad = (-n_seg) % (G * T)

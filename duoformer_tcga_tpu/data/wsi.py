@@ -121,15 +121,28 @@ class WSIReader:
         self.shape = self.plane.shape
 
     def iter_tile_batches(self, batch_size: int, tile: int = 224,
-                          stride: Optional[int] = None) -> Iterator[np.ndarray]:
-        """Stream uint8 tile batches covering the plane (row-major). The
-        final ragged batch is dropped (static shapes for jit)."""
+                          stride: Optional[int] = None,
+                          pad_final: bool = False) -> Iterator[np.ndarray]:
+        """Stream uint8 tile batches covering the plane (row-major).
+
+        Shapes stay static for jit: with pad_final=False (default) the
+        final ragged batch is dropped; with pad_final=True it is padded by
+        repeating the last tile — callers use `n_tiles()` to know how many
+        of the final batch's rows are real."""
         plane = np.ascontiguousarray(self.plane) if isinstance(
             self.plane, np.memmap) else self.plane
         coords = grid_coords(self.shape[0], self.shape[1], tile, stride)
         n_full = (len(coords) // batch_size) * batch_size
         for i in range(0, n_full, batch_size):
             yield extract_tiles(plane, coords[i:i + batch_size], tile)
+        rem = len(coords) - n_full
+        if pad_final and rem:
+            tail = extract_tiles(plane, coords[n_full:], tile)
+            pad = np.repeat(tail[-1:], batch_size - rem, axis=0)
+            yield np.concatenate([tail, pad], axis=0)
+
+    def n_tiles(self, tile: int = 224, stride: Optional[int] = None) -> int:
+        return len(grid_coords(self.shape[0], self.shape[1], tile, stride))
 
 
 def stream_classify(model, params, reader: WSIReader, batch_size: int = 256,

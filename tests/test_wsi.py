@@ -56,6 +56,14 @@ class TestStreaming:
         assert len(outs) == 2          # 6 tiles / batch 3
         assert outs[0].shape == (3, 2)
 
+    def test_pad_final_batch(self):
+        reader = wsi.WSIReader(plane=_plane(448, 672))   # 6 tiles of 224
+        batches = list(reader.iter_tile_batches(4, tile=224, pad_final=True))
+        assert len(batches) == 2 and batches[1].shape[0] == 4
+        assert reader.n_tiles() == 6
+        # padded rows repeat the last real tile
+        np.testing.assert_array_equal(batches[1][2], batches[1][3])
+
     def test_memmap_reader(self, tmp_path):
         plane = _plane(256, 256)
         path = str(tmp_path / "plane.raw")

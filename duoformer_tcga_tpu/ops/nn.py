@@ -123,15 +123,17 @@ def conv2d(params, x, stride=1, padding="SAME"):
         stride = (stride, stride)
     if isinstance(padding, int):
         padding = [(padding, padding), (padding, padding)]
+    # No preferred_element_type: the TPU MXU accumulates bf16 convs in f32
+    # internally regardless; widening the OUTPUT breaks the conv transpose
+    # rule under autodiff (f32 cotangent vs bf16 weights).
     y = jax.lax.conv_general_dilated(
         x, params["w"].astype(x.dtype),
         window_strides=stride,
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
     if "b" in params:
-        y = y + params["b"].astype(jnp.float32)
+        y = (y.astype(jnp.float32) + params["b"].astype(jnp.float32))
     return y.astype(x.dtype)
 
 

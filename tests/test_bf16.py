@@ -8,6 +8,28 @@ import jax.numpy as jnp
 import duoformer_tcga_tpu as dft
 
 
+def test_bf16_training_grad():
+    """Regression: bf16 model + grad must not hit the conv transpose
+    dtype mismatch (preferred_element_type widening broke it)."""
+    from duoformer_tcga_tpu import train as train_lib
+
+    m = dft.build_model_no_extra_params(
+        num_classes=2, num_layers=2, embed_dim=96, proj_dim=96,
+        num_heads=12, depth=1, dtype=jnp.bfloat16)
+    params = m.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 224, 224, 3),
+                          jnp.bfloat16)
+    y = jnp.array([0, 1], jnp.int32)
+
+    def loss(p):
+        lg = m.apply(p, x, rng=jax.random.PRNGKey(2), train=True)
+        return train_lib.cross_entropy(lg, y)
+
+    l, g = jax.value_and_grad(loss)(params)
+    assert np.isfinite(float(l))
+    assert all(bool(jnp.isfinite(t).all()) for t in jax.tree.leaves(g))
+
+
 def test_bf16_close_to_f32():
     kw = dict(num_classes=4, num_layers=2, embed_dim=96, proj_dim=96,
               num_heads=12, depth=2)

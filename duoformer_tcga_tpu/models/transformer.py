@@ -78,6 +78,27 @@ def _maybe_ls(p, name, x):
     return x
 
 
+def _can_megafuse(p, attn_drop, proj_drop, drop_path, train, C, num_heads):
+    """Eligibility for the fused attention-residual megakernel: plain
+    residual (no LayerScale/DropPath/dropout active), no qk-norm,
+    lane-aligned dims, TPU fused path enabled."""
+    if "ls1" in p or "q_norm" in p.get("attn", {}):
+        return False
+    if train and (attn_drop > 0.0 or proj_drop > 0.0):
+        return False
+    if not (isinstance(drop_path, (int, float)) and drop_path == 0.0) and train:
+        return False
+    if C % 128 != 0 or C % num_heads != 0:
+        return False
+    import os
+    env = os.environ.get("DUOFORMER_MEGAFUSE")
+    if env == "0":
+        return False
+    if env == "1":
+        return True
+    return attn_ops._use_fused(p.get("attn", {}), attn_drop, train)
+
+
 def scale_block_apply(p, x, num_heads, scale=None, ln_eps=1e-6,
                       attn_drop=0.0, proj_drop=0.0, drop_path=0.0,
                       rng=None, train=False):
@@ -86,10 +107,29 @@ def scale_block_apply(p, x, num_heads, scale=None, ln_eps=1e-6,
     r1 = r2 = r3 = r4 = None
     if train and rng is not None:
         r1, r2, r3, r4 = jax.random.split(rng, 4)
-    h = attn_ops.multihead_attention(
-        p["attn"], nn.layernorm(p["norm1"], x, ln_eps), num_heads,
-        scale=scale, attn_drop=attn_drop, proj_drop=proj_drop, rng=r1, train=train)
-    x = x + nn.drop_path(_maybe_ls(p, "ls1", h), drop_path, r3, train)
+    *lead, S, C = x.shape
+    if scale is None and _can_megafuse(p, attn_drop, proj_drop, drop_path,
+                                       train, C, num_heads):
+        # whole attention branch (LN1 -> qkv -> attn -> proj -> +x) fused
+        from ..ops import pallas_attention as pa
+        n_seg = 1
+        for d in lead:
+            n_seg *= d
+        attn_p = p["attn"]
+        head_dim = C // num_heads
+        x = pa.fused_attention_residual(
+            x.reshape(n_seg, S, C), p["norm1"]["scale"], p["norm1"]["bias"],
+            attn_p["qkv"]["w"].astype(x.dtype),
+            attn_p["qkv"].get("b", jnp.zeros((3 * C,), x.dtype)),
+            attn_p["proj"]["w"].astype(x.dtype),
+            attn_p["proj"].get("b", jnp.zeros((C,), x.dtype)),
+            num_heads, S, head_dim ** -0.5, ln_eps).reshape(*lead, S, C)
+    else:
+        h = attn_ops.multihead_attention(
+            p["attn"], nn.layernorm(p["norm1"], x, ln_eps), num_heads,
+            scale=scale, attn_drop=attn_drop, proj_drop=proj_drop, rng=r1,
+            train=train)
+        x = x + nn.drop_path(_maybe_ls(p, "ls1", h), drop_path, r3, train)
     h = nn.mlp(p["mlp"], nn.layernorm(p["norm2"], x, ln_eps),
                drop=proj_drop, rng=r2, train=train)
     x = x + nn.drop_path(_maybe_ls(p, "ls2", h), drop_path, r4, train)

@@ -173,6 +173,167 @@ def _xla_reference(qkv, num_heads, seg_len, scale):
     return o.reshape(n_seg, S, C)
 
 
+# ---------------------------------------------------------------------------
+# Fused attention-residual megakernel:
+#   y = x + proj( block_diag_attention( qkv_linear( LN(x) ) ) )
+# i.e. the entire attention branch of a pre-norm block in ONE VMEM-resident
+# pass. Eliminates the HBM materialization of LN(x), the 3C-wide qkv
+# activation (the big one: ~350MB/block at B=256), the attention output,
+# and the proj input. The MLP half of the block stays in XLA (pure GEMMs
+# already at ~90% peak).
+# ---------------------------------------------------------------------------
+
+ATTN_SUBTILES = 5   # attention sub-tiles per grid step (VMEM-budgeted)
+
+
+def _fused_block_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
+                        wproj_ref, bproj_ref, out_ref, qkv_scratch,
+                        *, num_heads, seg_len, groups, scale, ln_eps):
+    R = x_ref.shape[1]                 # rows per grid step
+    C = x_ref.shape[2]
+    D = C // num_heads
+    arows = groups * seg_len           # rows per attention sub-tile
+
+    x = x_ref[0]                                        # [R, C] bf16
+    # LayerNorm (f32 stats in-register)
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    ln = (xf - mean) * jax.lax.rsqrt(var + ln_eps)
+    ln = ln * lns_ref[0].astype(jnp.float32) + lnb_ref[0].astype(jnp.float32)
+    ln = ln.astype(x.dtype)
+
+    # qkv GEMM into VMEM scratch
+    qkv_scratch[:] = (jax.lax.dot_general(
+        ln, wqkv_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+        + bqkv_ref[0].astype(jnp.float32)).astype(x.dtype)   # [R, 3C]
+
+    # block-diag mask for one attention sub-tile
+    row_seg = jax.lax.broadcasted_iota(jnp.int32, (arows, arows), 0) // seg_len
+    col_seg = jax.lax.broadcasted_iota(jnp.int32, (arows, arows), 1) // seg_len
+    mask = jnp.where(row_seg == col_seg, 0.0, jnp.float32(-1e30))
+
+    # attention per sub-tile, writing the merged heads back over scratch cols [0, C)
+    for sub in range(R // arows):
+        lo = sub * arows
+        qkv = qkv_scratch[lo:lo + arows, :]
+        for h in range(num_heads):
+            q = qkv[:, h * D:(h + 1) * D]
+            k = qkv[:, C + h * D:C + (h + 1) * D]
+            v = qkv[:, 2 * C + h * D:2 * C + (h + 1) * D]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s = s * scale + mask
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+            o = jnp.dot(p.astype(v.dtype), v,
+                        preferred_element_type=jnp.float32)
+            qkv_scratch[lo:lo + arows, h * D:(h + 1) * D] = o.astype(x.dtype)
+
+    # output projection + residual
+    attn = qkv_scratch[:, :C]
+    y = jax.lax.dot_general(attn, wproj_ref[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    y = y + bproj_ref[0].astype(jnp.float32) + xf
+    out_ref[0] = y.astype(out_ref.dtype)
+
+
+def _fused_block_impl(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                      num_heads, seg_len, scale, ln_eps):
+    """x: [n_seg, seg_len, C] -> same shape; the attention residual branch."""
+    n_seg, S, C = x.shape
+    G = _segments_per_tile(seg_len, n_seg)
+    arows = G * S
+    # pack ATTN_SUBTILES attention tiles per grid step when they divide evenly
+    T = ATTN_SUBTILES
+    while T > 1 and (n_seg // G) % T != 0:
+        T -= 1
+    R = arows * T
+    n_pad = (-n_seg) % (G * T)
+    if n_pad:
+        x = jnp.concatenate([x, jnp.zeros((n_pad, S, C), x.dtype)], axis=0)
+    n_steps = (n_seg + n_pad) // (G * T)
+
+    tiled = x.reshape(n_steps, R, C)
+    kern = functools.partial(
+        _fused_block_kernel, num_heads=num_heads, seg_len=seg_len,
+        groups=G, scale=scale, ln_eps=ln_eps)
+    out = pl.pallas_call(
+        kern,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((1, R, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 3 * C), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * C), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, R, C), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_steps, R, C), x.dtype),
+        scratch_shapes=[pltpu.VMEM((R, 3 * C), x.dtype)],
+        interpret=_interpret(),
+    )(tiled, ln_scale.reshape(1, C), ln_bias.reshape(1, C),
+      wqkv, bqkv.reshape(1, 3 * C), wproj, bproj.reshape(1, C))
+    out = out.reshape(-1, S, C)
+    return out[:n_seg] if n_pad else out
+
+
+def _fused_block_xla(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                     num_heads, seg_len, scale, ln_eps):
+    """XLA reference composition (tests + custom-vjp backward)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    ln = (xf - mean) * jax.lax.rsqrt(var + ln_eps)
+    ln = (ln * ln_scale.astype(jnp.float32)
+          + ln_bias.astype(jnp.float32)).astype(x.dtype)
+    qkv = (jnp.dot(ln, wqkv.astype(x.dtype),
+                   preferred_element_type=jnp.float32)
+           + bqkv.astype(jnp.float32)).astype(x.dtype)
+    attn = _xla_reference(qkv, num_heads, seg_len, scale)
+    y = (jnp.dot(attn, wproj.astype(x.dtype),
+                 preferred_element_type=jnp.float32)
+         + bproj.astype(jnp.float32) + xf)
+    return y.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def fused_attention_residual(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                             num_heads, seg_len, scale, ln_eps=1e-6):
+    """y = x + proj(block_diag_attn(qkv(LN(x)))) fused in one kernel.
+
+    x: [num_segments, seg_len, C]. Weights in this framework's layouts
+    (linear (in, out)). Backward recomputes via the XLA composition."""
+    return _fused_block_impl(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                             num_heads, seg_len, scale, ln_eps)
+
+
+def _far_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+             num_heads, seg_len, scale, ln_eps):
+    out = _fused_block_impl(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                            num_heads, seg_len, scale, ln_eps)
+    return out, (x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj)
+
+
+def _far_bwd(num_heads, seg_len, scale, ln_eps, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: _fused_block_xla(*a, num_heads, seg_len, scale, ln_eps),
+        *res)
+    return vjp(g)
+
+
+fused_attention_residual.defvjp(_far_fwd, _far_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
 def block_diag_attention(qkv, num_heads, seg_len, scale):
     """Fused attention over independent fixed-length segments.

@@ -67,3 +67,57 @@ def test_mask_blocks_cross_segment_leakage():
     np.testing.assert_array_equal(np.asarray(out1[:3]), np.asarray(out2[:3]))
     np.testing.assert_array_equal(np.asarray(out1[4:]), np.asarray(out2[4:]))
     assert np.abs(np.asarray(out1[3] - out2[3])).max() > 0
+
+
+class TestMegakernel:
+    @pytest.mark.parametrize("n_seg,S,C,H", [(98, 6, 128, 8), (32, 6, 256, 8),
+                                             (4, 50, 128, 4)])
+    def test_fused_attention_residual_matches_xla(self, n_seg, S, C, H):
+        key = jax.random.PRNGKey(0)
+        ks = jax.random.split(key, 8)
+        x = jax.random.normal(ks[0], (n_seg, S, C), jnp.float32)
+        lns = jax.random.normal(ks[1], (C,)) * 0.1 + 1.0
+        lnb = jax.random.normal(ks[2], (C,)) * 0.1
+        wqkv = jax.random.normal(ks[3], (C, 3 * C)) * 0.02
+        bqkv = jax.random.normal(ks[4], (3 * C,)) * 0.01
+        wproj = jax.random.normal(ks[5], (C, C)) * 0.02
+        bproj = jax.random.normal(ks[6], (C,)) * 0.01
+        scale = (C // H) ** -0.5
+        ref = pa._fused_block_xla(x, lns, lnb, wqkv, bqkv, wproj, bproj,
+                                  H, S, scale, 1e-6)
+        out = pa.fused_attention_residual(x, lns, lnb, wqkv, bqkv, wproj,
+                                          bproj, H, S, scale, 1e-6)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=3e-5, rtol=3e-5)
+
+    def test_megakernel_gradient(self):
+        key = jax.random.PRNGKey(1)
+        ks = jax.random.split(key, 8)
+        C, S, H = 128, 6, 8
+        x = jax.random.normal(ks[0], (21, S, C))
+        args = [jnp.ones((C,)), jnp.zeros((C,)),
+                jax.random.normal(ks[3], (C, 3 * C)) * 0.02,
+                jnp.zeros((3 * C,)),
+                jax.random.normal(ks[5], (C, C)) * 0.02, jnp.zeros((C,))]
+        scale = (C // H) ** -0.5
+
+        g1 = jax.grad(lambda v: pa.fused_attention_residual(
+            v, *args, H, S, scale, 1e-6).sum())(x)
+        g2 = jax.grad(lambda v: pa._fused_block_xla(
+            v, *args, H, S, scale, 1e-6).sum())(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_scale_block_megafused_matches_plain(self, monkeypatch):
+        from duoformer_tcga_tpu.models.transformer import (
+            scale_block_apply, scale_block_init)
+
+        params = scale_block_init(jax.random.PRNGKey(0), 128, 8)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 49, 6, 128))
+        monkeypatch.setenv("DUOFORMER_MEGAFUSE", "1")
+        out = scale_block_apply(params, x, 8)
+        monkeypatch.setenv("DUOFORMER_MEGAFUSE", "0")
+        monkeypatch.setenv("DUOFORMER_FUSED_ATTN", "0")
+        ref = scale_block_apply(params, x, 8)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=3e-5, rtol=3e-5)

@@ -124,12 +124,22 @@ def scale_block_apply(p, x, num_heads, scale=None, ln_eps=1e-6,
             attn_p["proj"]["w"].astype(x.dtype),
             attn_p["proj"].get("b", jnp.zeros((C,), x.dtype)),
             num_heads, S, head_dim ** -0.5, ln_eps).reshape(*lead, S, C)
-    else:
-        h = attn_ops.multihead_attention(
-            p["attn"], nn.layernorm(p["norm1"], x, ln_eps), num_heads,
-            scale=scale, attn_drop=attn_drop, proj_drop=proj_drop, rng=r1,
-            train=train)
-        x = x + nn.drop_path(_maybe_ls(p, "ls1", h), drop_path, r3, train)
+        # MLP half fused too (same eligibility): kills the 4C-wide hidden
+        # activation's HBM round-trip
+        from ..ops import pallas_attention as pa
+        mlp_p = p["mlp"]
+        hidden = mlp_p["fc1"]["w"].shape[-1]
+        return pa.fused_mlp_residual(
+            x, p["norm2"]["scale"], p["norm2"]["bias"],
+            mlp_p["fc1"]["w"].astype(x.dtype),
+            mlp_p["fc1"].get("b", jnp.zeros((hidden,), x.dtype)),
+            mlp_p["fc2"]["w"].astype(x.dtype),
+            mlp_p["fc2"].get("b", jnp.zeros((C,), x.dtype)), ln_eps)
+    h = attn_ops.multihead_attention(
+        p["attn"], nn.layernorm(p["norm1"], x, ln_eps), num_heads,
+        scale=scale, attn_drop=attn_drop, proj_drop=proj_drop, rng=r1,
+        train=train)
+    x = x + nn.drop_path(_maybe_ls(p, "ls1", h), drop_path, r3, train)
     h = nn.mlp(p["mlp"], nn.layernorm(p["norm2"], x, ln_eps),
                drop=proj_drop, rng=r2, train=train)
     x = x + nn.drop_path(_maybe_ls(p, "ls2", h), drop_path, r4, train)

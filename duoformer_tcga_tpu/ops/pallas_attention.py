@@ -334,6 +334,124 @@ def _far_bwd(num_heads, seg_len, scale, ln_eps, res, g):
 fused_attention_residual.defvjp(_far_fwd, _far_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Fused MLP-residual megakernel: y = x + fc2(gelu(fc1(LN(x))))
+# Eliminates the block's largest activation — the 4C-wide MLP hidden
+# (~460MB/block at B=256, C=768) — plus the LN2 materialization.
+# ---------------------------------------------------------------------------
+
+MLP_ROW_TILE = 256
+
+
+def _erf_poly(x):
+    """Abramowitz-Stegun 7.1.26 erf (max abs err 1.5e-7 — below bf16
+    resolution). Mosaic lowers neither erf nor erfc; exp it has."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    y = 1.0 - ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t * jnp.exp(-ax * ax)
+    return s * y
+
+
+def _fused_mlp_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
+                      b2_ref, out_ref, hid_scratch, *, ln_eps):
+    x = x_ref[:]
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    ln = (xf - mean) * jax.lax.rsqrt(var + ln_eps)
+    ln = ln * lns_ref[0].astype(jnp.float32) + lnb_ref[0].astype(jnp.float32)
+    h = jax.lax.dot_general(ln.astype(x.dtype), w1_ref[:],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    h = h + b1_ref[0].astype(jnp.float32)
+    # exact-GELU via polynomial erf (see _erf_poly)
+    h = 0.5 * h * (1.0 + _erf_poly(h * 0.7071067811865476))
+    hid_scratch[:] = h.astype(x.dtype)
+    y = jax.lax.dot_general(hid_scratch[:], w2_ref[:],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    y = y + b2_ref[0].astype(jnp.float32) + xf
+    out_ref[:] = y.astype(out_ref.dtype)
+
+
+def _fused_mlp_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps):
+    *lead, C = x.shape
+    hidden = w1.shape[-1]
+    n = 1
+    for d in lead:
+        n *= d
+    flat = x.reshape(n, C)
+    rt = MLP_ROW_TILE
+    n_pad = (-n) % rt
+    if n_pad:
+        flat = jnp.concatenate([flat, jnp.zeros((n_pad, C), flat.dtype)],
+                               axis=0)
+    rows = flat.shape[0]
+    out = pl.pallas_call(
+        functools.partial(_fused_mlp_kernel, ln_eps=ln_eps),
+        grid=(rows // rt,),
+        in_specs=[
+            pl.BlockSpec((rt, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, hidden), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hidden), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, C), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rt, C), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, C), x.dtype),
+        scratch_shapes=[pltpu.VMEM((rt, hidden), x.dtype)],
+        interpret=_interpret(),
+    )(flat, ln_scale.reshape(1, C), ln_bias.reshape(1, C), w1,
+      b1.reshape(1, hidden), w2, b2.reshape(1, C))
+    if n_pad:
+        out = out[:n]
+    return out.reshape(*lead, C)
+
+
+def _fused_mlp_xla(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    ln = (xf - mean) * jax.lax.rsqrt(var + ln_eps)
+    ln = (ln * ln_scale.astype(jnp.float32)
+          + ln_bias.astype(jnp.float32)).astype(x.dtype)
+    h = jnp.dot(ln, w1.astype(x.dtype),
+                preferred_element_type=jnp.float32) + b1.astype(jnp.float32)
+    h = jax.nn.gelu(h, approximate=False).astype(x.dtype)
+    y = (jnp.dot(h, w2.astype(x.dtype), preferred_element_type=jnp.float32)
+         + b2.astype(jnp.float32) + xf)
+    return y.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def fused_mlp_residual(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps=1e-6):
+    """y = x + fc2(gelu(fc1(LN(x)))) fused in one kernel. x: [..., C]."""
+    return _fused_mlp_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps)
+
+
+def _fmr_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps):
+    out = _fused_mlp_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps)
+    return out, (x, ln_scale, ln_bias, w1, b1, w2, b2)
+
+
+def _fmr_bwd(ln_eps, res, g):
+    _, vjp = jax.vjp(lambda *a: _fused_mlp_xla(*a, ln_eps), *res)
+    return vjp(g)
+
+
+fused_mlp_residual.defvjp(_fmr_fwd, _fmr_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
 def block_diag_attention(qkv, num_heads, seg_len, scale):
     """Fused attention over independent fixed-length segments.

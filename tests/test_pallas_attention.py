@@ -121,3 +121,26 @@ class TestMegakernel:
         ref = scale_block_apply(params, x, 8)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=3e-5, rtol=3e-5)
+
+    def test_fused_mlp_residual_matches_xla(self):
+        key = jax.random.PRNGKey(2)
+        ks = jax.random.split(key, 8)
+        C, H4 = 128, 512
+        x = jax.random.normal(ks[0], (37, 6, C))
+        lns = jax.random.normal(ks[1], (C,)) * 0.1 + 1.0
+        lnb = jax.random.normal(ks[2], (C,)) * 0.1
+        w1 = jax.random.normal(ks[3], (C, H4)) * 0.02
+        b1 = jax.random.normal(ks[4], (H4,)) * 0.01
+        w2 = jax.random.normal(ks[5], (H4, C)) * 0.02
+        b2 = jax.random.normal(ks[6], (C,)) * 0.01
+        ref = pa._fused_mlp_xla(x, lns, lnb, w1, b1, w2, b2, 1e-6)
+        out = pa.fused_mlp_residual(x, lns, lnb, w1, b1, w2, b2, 1e-6)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=3e-5, rtol=3e-5)
+        # gradient
+        g1 = jax.grad(lambda v: pa.fused_mlp_residual(
+            v, lns, lnb, w1, b1, w2, b2, 1e-6).sum())(x)
+        g2 = jax.grad(lambda v: pa._fused_mlp_xla(
+            v, lns, lnb, w1, b1, w2, b2, 1e-6).sum())(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   atol=2e-5, rtol=2e-5)

@@ -74,10 +74,11 @@ def _sdpa(q, k, v, scale, attn_drop=0.0, rng=None, train=False):
 import os
 
 
-def _use_fused(params, attn_drop, train):
-    """Fused-kernel eligibility: no qk-norm, no active attention dropout.
-    Env override DUOFORMER_FUSED_ATTN=0/1 (read per-call so tests can
-    toggle it)."""
+def _use_fused(params, attn_drop, train, C=None):
+    """Fused-kernel eligibility: no qk-norm, no active attention dropout,
+    lane-aligned feature dim (hardware-validated at head_dim 64). Env
+    override DUOFORMER_FUSED_ATTN=0/1 (read per-call so tests can toggle
+    it)."""
     env = os.environ.get("DUOFORMER_FUSED_ATTN")
     if env == "0":
         return False
@@ -85,6 +86,8 @@ def _use_fused(params, attn_drop, train):
         return False
     if env == "1":
         return True
+    if C is not None and C % 128 != 0:
+        return False
     return jax.default_backend() == "tpu"
 
 
@@ -104,21 +107,30 @@ def multihead_attention(params, x, num_heads, scale=None, attn_drop=0.0,
     if scale is None:
         scale = D ** -0.5
     if fused is None:
-        fused = _use_fused(params, attn_drop, train)
+        fused = _use_fused(params, attn_drop, train, C)
 
     r1 = r2 = None
     if train and rng is not None:
         r1, r2 = jax.random.split(rng)
 
     if fused:
+        # qkv GEMM + attention + output proj in ONE kernel (the
+        # bare-attention form of the megakernel: no LN, no residual)
         from . import pallas_attention as pa
-        qkv = nn.linear(params["qkv"], x)                 # [..., S, 3C]
         n_seg = 1
         for d in lead:
             n_seg *= d
-        out = pa.block_diag_attention(
-            qkv.reshape(n_seg, S, 3 * C), num_heads, S, float(scale))
+        zeros_c = jnp.zeros((C,), x.dtype)
+        out = pa.fused_attention_residual(
+            x.reshape(n_seg, S, C), zeros_c, zeros_c,
+            params["qkv"]["w"].astype(x.dtype),
+            params["qkv"].get("b", jnp.zeros((3 * C,), x.dtype)),
+            params["proj"]["w"].astype(x.dtype),
+            params["proj"].get("b", zeros_c),
+            num_heads, S, float(scale), 1e-6, False, False)
         out = out.reshape(*lead, S, C)
+        out = nn.dropout(out, proj_drop, r2, train)
+        return out
     else:
         q, k, v = _qkv_heads(params, x, num_heads)
         if "q_norm" in params:

@@ -188,20 +188,24 @@ ATTN_SUBTILES = 5   # attention sub-tiles per grid step (VMEM-budgeted)
 
 def _fused_block_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
                         wproj_ref, bproj_ref, out_ref, qkv_scratch,
-                        *, num_heads, seg_len, groups, scale, ln_eps):
+                        *, num_heads, seg_len, groups, scale, ln_eps,
+                        use_ln=True, use_residual=True):
     R = x_ref.shape[1]                 # rows per grid step
     C = x_ref.shape[2]
     D = C // num_heads
     arows = groups * seg_len           # rows per attention sub-tile
 
     x = x_ref[0]                                        # [R, C] bf16
-    # LayerNorm (f32 stats in-register)
     xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-    ln = (xf - mean) * jax.lax.rsqrt(var + ln_eps)
-    ln = ln * lns_ref[0].astype(jnp.float32) + lnb_ref[0].astype(jnp.float32)
-    ln = ln.astype(x.dtype)
+    if use_ln:
+        # LayerNorm (f32 stats in-register)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        ln = (xf - mean) * jax.lax.rsqrt(var + ln_eps)
+        ln = (ln * lns_ref[0].astype(jnp.float32)
+              + lnb_ref[0].astype(jnp.float32)).astype(x.dtype)
+    else:
+        ln = x
 
     # qkv GEMM into VMEM scratch
     qkv_scratch[:] = (jax.lax.dot_general(
@@ -233,16 +237,19 @@ def _fused_block_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
                         preferred_element_type=jnp.float32)
             qkv_scratch[lo:lo + arows, h * D:(h + 1) * D] = o.astype(x.dtype)
 
-    # output projection + residual
+    # output projection (+ residual for pre-norm blocks)
     attn = qkv_scratch[:, :C]
     y = jax.lax.dot_general(attn, wproj_ref[:], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    y = y + bproj_ref[0].astype(jnp.float32) + xf
+    y = y + bproj_ref[0].astype(jnp.float32)
+    if use_residual:
+        y = y + xf
     out_ref[0] = y.astype(out_ref.dtype)
 
 
 def _fused_block_impl(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
-                      num_heads, seg_len, scale, ln_eps):
+                      num_heads, seg_len, scale, ln_eps,
+                      use_ln=True, use_residual=True):
     """x: [n_seg, seg_len, C] -> same shape; the attention residual branch."""
     n_seg, S, C = x.shape
     G = _segments_per_tile(seg_len, n_seg)
@@ -260,7 +267,8 @@ def _fused_block_impl(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
     tiled = x.reshape(n_steps, R, C)
     kern = functools.partial(
         _fused_block_kernel, num_heads=num_heads, seg_len=seg_len,
-        groups=G, scale=scale, ln_eps=ln_eps)
+        groups=G, scale=scale, ln_eps=ln_eps, use_ln=use_ln,
+        use_residual=use_residual)
     out = pl.pallas_call(
         kern,
         grid=(n_steps,),
@@ -288,45 +296,57 @@ def _fused_block_impl(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
 
 
 def _fused_block_xla(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
-                     num_heads, seg_len, scale, ln_eps):
+                     num_heads, seg_len, scale, ln_eps,
+                     use_ln=True, use_residual=True):
     """XLA reference composition (tests + custom-vjp backward)."""
     xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-    ln = (xf - mean) * jax.lax.rsqrt(var + ln_eps)
-    ln = (ln * ln_scale.astype(jnp.float32)
-          + ln_bias.astype(jnp.float32)).astype(x.dtype)
+    if use_ln:
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        ln = (xf - mean) * jax.lax.rsqrt(var + ln_eps)
+        ln = (ln * ln_scale.astype(jnp.float32)
+              + ln_bias.astype(jnp.float32)).astype(x.dtype)
+    else:
+        ln = x
     qkv = (jnp.dot(ln, wqkv.astype(x.dtype),
                    preferred_element_type=jnp.float32)
            + bqkv.astype(jnp.float32)).astype(x.dtype)
     attn = _xla_reference(qkv, num_heads, seg_len, scale)
     y = (jnp.dot(attn, wproj.astype(x.dtype),
                  preferred_element_type=jnp.float32)
-         + bproj.astype(jnp.float32) + xf)
+         + bproj.astype(jnp.float32))
+    if use_residual:
+        y = y + xf
     return y.astype(x.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
 def fused_attention_residual(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
-                             num_heads, seg_len, scale, ln_eps=1e-6):
-    """y = x + proj(block_diag_attn(qkv(LN(x)))) fused in one kernel.
+                             num_heads, seg_len, scale, ln_eps=1e-6,
+                             use_ln=True, use_residual=True):
+    """y = [x +] proj(block_diag_attn(qkv([LN](x)))) fused in one kernel.
 
     x: [num_segments, seg_len, C]. Weights in this framework's layouts
-    (linear (in, out)). Backward recomputes via the XLA composition."""
+    (linear (in, out)). use_ln/use_residual=False give the bare-attention
+    form of the reference's PatchBlock / region pass. Backward recomputes
+    via the XLA composition."""
     return _fused_block_impl(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
-                             num_heads, seg_len, scale, ln_eps)
+                             num_heads, seg_len, scale, ln_eps,
+                             use_ln, use_residual)
 
 
 def _far_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
-             num_heads, seg_len, scale, ln_eps):
+             num_heads, seg_len, scale, ln_eps, use_ln, use_residual):
     out = _fused_block_impl(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
-                            num_heads, seg_len, scale, ln_eps)
+                            num_heads, seg_len, scale, ln_eps,
+                            use_ln, use_residual)
     return out, (x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj)
 
 
-def _far_bwd(num_heads, seg_len, scale, ln_eps, res, g):
+def _far_bwd(num_heads, seg_len, scale, ln_eps, use_ln, use_residual, res, g):
     _, vjp = jax.vjp(
-        lambda *a: _fused_block_xla(*a, num_heads, seg_len, scale, ln_eps),
+        lambda *a: _fused_block_xla(*a, num_heads, seg_len, scale, ln_eps,
+                                    use_ln, use_residual),
         *res)
     return vjp(g)
 

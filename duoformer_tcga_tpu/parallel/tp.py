@@ -16,6 +16,12 @@ layouts and insert the collectives (no hand-written all-reduces):
 Works on the stacked-[depth, ...] block layout (leading axis unsharded).
 Note head_dim granularity: shard-count must divide num_heads so attention
 heads split cleanly across the model axis.
+
+Interplay with the Pallas megakernels: pallas_call does not partition
+over sharded operands, so under TP run with DUOFORMER_MEGAFUSE=0 /
+DUOFORMER_FUSED_ATTN=0 (XLA path; the partitioner handles everything) —
+dryrun_multichip does this automatically on the CPU mesh. shard_map-ing
+the kernels over the model axis is a planned follow-up.
 """
 
 from __future__ import annotations

@@ -24,7 +24,13 @@ class Predictor:
         """model: any framework model with .apply(params, x, train=False).
         params: f32 param tree (converted or trained). fold: fold BNs for
         inference (exact; DuoFormer-family models only). preprocess: accept
-        raw uint8 NHWC tiles and normalize on device."""
+        raw uint8 NHWC tiles and normalize on device.
+
+        Multi-chip note: batch-sharded inference through the Pallas
+        megakernels is CORRECT (verified exact on the virtual mesh); if
+        profiling on a real pod shows the partitioner gathering around
+        the kernels, force the XLA path with DUOFORMER_MEGAFUSE=0 /
+        DUOFORMER_FUSED_ATTN=0 and compare."""
         self.model = model
         self.mesh = mesh
         self.dtype = dtype

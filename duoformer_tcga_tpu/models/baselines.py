@@ -15,7 +15,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops import nn
 from .projection import Projection
 from .resnet import ResNetBackbone
 from .vit import VisionTransformer

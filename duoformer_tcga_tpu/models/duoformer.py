@@ -24,7 +24,6 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import initializers as init
-from ..ops import nn
 from . import regroup
 from .projection import ChannelProjectors, Projection
 from .resnet import ResNetBackbone

@@ -36,3 +36,51 @@ def test_scaleformer_family_apply():
     tokens = jax.random.normal(jax.random.PRNGKey(1), (2, 49, 5, 96))
     out = sf.apply(params, tokens)
     assert out.shape == (2, 49, 96)
+
+
+def test_qk_norm_path_parity():
+    """qk-norm-enabled attention (the Q9-adjacent timm hook): params
+    convert and apply with logit parity vs a torch oracle."""
+    import numpy as np
+    import torch
+
+    from duoformer_tcga_tpu.ops import attention as attn_ops
+
+    torch.manual_seed(31)
+    C, H, S = 96, 8, 6
+    D = C // H
+    qkv = torch.nn.Linear(C, 3 * C)
+    proj = torch.nn.Linear(C, C)
+    qn = torch.nn.LayerNorm(D, eps=1e-6)
+    kn = torch.nn.LayerNorm(D, eps=1e-6)
+    with torch.no_grad():
+        qn.weight.normal_(1.0, 0.1)
+        kn.bias.normal_(0.0, 0.1)
+    x = torch.randn(2, 10, S, C)
+
+    def torch_fwd(x):
+        lead = x.shape[:-2]
+        h = qkv(x).reshape(*lead, S, 3, H, D)
+        h = torch.movedim(h, -3, 0)
+        h = torch.movedim(h, -2, -3)
+        q, k, v = qn(h[0]), kn(h[1]), h[2]
+        a = ((q @ k.transpose(-2, -1)) * D ** -0.5).softmax(dim=-1)
+        o = torch.movedim(a @ v, -3, -2).reshape(*lead, S, C)
+        return proj(o)
+
+    with torch.no_grad():
+        ref = torch_fwd(x).numpy()
+
+    params = {
+        "qkv": {"w": jnp.asarray(qkv.weight.detach().numpy().T),
+                "b": jnp.asarray(qkv.bias.detach().numpy())},
+        "proj": {"w": jnp.asarray(proj.weight.detach().numpy().T),
+                 "b": jnp.asarray(proj.bias.detach().numpy())},
+        "q_norm": {"scale": jnp.asarray(qn.weight.detach().numpy()),
+                   "bias": jnp.asarray(qn.bias.detach().numpy())},
+        "k_norm": {"scale": jnp.asarray(kn.weight.detach().numpy()),
+                   "bias": jnp.asarray(kn.bias.detach().numpy())},
+    }
+    out = attn_ops.multihead_attention(
+        params, jnp.asarray(x.numpy()), H)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=2e-5)

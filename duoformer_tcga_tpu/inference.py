@@ -20,7 +20,8 @@ from .parallel import mesh as mesh_lib
 
 class Predictor:
     def __init__(self, model, params, mesh=None, dtype=jnp.bfloat16,
-                 fold: bool = True, preprocess: bool = True):
+                 fold: bool = True, preprocess: bool = True,
+                 quantize: bool = False):
         """model: any framework model with .apply(params, x, train=False).
         params: f32 param tree (converted or trained). fold: fold BNs for
         inference (exact; DuoFormer-family models only). preprocess: accept
@@ -39,6 +40,11 @@ class Predictor:
                 params = fold_for_inference(params)
             except (KeyError, TypeError):
                 pass   # non-DuoFormer param tree: serve as-is
+        if quantize:
+            # opt-in int8 (a8w8) MLP serving — ~bounded logit drift; the
+            # bf16 path remains the parity-tested default
+            from .ops.quantize import quantize_mlp_weights
+            params = quantize_mlp_weights(params)
         if mesh is not None:
             params = mesh_lib.replicate(mesh, params)
         self.params = params

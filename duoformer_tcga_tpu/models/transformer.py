@@ -128,6 +128,15 @@ def scale_block_apply(p, x, num_heads, scale=None, ln_eps=1e-6,
         # activation's HBM round-trip
         from ..ops import pallas_attention as pa
         mlp_p = p["mlp"]
+        if "w_q" in mlp_p["fc1"]:
+            # opt-in int8 serving weights (ops/quantize.py)
+            hidden = mlp_p["fc1"]["w_q"].shape[-1]
+            return pa.fused_mlp_residual_int8(
+                x, p["norm2"]["scale"], p["norm2"]["bias"],
+                mlp_p["fc1"]["w_q"], mlp_p["fc1"]["w_scale"],
+                mlp_p["fc1"].get("b", jnp.zeros((hidden,), x.dtype)),
+                mlp_p["fc2"]["w_q"], mlp_p["fc2"]["w_scale"],
+                mlp_p["fc2"].get("b", jnp.zeros((C,), x.dtype)), ln_eps)
         hidden = mlp_p["fc1"]["w"].shape[-1]
         return pa.fused_mlp_residual(
             x, p["norm2"]["scale"], p["norm2"]["bias"],

@@ -438,6 +438,84 @@ def _fused_mlp_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps):
     return out.reshape(*lead, C)
 
 
+def _rowquant(v):
+    """Per-row symmetric int8 quantization (in-kernel). v: [R, C] f32."""
+    amax = jnp.max(jnp.abs(v), axis=-1, keepdims=True)
+    s = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jax.lax.round(v / s), -127.0, 127.0).astype(jnp.int8)
+    return q, s
+
+
+def _fused_mlp_int8_kernel(x_ref, lns_ref, lnb_ref, w1_ref, s1_ref, b1_ref,
+                           w2_ref, s2_ref, b2_ref, out_ref, *, ln_eps):
+    """a8w8 variant: both GEMMs run int8 x int8 -> int32 on the MXU (2x
+    bf16 throughput on v5e); dequant is an outer product of the dynamic
+    per-row activation scale and the static per-channel weight scale."""
+    x = x_ref[:]
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    ln = (xf - mean) * jax.lax.rsqrt(var + ln_eps)
+    ln = ln * lns_ref[0].astype(jnp.float32) + lnb_ref[0].astype(jnp.float32)
+
+    lq, ls = _rowquant(ln)
+    acc = jax.lax.dot_general(lq, w1_ref[:], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    h = acc.astype(jnp.float32) * ls * s1_ref[0] + b1_ref[0].astype(jnp.float32)
+    h = 0.5 * h * (1.0 + _erf_poly(h * 0.7071067811865476))
+
+    hq, hs = _rowquant(h)
+    acc2 = jax.lax.dot_general(hq, w2_ref[:], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+    y = acc2.astype(jnp.float32) * hs * s2_ref[0] + b2_ref[0].astype(jnp.float32)
+    out_ref[:] = (y + xf).astype(out_ref.dtype)
+
+
+def fused_mlp_residual_int8(x, ln_scale, ln_bias, w1_q, s1, b1, w2_q, s2, b2,
+                            ln_eps=1e-6):
+    """int8 serving form of fused_mlp_residual (inference only — no vjp)."""
+    *lead, C = x.shape
+    hidden = w1_q.shape[-1]
+    n = 1
+    for d in lead:
+        n *= d
+    flat = x.reshape(n, C)
+    rt = MLP_ROW_TILE
+    n_pad = (-n) % rt
+    if n_pad:
+        flat = jnp.concatenate([flat, jnp.zeros((n_pad, C), flat.dtype)],
+                               axis=0)
+    rows = flat.shape[0]
+    out = pl.pallas_call(
+        functools.partial(_fused_mlp_int8_kernel, ln_eps=ln_eps),
+        grid=(rows // rt,),
+        in_specs=[
+            pl.BlockSpec((rt, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, hidden), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hidden), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hidden), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, C), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rt, C), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, C), x.dtype),
+        interpret=_interpret(),
+    )(flat, ln_scale.reshape(1, C), ln_bias.reshape(1, C), w1_q,
+      s1.reshape(1, hidden), b1.reshape(1, hidden), w2_q,
+      s2.reshape(1, C), b2.reshape(1, C))
+    if n_pad:
+        out = out[:n]
+    return out.reshape(*lead, C)
+
+
 def _fused_mlp_xla(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps):
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)

@@ -1,0 +1,61 @@
+"""int8 weight quantization for the serving path (opt-in).
+
+Weight-side: symmetric per-output-channel int8 (w = w_q * s_col).
+Activation-side: symmetric per-row dynamic int8, computed inside the
+kernel. The a8w8 matmul runs on the v5e MXU at 2x bf16 throughput; the
+f32 dequant is an outer product of the two scale vectors fused into the
+epilogue.
+
+Accuracy is workload-dependent — this is an OPT-IN serving mode
+(`Predictor(quantize=True)`); the bf16 path remains the parity-tested
+default. Expected logit drift is bounded by tests at the model level.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_weight(w, axis=0):
+    """Symmetric per-channel int8. w: [in, out] -> (w_q int8 [in, out],
+    scale f32 [out]) with w ~= w_q * scale."""
+    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=axis)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    w_q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -127, 127)
+    return w_q.astype(jnp.int8), scale.astype(jnp.float32)
+
+
+def quantize_linear_params(p):
+    """{'w': f32/bf16 [in,out], 'b'?} -> {'w_q', 'w_scale', 'b'?}."""
+    w_q, s = quantize_weight(p["w"])
+    out = {"w_q": w_q, "w_scale": s}
+    if "b" in p:
+        out["b"] = p["b"]
+    return out
+
+
+def quantize_mlp_weights(params):
+    """Quantize every scale-block MLP (fc1/fc2) in a DuoFormer param tree
+    (the dominant GEMMs). Returns a new tree; non-MLP weights untouched."""
+    import copy
+
+    out = copy.copy(params)
+    tf = dict(params["transformer"])
+    sb = dict(tf["scale_blocks"])
+    mlp = {k: dict(v) for k, v in sb["mlp"].items()}
+    for name in ("fc1", "fc2"):
+        fp = mlp[name]
+        # stacked [depth, in, out]: quantize per (depth, out)
+        w = fp["w"].astype(jnp.float32)
+        amax = jnp.max(jnp.abs(w), axis=1)                   # [depth, out]
+        scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+        w_q = jnp.clip(jnp.round(w / scale[:, None, :]), -127, 127)
+        q = {"w_q": w_q.astype(jnp.int8), "w_scale": scale}
+        if "b" in fp:
+            q["b"] = fp["b"]
+        mlp[name] = q
+    sb["mlp"] = mlp
+    tf["scale_blocks"] = sb
+    out["transformer"] = tf
+    return out

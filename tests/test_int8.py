@@ -1,0 +1,64 @@
+"""int8 (a8w8) MLP serving path: quantization math + bounded logit drift."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from duoformer_tcga_tpu.ops import pallas_attention as pa
+from duoformer_tcga_tpu.ops import quantize as q
+
+
+def test_quantize_weight_roundtrip():
+    w = jax.random.normal(jax.random.PRNGKey(0), (64, 32)) * 0.05
+    w_q, s = q.quantize_weight(w)
+    assert w_q.dtype == jnp.int8
+    recon = w_q.astype(jnp.float32) * s
+    # per-channel int8: relative error bounded by ~1/254 of channel range
+    np.testing.assert_allclose(np.asarray(recon), np.asarray(w),
+                               atol=float(jnp.abs(w).max()) / 120)
+
+
+def test_int8_mlp_kernel_close_to_f32():
+    key = jax.random.PRNGKey(1)
+    ks = jax.random.split(key, 8)
+    C, H4 = 128, 512
+    x = jax.random.normal(ks[0], (37, 6, C)) * 0.5
+    lns = jnp.ones((C,))
+    lnb = jnp.zeros((C,))
+    w1 = jax.random.normal(ks[3], (C, H4)) * 0.02
+    b1 = jax.random.normal(ks[4], (H4,)) * 0.01
+    w2 = jax.random.normal(ks[5], (H4, C)) * 0.02
+    b2 = jax.random.normal(ks[6], (C,)) * 0.01
+    ref = pa._fused_mlp_xla(x, lns, lnb, w1, b1, w2, b2, 1e-6)
+
+    w1_q, s1 = q.quantize_weight(w1)
+    w2_q, s2 = q.quantize_weight(w2)
+    out = pa.fused_mlp_residual_int8(x, lns, lnb, w1_q, s1, b1, w2_q, s2,
+                                     b2, 1e-6)
+    # a8w8 error budget: ~1% of the residual-branch magnitude
+    branch = np.asarray(ref - x)
+    err = np.asarray(out - ref)
+    assert np.abs(err).max() < 0.05 * (np.abs(branch).max() + 0.1), \
+        (np.abs(err).max(), np.abs(branch).max())
+
+
+def test_predictor_quantized_logits_close(monkeypatch):
+    import duoformer_tcga_tpu as dft
+    from duoformer_tcga_tpu.inference import Predictor
+
+    monkeypatch.setenv("DUOFORMER_MEGAFUSE", "1")
+    monkeypatch.setenv("DUOFORMER_PALLAS_INTERPRET", "1")
+    model = dft.build_model_no_extra_params(
+        num_classes=4, num_layers=2, embed_dim=128, proj_dim=128,
+        num_heads=8, depth=2, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0))
+    tiles = np.random.default_rng(0).integers(
+        0, 256, (2, 224, 224, 3), dtype=np.uint8)
+
+    ref = np.asarray(Predictor(model, params, dtype=jnp.float32)(tiles))
+    out = np.asarray(Predictor(model, params, dtype=jnp.float32,
+                               quantize=True)(tiles))
+    # int8 MLP drift stays small relative to logit scale
+    assert np.abs(out - ref).max() < 0.05 * (np.abs(ref).max() + 1.0)
+    assert (out.argmax(-1) == ref.argmax(-1)).all()

@@ -84,3 +84,25 @@ def test_qk_norm_path_parity():
     out = attn_ops.multihead_attention(
         params, jnp.asarray(x.numpy()), H)
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=2e-5)
+
+
+def test_drop_path_active_training():
+    """drop_path_rate > 0 (stochastic depth, dpr linspace): train-mode
+    forward differs run-to-run structure-free, eval-mode ignores it."""
+    import numpy as np
+    from duoformer_tcga_tpu.models.transformer import MultiscaleTransformer
+
+    tf = MultiscaleTransformer(depth=2, scales=2, num_heads=8, embed_dim=64,
+                               num_classes=3, drop_path_rate=0.8,
+                               init_values=None, dtype=jnp.float32)
+    params = tf.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 49, 6, 64))
+
+    e1 = tf.apply(params, x, train=False)
+    e2 = tf.apply(params, x, train=False)
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+
+    t1 = tf.apply(params, x, rng=jax.random.PRNGKey(2), train=True)
+    t2 = tf.apply(params, x, rng=jax.random.PRNGKey(3), train=True)
+    assert np.abs(np.asarray(t1) - np.asarray(t2)).max() > 0
+    assert np.isfinite(np.asarray(t1)).all()

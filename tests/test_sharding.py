@@ -115,3 +115,24 @@ def test_eval_step_metrics():
     m = ev(params, batch)
     assert 0.0 <= float(m["accuracy"]) <= 1.0
     assert int(m["correct"]) == round(float(m["accuracy"]) * 8)
+
+
+def test_sharded_batch_through_megakernels(monkeypatch):
+    """Batch-sharded forward through the Pallas megakernels (interpret)
+    must equal the single-device result exactly."""
+    monkeypatch.setenv("DUOFORMER_FUSED_ATTN", "1")
+    monkeypatch.setenv("DUOFORMER_MEGAFUSE", "1")
+    model = dft.build_model_no_extra_params(
+        num_classes=2, num_layers=2, embed_dim=128, proj_dim=128,
+        num_heads=8, depth=1, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 224, 224, 3))
+    ref = jax.jit(lambda p, v: model.apply(p, v))(params, x)
+
+    mesh = mesh_lib.make_mesh(platform="cpu")
+    out = jax.jit(lambda p, v: model.apply(p, v),
+                  out_shardings=mesh_lib.replicated(mesh))(
+        mesh_lib.replicate(mesh, params), mesh_lib.shard_batch(mesh, x))
+    # partitioning may reorder f32 reductions; numerics must still agree
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)

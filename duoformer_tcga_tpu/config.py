@@ -65,7 +65,8 @@ class ModelConfig:
                 num_heads=self.num_heads, num_classes=self.num_classes,
                 num_layers=self.num_layers, proj_dim=self.proj_dim,
                 init_values=self.init_values, freeze=self.freeze_backbone,
-                dtype=d)
+                attn_drop_rate=self.attn_drop_rate,
+                drop_rate=self.proj_drop_rate, dtype=d)
         if self.family == "hybrid":
             return HybridModel(num_classes=self.num_classes,
                                num_blocks=self.depth, proj_dim=self.proj_dim,

@@ -58,7 +58,7 @@ class DuoFormer:
         self.transformer = MultiscaleFormer(
             depth=depth, scales=num_layers, num_heads=num_heads,
             embed_dim=embed_dim, mlp_ratio=mlp_ratio, qkv_bias=True,
-            qk_norm=False, proj_drop_rate=proj_drop_rate,
+            proj_drop_rate=proj_drop_rate,
             attn_drop_rate=attn_drop_rate, init_values=init_values,
             num_classes=num_classes, num_patches=num_patches,
             patch_attn=patch_attn, remat=remat, dtype=dtype)

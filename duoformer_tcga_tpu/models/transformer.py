@@ -78,13 +78,15 @@ def _maybe_ls(p, name, x):
     return x
 
 
-def _can_megafuse(p, attn_drop, proj_drop, drop_path, train, C, num_heads):
+def _can_megafuse(p, attn_drop, proj_drop, drop_path, train, C, num_heads,
+                  apply_qk_norm=True, mlp_drop=0.0):
     """Eligibility for the fused attention-residual megakernel: plain
-    residual (no LayerScale/DropPath/dropout active), no qk-norm,
-    lane-aligned dims, TPU fused path enabled."""
-    if "ls1" in p or "q_norm" in p.get("attn", {}):
+    residual (no LayerScale/DropPath/dropout active), no APPLIED qk-norm
+    (carried-but-unused Q9 weights stay eligible), lane-aligned dims, TPU
+    fused path enabled."""
+    if "ls1" in p or (apply_qk_norm and "q_norm" in p.get("attn", {})):
         return False
-    if train and (attn_drop > 0.0 or proj_drop > 0.0):
+    if train and (attn_drop > 0.0 or proj_drop > 0.0 or mlp_drop > 0.0):
         return False
     if not (isinstance(drop_path, (int, float)) and drop_path == 0.0) and train:
         return False
@@ -101,15 +103,26 @@ def _can_megafuse(p, attn_drop, proj_drop, drop_path, train, C, num_heads):
 
 def scale_block_apply(p, x, num_heads, scale=None, ln_eps=1e-6,
                       attn_drop=0.0, proj_drop=0.0, drop_path=0.0,
-                      rng=None, train=False):
+                      rng=None, train=False, mlp_drop=None,
+                      apply_qk_norm=True):
     """x: [B, R, S, C] -> [B, R, S, C]. drop_path may be a traced scalar
-    (per-block stochastic-depth rate)."""
+    (per-block stochastic-depth rate).
+
+    mlp_drop defaults to proj_drop (timm Block semantics); the DuoFormer
+    model families pass it explicitly because the reference's Q9
+    positional-arg bug decouples the attention proj dropout (always 0)
+    from the MLP dropout (proj_drop_rate). apply_qk_norm=False carries
+    q_norm/k_norm weights without applying them (AttentionForScale.forward
+    never calls them, scale_attention.py:28-45)."""
+    if mlp_drop is None:
+        mlp_drop = proj_drop
     r1 = r2 = r3 = r4 = None
     if train and rng is not None:
         r1, r2, r3, r4 = jax.random.split(rng, 4)
     *lead, S, C = x.shape
     if scale is None and _can_megafuse(p, attn_drop, proj_drop, drop_path,
-                                       train, C, num_heads):
+                                       train, C, num_heads, apply_qk_norm,
+                                       mlp_drop):
         # whole attention branch (LN1 -> qkv -> attn -> proj -> +x) fused
         from ..ops import pallas_attention as pa
         n_seg = 1
@@ -147,10 +160,10 @@ def scale_block_apply(p, x, num_heads, scale=None, ln_eps=1e-6,
     h = attn_ops.multihead_attention(
         p["attn"], nn.layernorm(p["norm1"], x, ln_eps), num_heads,
         scale=scale, attn_drop=attn_drop, proj_drop=proj_drop, rng=r1,
-        train=train)
+        train=train, apply_qk_norm=apply_qk_norm)
     x = x + nn.drop_path(_maybe_ls(p, "ls1", h), drop_path, r3, train)
     h = nn.mlp(p["mlp"], nn.layernorm(p["norm2"], x, ln_eps),
-               drop=proj_drop, rng=r2, train=train)
+               drop=mlp_drop, rng=r2, train=train)
     x = x + nn.drop_path(_maybe_ls(p, "ls2", h), drop_path, r4, train)
     return x
 
@@ -163,11 +176,16 @@ def patch_block_init(key, dim, num_heads, qkv_bias=True, qk_norm=False,
 
 
 def patch_block_apply(p, x, num_heads, scale=None, attn_drop=0.0,
-                      proj_drop=0.0, rng=None, train=False):
-    """x: [B, N, C] -> [B, N, C] (pure attention, chained)."""
+                      proj_drop=0.0, rng=None, train=False,
+                      apply_qk_norm=True):
+    """x: [B, N, C] -> [B, N, C] (pure attention, chained).
+
+    Unlike the scale passes, AttentionForPatch.forward DOES apply q/k
+    LayerNorms when present (scale_attention.py:201)."""
     return attn_ops.multihead_attention(
         p["attn"], x, num_heads, scale=scale,
-        attn_drop=attn_drop, proj_drop=proj_drop, rng=rng, train=train)
+        attn_drop=attn_drop, proj_drop=proj_drop, rng=rng, train=train,
+        apply_qk_norm=apply_qk_norm)
 
 
 def multiscale_block_init(key, dim, num_heads, mlp_ratio=4.0, qkv_bias=True,
@@ -176,9 +194,10 @@ def multiscale_block_init(key, dim, num_heads, mlp_ratio=4.0, qkv_bias=True,
     attn1 (qkv1/proj1, scale pass) and attn2 (inherited qkv/proj, region
     pass) (multiscale_attn.py:224-259).
 
-    Note (Q9): in the reference, positional-arg misuse can turn qk_norm on
-    for the region param set when attn_drop>0; we expose qk_norm explicitly
-    instead."""
+    Q9: the reference's positional-arg misuse creates q/k LayerNorms on the
+    INHERITED set (attn2) when attn_drop>0 (multiscale_attn.py:137); qkv1
+    never has them. They land in checkpoints but forward_with_region never
+    applies them — MultiscaleTransformer carries them unapplied."""
     k1, k2, k3 = jax.random.split(key, 3)
     p = {
         "norm1": nn.layernorm_init(dim, dtype),
@@ -246,10 +265,21 @@ class MultiscaleFormer:
     patch_attn=False skips the patch stack and classifies from the mean of
     the per-region scale tokens (extension — the reference accepts the flag
     but its MultiscaleFormer signature rejects it, model_wo_extra_params.py:105).
+
+    Q9 dropout/qk-norm semantics (timm-0.9.8 positional-arg bug, reproduced
+    faithfully — scale_attention.py:25,178 call Attention.__init__ with
+    attn_drop landing in qk_norm and proj_drop in attn_drop):
+      * q/k per-head LayerNorms are CREATED iff attn_drop_rate > 0 (the
+        only live trigger; qk_norm=True/False overrides explicitly);
+      * they are APPLIED only by the patch blocks (AttentionForPatch
+        applies them, scale_attention.py:201; AttentionForScale does not);
+      * the effective attention-matrix dropout rate is proj_drop_rate, the
+        attention output-proj dropout is 0, the MLP dropout is
+        proj_drop_rate; attn_drop_rate itself is never a dropout rate.
     """
 
     def __init__(self, depth=12, scales=2, num_heads=12, embed_dim=768,
-                 mlp_ratio=4.0, qkv_bias=True, qk_norm=False,
+                 mlp_ratio=4.0, qkv_bias=True, qk_norm=None,
                  proj_drop_rate=0.0, attn_drop_rate=0.0, init_values=None,
                  num_classes=100, num_patches=49, pos_drop_rate=0.0,
                  patch_attn=True, ln_eps=1e-6, remat=False,
@@ -260,7 +290,9 @@ class MultiscaleFormer:
         self.embed_dim = embed_dim
         self.mlp_ratio = mlp_ratio
         self.qkv_bias = qkv_bias
-        self.qk_norm = qk_norm
+        # Q9 creation rule: positional-arg bug makes qk_norm truthy exactly
+        # when attn_drop_rate > 0.
+        self.qk_norm = (attn_drop_rate > 0.0) if qk_norm is None else qk_norm
         self.proj_drop_rate = proj_drop_rate
         self.attn_drop_rate = attn_drop_rate
         self.init_values = init_values
@@ -303,16 +335,22 @@ class MultiscaleFormer:
         """x: [B, 49, S+1, C] (scale token already prepended) -> logits [B, num_classes]."""
         B = x.shape[0]
         nh = self.num_heads
-        r_scale = r_patch = r_pos = None
+        r_scale = r_patch = r_pos_scale = r_pos_patch = None
         if train and rng is not None:
-            r_scale, r_patch, r_pos = jax.random.split(rng, 3)
+            # distinct keys for the two pos-dropouts: sharing one key would
+            # correlate the scale-stack and patch-stack dropout masks
+            r_scale, r_patch, r_pos_scale, r_pos_patch = jax.random.split(rng, 4)
 
         x = x + params["pos_embed_for_scale"].astype(x.dtype)
-        x = nn.dropout(x, self.pos_drop_rate, r_pos, train)
+        x = nn.dropout(x, self.pos_drop_rate, r_pos_scale, train)
 
+        # Q9 effective rates: attention-matrix dropout = proj_drop_rate,
+        # attention proj dropout = 0, MLP dropout = proj_drop_rate; the
+        # scale pass never applies q/k norms (AttentionForScale.forward).
         scale_apply = functools.partial(
             scale_block_apply, num_heads=nh, scale=None, ln_eps=self.ln_eps,
-            attn_drop=self.attn_drop_rate, proj_drop=self.proj_drop_rate,
+            attn_drop=self.proj_drop_rate, proj_drop=0.0,
+            mlp_drop=self.proj_drop_rate, apply_qk_norm=False,
             train=train)
         x = _scan_blocks(scale_apply, params["scale_blocks"], x,
                          r_scale, train, self.depth, remat=self.remat)
@@ -328,21 +366,22 @@ class MultiscaleFormer:
                                (B, 1, self.embed_dim))
         tokens = jnp.concatenate([cls, tokens], axis=1)          # [B, 50, C]
         tokens = tokens + params["pos_embed"].astype(x.dtype)
-        tokens = nn.dropout(tokens, self.pos_drop_rate, r_pos, train)
+        tokens = nn.dropout(tokens, self.pos_drop_rate, r_pos_patch, train)
 
         blk0 = _slice_block(params["patch_blocks"], 0)
         r0 = None
         rest_rng = None
         if train and r_patch is not None:
             r0, rest_rng = jax.random.split(r_patch)
+        # Q9 effective rates again; AttentionForPatch DOES apply q/k norms.
         tokens = patch_block_apply(blk0, tokens, nh,
-                                   attn_drop=self.attn_drop_rate,
-                                   proj_drop=self.proj_drop_rate,
+                                   attn_drop=self.proj_drop_rate,
+                                   proj_drop=0.0,
                                    rng=r0, train=train)
         rest = jax.tree.map(lambda a: a[1:], params["patch_blocks"])
         patch_apply = functools.partial(
             patch_block_apply, num_heads=nh,
-            attn_drop=self.attn_drop_rate, proj_drop=self.proj_drop_rate,
+            attn_drop=self.proj_drop_rate, proj_drop=0.0,
             train=train)
         tokens = _scan_blocks(patch_apply, rest, tokens, rest_rng, train,
                               self.depth - 1, remat=self.remat)
@@ -362,7 +401,7 @@ class ScaleFormer:
     x[:, :, 1, :], scale_attention.py:168)."""
 
     def __init__(self, depth=12, scales=2, num_heads=6, embed_dim=384,
-                 mlp_ratio=4.0, qkv_bias=True, qk_norm=False,
+                 mlp_ratio=4.0, qkv_bias=True, qk_norm=None,
                  proj_drop_rate=0.0, attn_drop_rate=0.0, init_values=None,
                  pos_drop_rate=0.0, ln_eps=1e-6, dtype=jnp.float32):
         self.depth = depth
@@ -371,7 +410,8 @@ class ScaleFormer:
         self.embed_dim = embed_dim
         self.mlp_ratio = mlp_ratio
         self.qkv_bias = qkv_bias
-        self.qk_norm = qk_norm
+        # Q9 creation rule (see MultiscaleFormer docstring)
+        self.qk_norm = (attn_drop_rate > 0.0) if qk_norm is None else qk_norm
         self.proj_drop_rate = proj_drop_rate
         self.attn_drop_rate = attn_drop_rate
         self.init_values = init_values
@@ -402,10 +442,12 @@ class ScaleFormer:
         x = jnp.concatenate([cls, x], axis=2)
         x = x + params["pos_embed_for_scale"].astype(x.dtype)
         x = nn.dropout(x, self.pos_drop_rate, rng, train)
+        # Q9 effective rates (ScaleBlocks — see MultiscaleFormer docstring)
         scale_apply = functools.partial(
             scale_block_apply, num_heads=self.num_heads, scale=None,
-            ln_eps=self.ln_eps, attn_drop=self.attn_drop_rate,
-            proj_drop=self.proj_drop_rate, train=train)
+            ln_eps=self.ln_eps, attn_drop=self.proj_drop_rate,
+            proj_drop=0.0, mlp_drop=self.proj_drop_rate,
+            apply_qk_norm=False, train=train)
         x = _scan_blocks(scale_apply, params["blocks"], x, rng, train,
                          self.depth)
         return x[:, :, 1, :]   # index 1, not 0 (reference behavior)
@@ -425,7 +467,7 @@ class MultiscaleTransformer:
     trunc_normal 0.02)."""
 
     def __init__(self, depth=12, scales=2, num_heads=6, embed_dim=384,
-                 mlp_ratio=4.0, qkv_bias=True, qk_norm=False,
+                 mlp_ratio=4.0, qkv_bias=True, qk_norm=None,
                  drop_rate=0.0, attn_drop_rate=0.0, drop_path_rate=0.0,
                  init_values=1e-5, num_classes=1000, num_patches=49,
                  ln_eps=1e-6, remat=False, dtype=jnp.float32):
@@ -435,7 +477,11 @@ class MultiscaleTransformer:
         self.embed_dim = embed_dim
         self.mlp_ratio = mlp_ratio
         self.qkv_bias = qkv_bias
-        self.qk_norm = qk_norm
+        # Q9 creation rule: q/k LayerNorms exist on attn2 iff
+        # attn_drop_rate > 0 (MyModel hardcodes 0.1 -> always created,
+        # model.py:94); they are never applied (forward_with_region
+        # computes qkv manually, multiscale_attn.py:195-219).
+        self.qk_norm = (attn_drop_rate > 0.0) if qk_norm is None else qk_norm
         self.drop_rate = drop_rate
         self.attn_drop_rate = attn_drop_rate
         self.drop_path_rate = drop_path_rate
@@ -470,11 +516,16 @@ class MultiscaleTransformer:
 
     def _region_attn(self, blk, tokens, rng, train):
         """forward_with_region on a [B, 50, C] token set (multiscale_attn.py:205-218).
-        Uses attn2 (inherited qkv/proj) with the shared 2*dim**-0.5 scale."""
+        Uses attn2 (inherited qkv/proj) with the shared 2*dim**-0.5 scale.
+
+        Q9 effective rates: the inherited self.attn_drop is Dropout(drop_rate)
+        (the proj_drop ctor arg shifted into timm's attn_drop slot) and
+        self.proj_drop is Dropout(0); q/k norms, when present, are carried
+        but NOT applied."""
         return attn_ops.multihead_attention(
             blk["attn2"], tokens, self.num_heads, scale=self.attn_scale,
-            attn_drop=self.attn_drop_rate, proj_drop=self.drop_rate,
-            rng=rng, train=train)
+            attn_drop=self.drop_rate, proj_drop=0.0,
+            rng=rng, train=train, apply_qk_norm=False)
 
     def apply(self, params, x, rng=None, train=False):
         """x: [B, 49, S+1, C] -> logits [B, num_classes] (squeezed, Q13)."""

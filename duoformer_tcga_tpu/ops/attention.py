@@ -74,15 +74,16 @@ def _sdpa(q, k, v, scale, attn_drop=0.0, rng=None, train=False):
 import os
 
 
-def _use_fused(params, attn_drop, train, C=None):
-    """Fused-kernel eligibility: no qk-norm, no active attention dropout,
-    lane-aligned feature dim (hardware-validated at head_dim 64). Env
-    override DUOFORMER_FUSED_ATTN=0/1 (read per-call so tests can toggle
-    it)."""
+def _use_fused(params, attn_drop, train, C=None, apply_qk_norm=True):
+    """Fused-kernel eligibility: no APPLIED qk-norm (params that merely
+    carry q_norm/k_norm weights — the Q9 created-but-unused case — stay
+    eligible), no active attention dropout, lane-aligned feature dim
+    (hardware-validated at head_dim 64). Env override
+    DUOFORMER_FUSED_ATTN=0/1 (read per-call so tests can toggle it)."""
     env = os.environ.get("DUOFORMER_FUSED_ATTN")
     if env == "0":
         return False
-    if "q_norm" in params or (train and attn_drop > 0.0):
+    if (apply_qk_norm and "q_norm" in params) or (train and attn_drop > 0.0):
         return False
     if env == "1":
         return True
@@ -93,7 +94,7 @@ def _use_fused(params, attn_drop, train, C=None):
 
 def multihead_attention(params, x, num_heads, scale=None, attn_drop=0.0,
                         proj_drop=0.0, rng=None, train=False,
-                        qk_norm_eps=1e-6, fused=None):
+                        qk_norm_eps=1e-6, fused=None, apply_qk_norm=True):
     """Generic MHSA over the second-to-last axis. x: [..., S, C].
 
     Leading axes are batch-like (e.g. [B, 49] for scale attention), so one
@@ -101,13 +102,19 @@ def multihead_attention(params, x, num_heads, scale=None, attn_drop=0.0,
     softmax(QK^T)V core runs the fused Pallas block-diagonal kernel
     (ops/pallas_attention.py) unless qk-norm / attention dropout require
     the reference path; set DUOFORMER_FUSED_ATTN=0/1 to force.
+
+    apply_qk_norm=False carries q_norm/k_norm params WITHOUT applying
+    them — the reference's Q9 behavior: the positional-arg bug creates
+    per-head q/k LayerNorms (stored in checkpoints) but the hand-written
+    forwards never call them, except AttentionForPatch.forward
+    (scale_attention.py:201) which does.
     """
     *lead, S, C = x.shape
     D = C // num_heads
     if scale is None:
         scale = D ** -0.5
     if fused is None:
-        fused = _use_fused(params, attn_drop, train, C)
+        fused = _use_fused(params, attn_drop, train, C, apply_qk_norm)
 
     r1 = r2 = None
     if train and rng is not None:
@@ -133,7 +140,7 @@ def multihead_attention(params, x, num_heads, scale=None, attn_drop=0.0,
         return out
     else:
         q, k, v = _qkv_heads(params, x, num_heads)
-        if "q_norm" in params:
+        if apply_qk_norm and "q_norm" in params:
             q = nn.layernorm(params["q_norm"], q, eps=qk_norm_eps)
             k = nn.layernorm(params["k_norm"], k, eps=qk_norm_eps)
         out = _sdpa(q, k, v, scale, attn_drop, r1, train)  # [..., H, S, D]

@@ -180,10 +180,14 @@ def convert_multiscale_transformer(sd: Dict, depth: int = 12,
     """MultiscaleTransformer (legacy/timm-inherited) state_dict -> tree.
 
     blocks.{i}.attn.qkv1/proj1 -> attn1 (scale pass);
-    blocks.{i}.attn.qkv/proj   -> attn2 (region pass)
-    (multiscale_attn.py:144-147 / timm Attention).
-    Unused inherited params (patch_embed.*, attn q_norm/k_norm created by
-    quirk Q9) are ignored."""
+    blocks.{i}.attn.qkv/proj (+ q_norm/k_norm when present) -> attn2
+    (region pass) (multiscale_attn.py:144-147 / timm Attention).
+    The q_norm/k_norm weights exist in MyModel checkpoints via quirk Q9
+    (attn_drop_rate=0.1 lands in timm's qk_norm slot, model.py:94); they
+    are converted so the tree round-trips, and the model carries them
+    WITHOUT applying them, exactly like forward_with_region
+    (multiscale_attn.py:195-219). Unused inherited timm params
+    (patch_embed.*) are ignored."""
     g = lambda k: f"{prefix}{k}"
     has_ls = g("blocks.0.ls1.gamma") in sd
     blocks = []
@@ -193,8 +197,7 @@ def convert_multiscale_transformer(sd: Dict, depth: int = 12,
             "norm1": _layernorm(sd, f"{pre}.norm1"),
             "attn1": {"qkv": _linear(sd, f"{pre}.attn.qkv1"),
                       "proj": _linear(sd, f"{pre}.attn.proj1")},
-            "attn2": {"qkv": _linear(sd, f"{pre}.attn.qkv"),
-                      "proj": _linear(sd, f"{pre}.attn.proj")},
+            "attn2": _attn(sd, f"{pre}.attn"),
             "norm2": _layernorm(sd, f"{pre}.norm2"),
             "mlp": {"fc1": _linear(sd, f"{pre}.mlp.fc1"),
                     "fc2": _linear(sd, f"{pre}.mlp.fc2")},

@@ -189,13 +189,33 @@ class OracleChannelProjAll(nn.Module):
 # ---------------------------------------------------------------------------
 
 class OracleAttention(nn.Module):
-    def __init__(self, dim, num_heads, scale=None):
+    """qk_norm: CREATE per-head q/k LayerNorms (the Q9 positional-arg bug
+    creates them whenever attn_drop_rate>0, scale_attention.py:25,178).
+    apply_qk_norm: whether forward APPLIES them — True only for the patch
+    pass (AttentionForPatch.forward, scale_attention.py:201); the scale
+    passes never call them (AttentionForScale.forward, :28-45).
+    Randomized init so carried-but-unapplied weights are distinguishable
+    from identity in parity tests."""
+
+    def __init__(self, dim, num_heads, scale=None, qk_norm=False,
+                 apply_qk_norm=False):
         super().__init__()
         self.num_heads = num_heads
         self.head_dim = dim // num_heads
         self.scale = scale if scale is not None else self.head_dim ** -0.5
         self.qkv = nn.Linear(dim, 3 * dim)
         self.proj = nn.Linear(dim, dim)
+        self.apply_qk_norm = apply_qk_norm
+        if qk_norm:
+            self.q_norm = nn.LayerNorm(self.head_dim, eps=1e-6)
+            self.k_norm = nn.LayerNorm(self.head_dim, eps=1e-6)
+            with torch.no_grad():
+                self.q_norm.weight.normal_(1.0, 0.1)
+                self.q_norm.bias.normal_(0.0, 0.1)
+                self.k_norm.weight.normal_(1.0, 0.1)
+                self.k_norm.bias.normal_(0.0, 0.1)
+        else:
+            self.q_norm = self.k_norm = None
 
     def forward(self, x):
         *lead, S, C = x.shape
@@ -203,6 +223,8 @@ class OracleAttention(nn.Module):
         h = torch.movedim(h, -3, 0)
         h = torch.movedim(h, -2, -3)          # [3, ..., H, S, D]
         q, k, v = h[0], h[1], h[2]
+        if self.q_norm is not None and self.apply_qk_norm:
+            q, k = self.q_norm(q), self.k_norm(k)
         attn = ((q @ k.transpose(-2, -1)) * self.scale).softmax(dim=-1)
         out = attn @ v
         out = torch.movedim(out, -3, -2).reshape(*lead, S, C)
@@ -222,10 +244,13 @@ class OracleMlp(nn.Module):
 
 class OracleScaleBlock(nn.Module):
     def __init__(self, dim, num_heads, mlp_ratio=4.0, init_values=None,
-                 scale=None, eps=1e-6):
+                 scale=None, eps=1e-6, qk_norm=False):
         super().__init__()
         self.norm1 = nn.LayerNorm(dim, eps=eps)
-        self.attn = OracleAttention(dim, num_heads, scale)
+        # Q9: q/k norms created (when attn_drop_rate>0) but NEVER applied
+        # in the scale pass
+        self.attn = OracleAttention(dim, num_heads, scale, qk_norm=qk_norm,
+                                    apply_qk_norm=False)
         self.norm2 = nn.LayerNorm(dim, eps=eps)
         self.mlp = OracleMlp(dim, int(dim * mlp_ratio))
         if init_values is not None:
@@ -245,11 +270,13 @@ class OracleScaleBlock(nn.Module):
 
 
 class OraclePatchBlock(nn.Module):
-    """Bare attention, no residual/MLP (scale_attention.py:214-236)."""
+    """Bare attention, no residual/MLP (scale_attention.py:214-236).
+    AttentionForPatch DOES apply q/k norms when present (:201)."""
 
-    def __init__(self, dim, num_heads):
+    def __init__(self, dim, num_heads, qk_norm=False):
         super().__init__()
-        self.attn = OracleAttention(dim, num_heads)
+        self.attn = OracleAttention(dim, num_heads, qk_norm=qk_norm,
+                                    apply_qk_norm=True)
 
     def forward(self, x):
         return self.attn(x)
@@ -293,14 +320,17 @@ def regroup_tokens(proj_feats, stages):
 
 class OracleMultiscaleFormer(nn.Module):
     def __init__(self, depth, scales, num_heads, embed_dim, num_classes,
-                 mlp_ratio=4.0, init_values=None, num_patches=49):
+                 mlp_ratio=4.0, init_values=None, num_patches=49,
+                 qk_norm=False):
         super().__init__()
         S1 = 1 + sum(4 ** i for i in range(scales))
         self.scaleBlocks = nn.Sequential(*[
-            OracleScaleBlock(embed_dim, num_heads, mlp_ratio, init_values)
+            OracleScaleBlock(embed_dim, num_heads, mlp_ratio, init_values,
+                             qk_norm=qk_norm)
             for _ in range(depth)])
         self.blocks = nn.Sequential(*[
-            OraclePatchBlock(embed_dim, num_heads) for _ in range(depth)])
+            OraclePatchBlock(embed_dim, num_heads, qk_norm=qk_norm)
+            for _ in range(depth)])
         self.pos_embed_for_scale = nn.Parameter(torch.randn(1, 1, S1, embed_dim) * 0.04)
         self.cls_token = nn.Parameter(torch.randn(1, 1, embed_dim) * 0.04)
         self.pos_embed = nn.Parameter(torch.randn(1, num_patches + 1, embed_dim) * 0.04)
@@ -322,10 +352,17 @@ class OracleMultiscaleFormer(nn.Module):
 
 
 class OracleMultiscaleBlock(nn.Module):
-    """Two attention param sets; timm-style names qkv1/proj1 + qkv/proj."""
+    """Two attention param sets; timm-style names qkv1/proj1 + qkv/proj.
+
+    qk_norm=True adds blocks.{i}.attn.q_norm/k_norm (the Q9 bug: MyModel's
+    attn_drop_rate=0.1 lands in timm's qk_norm slot, model.py:94,
+    multiscale_attn.py:137) with RANDOMIZED weights; region_pass never
+    applies them (forward_with_region computes qkv manually,
+    multiscale_attn.py:195-219), so parity holds iff the JAX side carries
+    them unapplied too."""
 
     def __init__(self, dim, num_heads, mlp_ratio=4.0, init_values=1e-5,
-                 eps=1e-6):
+                 eps=1e-6, qk_norm=True):
         super().__init__()
         self.norm1 = nn.LayerNorm(dim, eps=eps)
         self.attn = nn.Module()
@@ -333,6 +370,15 @@ class OracleMultiscaleBlock(nn.Module):
         self.attn.proj1 = nn.Linear(dim, dim)
         self.attn.qkv = nn.Linear(dim, 3 * dim)
         self.attn.proj = nn.Linear(dim, dim)
+        if qk_norm:
+            head_dim = dim // num_heads
+            self.attn.q_norm = nn.LayerNorm(head_dim, eps=eps)
+            self.attn.k_norm = nn.LayerNorm(head_dim, eps=eps)
+            with torch.no_grad():
+                self.attn.q_norm.weight.normal_(1.0, 0.1)
+                self.attn.q_norm.bias.normal_(0.0, 0.1)
+                self.attn.k_norm.weight.normal_(1.0, 0.1)
+                self.attn.k_norm.bias.normal_(0.0, 0.1)
         self.norm2 = nn.LayerNorm(dim, eps=eps)
         self.mlp = OracleMlp(dim, int(dim * mlp_ratio))
         self.num_heads = num_heads
@@ -370,11 +416,13 @@ class OracleMultiscaleBlock(nn.Module):
 
 class OracleMultiscaleTransformer(nn.Module):
     def __init__(self, depth, scales, num_heads, embed_dim, num_classes,
-                 mlp_ratio=4.0, init_values=1e-5, num_patches=49):
+                 mlp_ratio=4.0, init_values=1e-5, num_patches=49,
+                 qk_norm=True):
         super().__init__()
         S1 = 1 + sum(4 ** i for i in range(scales))
         self.blocks = nn.Sequential(*[
-            OracleMultiscaleBlock(embed_dim, num_heads, mlp_ratio, init_values)
+            OracleMultiscaleBlock(embed_dim, num_heads, mlp_ratio,
+                                  init_values, qk_norm=qk_norm)
             for _ in range(depth)])
         self.pos_embed_for_scale = nn.Parameter(torch.randn(1, 1, S1, embed_dim) * 0.04)
         self.cls_token = nn.Parameter(torch.randn(1, 1, embed_dim) * 0.02)
@@ -408,7 +456,8 @@ class OracleDuoFormer(nn.Module):
 
     def __init__(self, depth=2, embed_dim=96, num_heads=12, num_classes=2,
                  num_layers=2, proj_dim=96, backbone_depth=50,
-                 scale_token="random", mlp_ratio=4.0, init_values=None):
+                 scale_token="random", mlp_ratio=4.0, init_values=None,
+                 qk_norm=False):
         super().__init__()
         self.num_layers = num_layers
         self.scale_token = scale_token
@@ -425,7 +474,7 @@ class OracleDuoFormer(nn.Module):
                 ch["0"] + ch["1"] + ch["2"] + ch["3"], proj_dim)
         self.vision_transformer = OracleMultiscaleFormer(
             depth, num_layers, num_heads, embed_dim, num_classes,
-            mlp_ratio, init_values)
+            mlp_ratio, init_values, qk_norm=qk_norm)
 
     def forward(self, x):
         feats = self.resnet_projector(x)

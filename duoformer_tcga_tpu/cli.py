@@ -36,9 +36,15 @@ def _build(cfg):
     steps_per_epoch = cfg.train.steps_per_epoch or 100
     total_steps = steps_per_epoch * cfg.train.epochs
     sched = train_lib.onecycle_schedule(cfg.train.lr, total_steps)
-    frozen = (train_lib.backbone_frozen_labels
-              if cfg.model.freeze_backbone and
-              cfg.model.family.startswith("duoformer") else None)
+    if cfg.model.family.startswith("duoformer"):
+        # frozen backbone -> whole subtree frozen; unfrozen fine-tune ->
+        # only the BN running stats leave the optimizer (they update via
+        # bn_stats threading in the train step instead)
+        frozen = (train_lib.backbone_frozen_labels
+                  if cfg.model.freeze_backbone
+                  else train_lib.bn_stat_frozen_labels)
+    else:
+        frozen = None
     opt = train_lib.make_optimizer(sched, cfg.train.weight_decay,
                                    frozen_label_fn=frozen)
     return model, mesh, opt, steps_per_epoch, total_steps
@@ -59,7 +65,10 @@ def cmd_train(cfg, max_steps=None):
         print(f"resumed from step {int(state['step'])}", flush=True)
     state = mesh_lib.replicate(mesh, state)
 
-    step_fn = train_lib.make_train_step(model, opt, mesh=mesh)
+    unfrozen = (not cfg.model.freeze_backbone
+                and cfg.model.family.startswith("duoformer"))
+    step_fn = train_lib.make_train_step(model, opt, mesh=mesh,
+                                        bn_stats=unfrozen)
     import os
     logger = MetricLogger(os.path.join(cfg.train.checkpoint_dir,
                                        "metrics.jsonl"))

@@ -79,29 +79,46 @@ class DuoFormer:
             p["channel_proj"] = self.channel_proj.init(kc)
         return p
 
-    def features(self, params, x, train=False, bn_batch_stats=None):
+    def features(self, params, x, train=False, bn_batch_stats=None,
+                 stats=None):
         """Backbone pyramid; frozen by default (stop_gradient,
         model_wo_extra_params.py:72-75).
 
         BN mode: eval (running stats) by default even in training — a
         deliberate deviation; the reference's model.train() keeps BN in
         batch-stat mode even when frozen. bn_batch_stats=True restores the
-        reference behavior (matters when fine-tuning from checkpoints)."""
+        reference behavior (matters when fine-tuning from checkpoints).
+        stats: optional running-stat collector (ResNetBackbone.apply)."""
         bn_train = bn_batch_stats if bn_batch_stats is not None \
             else (train and not self.freeze_backbone)
-        feats = self.resnet.apply(params["backbone"], x, train=bn_train)
+        feats = self.resnet.apply(params["backbone"], x, train=bn_train,
+                                  stats=stats)
         if self.freeze_backbone:
             feats = jax.tree.map(jax.lax.stop_gradient, feats)
         return feats
 
-    def apply(self, params, x, rng=None, train=False):
-        """x: [B, 224, 224, 3] NHWC -> logits [B, num_classes]."""
+    def apply(self, params, x, rng=None, train=False, bn_stats=None):
+        """x: [B, 224, 224, 3] NHWC -> logits [B, num_classes].
+
+        bn_stats: optional mutable dict. When passed with train=True, every
+        BatchNorm runs on batch statistics and its momentum-updated running
+        stats land in a params-shaped subtree under bn_stats (torch
+        train-mode semantics, main_toy.py:20); merge into params with
+        train.merge_bn_stats — make_train_step(bn_stats=True) does this."""
         B = x.shape[0]
-        feats = self.features(params, x, train=train)
+        bb_stats = {} if bn_stats is not None and train else None
+        feats = self.features(params, x, train=train, stats=bb_stats,
+                              bn_batch_stats=True if bb_stats else None)
+        if bb_stats:
+            bn_stats["backbone"] = bb_stats
 
         if self.scale_token == "channel":
+            cp_stats = {} if bn_stats is not None and train else None
             token = self.channel_proj.apply(params["channel_proj"], feats,
-                                            train=train)      # [B,49,1,C]
+                                            train=train,
+                                            stats=cp_stats)    # [B,49,1,C]
+            if cp_stats:
+                bn_stats["channel_proj"] = cp_stats
         else:
             token = jnp.broadcast_to(
                 params["scale_token"].astype(x.dtype),
@@ -157,15 +174,22 @@ class DuoFormerLegacy:
             "transformer": self.transformer.init(kt),
         }
 
-    def apply(self, params, x, rng=None, train=False):
+    def apply(self, params, x, rng=None, train=False, bn_stats=None):
         B = x.shape[0]
-        bn_train = train and not self.freeze_backbone
-        feats = self.resnet.apply(params["backbone"], x, train=bn_train)
+        bb_stats = {} if bn_stats is not None and train else None
+        bn_train = (train and not self.freeze_backbone) or bool(bb_stats)
+        feats = self.resnet.apply(params["backbone"], x, train=bn_train,
+                                  stats=bb_stats)
+        if bb_stats:
+            bn_stats["backbone"] = bb_stats
         if self.freeze_backbone:
             feats = jax.tree.map(jax.lax.stop_gradient, feats)
         # channel token is ALWAYS computed in MyModel (model.py:279-289)
+        cp_stats = {} if bn_stats is not None and train else None
         token = self.channel_proj.apply(params["channel_proj"], feats,
-                                        train=train)
+                                        train=train, stats=cp_stats)
+        if cp_stats:
+            bn_stats["channel_proj"] = cp_stats
         proj = self.projection.apply(
             params["projection"], {s: feats[s] for s in self.projection.stages})
         tokens = regroup.regroup(proj, regroup.stages_for(self.num_layers))

@@ -100,8 +100,10 @@ class ChannelProjectors:
         p["fuse"] = fuse
         return p
 
-    def apply(self, params, features: dict, train=False) -> jnp.ndarray:
-        """features: raw backbone pyramid {stage: NHWC}. Returns [B,49,1,proj_dim]."""
+    def apply(self, params, features: dict, train=False,
+              stats=None) -> jnp.ndarray:
+        """features: raw backbone pyramid {stage: NHWC}. Returns [B,49,1,proj_dim].
+        stats: optional BN running-stat collector (see ResNetBackbone.apply)."""
         x0 = nn.conv2d(params["l1_conv1"], features["0"], stride=2, padding=1)
         x0 = nn.conv2d(params["l1_conv2"], x0, stride=2, padding=1)
         x0 = nn.maxpool2d(x0)                                    # [B,7,7,c0]
@@ -113,10 +115,17 @@ class ChannelProjectors:
         # (model_wo_extra_params.py:242-244); NHWC cat on axis -1.
         x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
         from .resnet import _bn_or_affine
+        fuse_stats = [] if stats is not None else None
         for layer in params["fuse"]:
             x = nn.conv2d(layer["conv"], x, stride=1, padding=1)
-            x = _bn_or_affine(layer["bn"], x, train=train)
+            layer_stats = {} if stats is not None else None
+            x = _bn_or_affine(layer["bn"], x, train=train,
+                              stats=layer_stats, key="bn")
+            if stats is not None:
+                fuse_stats.append(layer_stats)
             x = nn.relu(x)
+        if stats is not None:
+            stats["fuse"] = fuse_stats
         B = x.shape[0]
         # flatten 7x7 -> 49 tokens; torch flattens (C,H,W)->(C,49) then
         # permutes to [B,49,1,C] (model_wo_extra_params.py:246-247).

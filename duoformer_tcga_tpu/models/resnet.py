@@ -39,12 +39,21 @@ def _conv_init(key, kh, kw, cin, cout, dtype):
     return {"w": init.kaiming_normal_conv_fan_out(key, (kh, kw, cin, cout), dtype)}
 
 
-def _bn_or_affine(p, x, train=False):
+def _bn_or_affine(p, x, train=False, stats=None, key=None):
     """Inference-folded BN params ({scale,bias} only, via fold_bn) apply as
-    a bare affine; full BN params apply normally."""
-    if "mean" in p:
-        return nn.batchnorm(p, x, train=train)
-    return nn.affine(p, x)
+    a bare affine; full BN params apply normally.
+
+    stats: optional mutable dict collector (trace-time). When given and
+    train=True, the BN runs on batch statistics AND writes its
+    momentum-updated running stats into stats[key] — the torch train-mode
+    behavior (reference main_toy.py:20) threaded as explicit state."""
+    if "mean" not in p:
+        return nn.affine(p, x)
+    if stats is not None and train:
+        y, upd = nn.batchnorm_stats(p, x)
+        stats[key] = upd
+        return y
+    return nn.batchnorm(p, x, train=train)
 
 
 def fold_bn(params):
@@ -80,18 +89,22 @@ def _bottleneck_init(key, cin, width, cout, stride, dtype):
     return p
 
 
-def _bottleneck_apply(p, x, stride, train=False):
+def _bottleneck_apply(p, x, stride, train=False, stats=None):
     """torchvision v1.5 bottleneck: stride lives on the 3x3 conv2."""
     idn = x
     y = nn.conv2d(p["conv1"], x, 1, "VALID")
-    y = nn.relu(_bn_or_affine(p["bn1"], y, train=train))
+    y = nn.relu(_bn_or_affine(p["bn1"], y, train=train, stats=stats, key="bn1"))
     y = nn.conv2d(p["conv2"], y, stride, 1)
-    y = nn.relu(_bn_or_affine(p["bn2"], y, train=train))
+    y = nn.relu(_bn_or_affine(p["bn2"], y, train=train, stats=stats, key="bn2"))
     y = nn.conv2d(p["conv3"], y, 1, "VALID")
-    y = _bn_or_affine(p["bn3"], y, train=train)
+    y = _bn_or_affine(p["bn3"], y, train=train, stats=stats, key="bn3")
     if "downsample" in p:
         idn = nn.conv2d(p["downsample"]["conv"], x, stride, "VALID")
-        idn = _bn_or_affine(p["downsample"]["bn"], idn, train=train)
+        ds_stats = {} if stats is not None else None
+        idn = _bn_or_affine(p["downsample"]["bn"], idn, train=train,
+                            stats=ds_stats, key="bn")
+        if stats is not None and ds_stats:
+            stats["downsample"] = ds_stats
     return nn.relu(y + idn)
 
 
@@ -111,15 +124,19 @@ def _basic_init(key, cin, cout, stride, dtype):
     return p
 
 
-def _basic_apply(p, x, stride, train=False):
+def _basic_apply(p, x, stride, train=False, stats=None):
     idn = x
     y = nn.conv2d(p["conv1"], x, stride, 1)
-    y = nn.relu(_bn_or_affine(p["bn1"], y, train=train))
+    y = nn.relu(_bn_or_affine(p["bn1"], y, train=train, stats=stats, key="bn1"))
     y = nn.conv2d(p["conv2"], y, 1, 1)
-    y = _bn_or_affine(p["bn2"], y, train=train)
+    y = _bn_or_affine(p["bn2"], y, train=train, stats=stats, key="bn2")
     if "downsample" in p:
         idn = nn.conv2d(p["downsample"]["conv"], x, stride, "VALID")
-        idn = _bn_or_affine(p["downsample"]["bn"], idn, train=train)
+        ds_stats = {} if stats is not None else None
+        idn = _bn_or_affine(p["downsample"]["bn"], idn, train=train,
+                            stats=ds_stats, key="bn")
+        if stats is not None and ds_stats:
+            stats["downsample"] = ds_stats
     return nn.relu(y + idn)
 
 
@@ -156,17 +173,29 @@ class ResNetBackbone:
             p[f"layer{si + 1}"] = blocks
         return p
 
-    def apply(self, params, x, train=False):
-        """x: [B, 224, 224, 3] NHWC -> stage feature dict."""
+    def apply(self, params, x, train=False, stats=None):
+        """x: [B, 224, 224, 3] NHWC -> stage feature dict.
+
+        stats: optional mutable dict; when given with train=True every BN
+        runs on batch statistics and its momentum-updated running stats
+        land in a params-shaped subtree (merge back with
+        utils.checkpoint.merge_tree / train-step bn_stats support)."""
         block_apply = _bottleneck_apply if self.kind == "bottleneck" else _basic_apply
         y = nn.conv2d(params["conv1"], x, 2, 3)
-        y = nn.relu(_bn_or_affine(params["bn1"], y, train=train))
+        y = nn.relu(_bn_or_affine(params["bn1"], y, train=train,
+                                  stats=stats, key="bn1"))
         y = nn.maxpool2d(y, window=3, stride=2, padding=1)
         features = {}
         for si in range(4):
+            layer_stats = [] if stats is not None else None
             for bi, blk in enumerate(params[f"layer{si + 1}"]):
                 stride = 2 if (si > 0 and bi == 0) else 1
-                y = block_apply(blk, y, stride, train=train)
+                blk_stats = {} if stats is not None else None
+                y = block_apply(blk, y, stride, train=train, stats=blk_stats)
+                if stats is not None:
+                    layer_stats.append(blk_stats)
+            if stats is not None:
+                stats[f"layer{si + 1}"] = layer_stats
             features[str(si)] = y
         return features
 

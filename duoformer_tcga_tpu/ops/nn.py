@@ -170,6 +170,37 @@ def batchnorm(params, x, eps=1e-5, train=False):
     return y.astype(x.dtype)
 
 
+def batchnorm_stats(params, x, eps=1e-5, momentum=0.1):
+    """Train-mode BN that ALSO returns momentum-updated running stats —
+    the torch nn.BatchNorm2d train() behavior the reference relies on
+    (main_toy.py:20 keeps BN in batch-stat mode every step; torchvision
+    momentum 0.1). Normalization uses the biased batch variance; the
+    running-var update uses the UNBIASED one (Bessel), exactly as torch.
+
+    Returns (y, {"mean": new_running_mean, "var": new_running_var}) with
+    the updates stop_gradient'ed (they are state, not a differentiable
+    path)."""
+    xf = x.astype(jnp.float32)
+    axes = tuple(range(x.ndim - 1))
+    n = 1
+    for a in axes:
+        n *= x.shape[a]
+    mean = jnp.mean(xf, axis=axes)
+    var = jnp.mean(jnp.square(xf - mean), axis=axes)
+    inv = jax.lax.rsqrt(var + eps) * params["scale"].astype(jnp.float32)
+    y = ((xf - mean) * inv + params["bias"].astype(jnp.float32)).astype(x.dtype)
+    var_unbiased = var * (n / max(n - 1, 1))
+    upd = {
+        "mean": jax.lax.stop_gradient(
+            (1 - momentum) * params["mean"].astype(jnp.float32)
+            + momentum * mean).astype(params["mean"].dtype),
+        "var": jax.lax.stop_gradient(
+            (1 - momentum) * params["var"].astype(jnp.float32)
+            + momentum * var_unbiased).astype(params["var"].dtype),
+    }
+    return y, upd
+
+
 def fold_batchnorm(bn_params, eps=1e-5):
     """Fold inference BN into a per-channel (scale, bias) pair so XLA fuses it
     into the preceding conv. Returns dict usable with `affine`."""

@@ -54,11 +54,44 @@ def make_optimizer(schedule, weight_decay: float = 1e-4,
         {"train": adam_l2, "frozen": optax.set_to_zero()}, frozen_label_fn)
 
 
+def _label_tree(params: Dict, freeze_backbone: bool) -> Dict:
+    """"train"/"frozen" labels: the backbone subtree when freeze_backbone
+    (model_wo_extra_params.py:72-75), plus EVERY BatchNorm running stat
+    (mean/var) — torch treats those as buffers, never optimizer targets;
+    in eval-mode BN the loss depends on them, so without this label Adam
+    and weight decay would silently train them."""
+    def label(path, _leaf):
+        keys = [getattr(p, "key", getattr(p, "name", None)) for p in path]
+        if freeze_backbone and keys and keys[0] == "backbone":
+            return "frozen"
+        if keys and keys[-1] in ("mean", "var"):
+            return "frozen"
+        return "train"
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
 def backbone_frozen_labels(params: Dict) -> Dict:
-    """Label tree marking the backbone subtree frozen
-    (model_wo_extra_params.py:72-75)."""
-    return {k: jax.tree.map(lambda _: "frozen" if k == "backbone" else "train", v)
-            for k, v in params.items()}
+    """Labels for the frozen-backbone configs (every release preset)."""
+    return _label_tree(params, freeze_backbone=True)
+
+
+def bn_stat_frozen_labels(params: Dict) -> Dict:
+    """Labels for unfrozen fine-tuning: only BN running stats excluded
+    from the optimizer (they update via bn_stats threading instead)."""
+    return _label_tree(params, freeze_backbone=False)
+
+
+def merge_bn_stats(params, stats):
+    """Deep-merge a bn_stats collector subtree (params-shaped, sparse)
+    into the parameter tree, replacing the matched mean/var leaves."""
+    if isinstance(stats, dict) and isinstance(params, dict):
+        out = dict(params)
+        for k, v in stats.items():
+            out[k] = merge_bn_stats(params[k], v)
+        return out
+    if isinstance(stats, list) and isinstance(params, list):
+        return [merge_bn_stats(p, s) for p, s in zip(params, stats)]
+    return stats
 
 
 def cross_entropy(logits, labels):
@@ -79,27 +112,41 @@ def init_train_state(model, key, optimizer) -> Dict[str, Any]:
     }
 
 
-def make_train_step(model, optimizer, mesh=None, donate=True):
+def make_train_step(model, optimizer, mesh=None, donate=True,
+                    bn_stats=False):
     """Returns jitted (state, batch, rng) -> (state, metrics).
 
     batch: {"image": [B,224,224,3], "label": [B]} — shard the batch dim
     with parallel.mesh.shard_batch; params/opt_state replicated. XLA turns
-    the gradient reduction into an ICI all-reduce automatically."""
+    the gradient reduction into an ICI all-reduce automatically.
+
+    bn_stats=True threads torch-style BatchNorm running-stat updates
+    (momentum 0.1) through the step as explicit state: the forward runs BN
+    on batch statistics and the updated running stats are merged into
+    params after the optimizer update (the reference's model.train()
+    semantics, main_toy.py:20). Use with bn_stat_frozen_labels (or the
+    default backbone_frozen_labels) so the optimizer never touches
+    mean/var."""
 
     def loss_fn(params, batch, rng):
-        logits = model.apply(params, batch["image"], rng=rng, train=True)
+        stats = {} if bn_stats else None
+        kwargs = {"bn_stats": stats} if bn_stats else {}
+        logits = model.apply(params, batch["image"], rng=rng, train=True,
+                             **kwargs)
         loss = cross_entropy(logits, batch["label"])
-        return loss, logits
+        return loss, (logits, stats)
 
     def step(state, batch, rng):
         # fold the step counter in so dropout masks differ per step even
         # though the caller passes a fixed key
         rng = jax.random.fold_in(rng, state["step"])
-        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state["params"], batch, rng)
+        (loss, (logits, stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state["params"], batch, rng)
         updates, opt_state = optimizer.update(grads, state["opt_state"],
                                               state["params"])
         params = optax.apply_updates(state["params"], updates)
+        if bn_stats and stats:
+            params = merge_bn_stats(params, stats)
         metrics = {"loss": loss, "accuracy": accuracy(logits, batch["label"])}
         return {"params": params, "opt_state": opt_state,
                 "step": state["step"] + 1}, metrics

@@ -34,10 +34,14 @@ import jax.numpy as jnp
 
 
 def _t(x) -> np.ndarray:
-    """torch tensor / array-like -> numpy float array."""
+    """torch tensor / array-like -> numpy array (always a COPY: .numpy()
+    shares storage with the tensor, and jnp.asarray on CPU can be
+    zero-copy, so without the copy a later in-place torch mutation — e.g.
+    a train-mode BN updating running_mean — would silently change the
+    converted params)."""
     if hasattr(x, "detach"):
         x = x.detach().cpu().numpy()
-    return np.asarray(x)
+    return np.array(x)
 
 
 def _linear(sd, prefix):

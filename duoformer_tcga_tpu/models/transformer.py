@@ -84,6 +84,10 @@ def _can_megafuse(p, attn_drop, proj_drop, drop_path, train, C, num_heads,
     residual (no LayerScale/DropPath/dropout active), no APPLIED qk-norm
     (carried-but-unused Q9 weights stay eligible), lane-aligned dims, TPU
     fused path enabled."""
+    if attn_ops._FORCE_XLA:      # TP tracing: kernels cannot partition
+        return False
+    if "w_q" in p.get("attn", {}).get("qkv", {}):
+        return True              # int8 serving weights are fused-only
     if "ls1" in p or (apply_qk_norm and "q_norm" in p.get("attn", {})):
         return False
     if train and (attn_drop > 0.0 or proj_drop > 0.0 or mlp_drop > 0.0):
@@ -130,13 +134,24 @@ def scale_block_apply(p, x, num_heads, scale=None, ln_eps=1e-6,
             n_seg *= d
         attn_p = p["attn"]
         head_dim = C // num_heads
-        x = pa.fused_attention_residual(
-            x.reshape(n_seg, S, C), p["norm1"]["scale"], p["norm1"]["bias"],
-            attn_p["qkv"]["w"].astype(x.dtype),
-            attn_p["qkv"].get("b", jnp.zeros((3 * C,), x.dtype)),
-            attn_p["proj"]["w"].astype(x.dtype),
-            attn_p["proj"].get("b", jnp.zeros((C,), x.dtype)),
-            num_heads, S, head_dim ** -0.5, ln_eps).reshape(*lead, S, C)
+        if "w_q" in attn_p["qkv"]:
+            # opt-in int8 serving weights (ops/quantize.py): a8w8 qkv/proj
+            x = pa.fused_attention_residual_int8(
+                x.reshape(n_seg, S, C), p["norm1"]["scale"],
+                p["norm1"]["bias"],
+                attn_p["qkv"]["w_q"], attn_p["qkv"]["w_scale"],
+                attn_p["qkv"].get("b", jnp.zeros((3 * C,), x.dtype)),
+                attn_p["proj"]["w_q"], attn_p["proj"]["w_scale"],
+                attn_p["proj"].get("b", jnp.zeros((C,), x.dtype)),
+                num_heads, S, head_dim ** -0.5, ln_eps).reshape(*lead, S, C)
+        else:
+            x = pa.fused_attention_residual(
+                x.reshape(n_seg, S, C), p["norm1"]["scale"], p["norm1"]["bias"],
+                attn_p["qkv"]["w"].astype(x.dtype),
+                attn_p["qkv"].get("b", jnp.zeros((3 * C,), x.dtype)),
+                attn_p["proj"]["w"].astype(x.dtype),
+                attn_p["proj"].get("b", jnp.zeros((C,), x.dtype)),
+                num_heads, S, head_dim ** -0.5, ln_eps).reshape(*lead, S, C)
         # MLP half fused too (same eligibility): kills the 4C-wide hidden
         # activation's HBM round-trip
         from ..ops import pallas_attention as pa

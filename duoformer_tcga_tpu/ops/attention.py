@@ -71,7 +71,27 @@ def _sdpa(q, k, v, scale, attn_drop=0.0, rng=None, train=False):
     return out.astype(v.dtype)
 
 
+import contextlib
 import os
+
+# Trace-time override: pallas_call does not partition over sharded
+# operands, so SPMD tensor-parallel tracing must take the XLA attention
+# path (the partitioner handles sharded einsums + collectives). Engaged by
+# force_xla_path(), e.g. from make_train_step when the mesh has a model
+# axis > 1 — it outranks even DUOFORMER_FUSED_ATTN=1.
+_FORCE_XLA = False
+
+
+@contextlib.contextmanager
+def force_xla_path():
+    """Disable every fused Pallas path for code traced inside this block."""
+    global _FORCE_XLA
+    prev = _FORCE_XLA
+    _FORCE_XLA = True
+    try:
+        yield
+    finally:
+        _FORCE_XLA = prev
 
 
 def _use_fused(params, attn_drop, train, C=None, apply_qk_norm=True):
@@ -80,6 +100,10 @@ def _use_fused(params, attn_drop, train, C=None, apply_qk_norm=True):
     eligible), no active attention dropout, lane-aligned feature dim
     (hardware-validated at head_dim 64). Env override
     DUOFORMER_FUSED_ATTN=0/1 (read per-call so tests can toggle it)."""
+    if _FORCE_XLA:
+        return False
+    if "w_q" in params.get("qkv", {}):
+        return True    # int8 serving weights exist only on the fused path
     env = os.environ.get("DUOFORMER_FUSED_ATTN")
     if env == "0":
         return False
@@ -128,13 +152,23 @@ def multihead_attention(params, x, num_heads, scale=None, attn_drop=0.0,
         for d in lead:
             n_seg *= d
         zeros_c = jnp.zeros((C,), x.dtype)
-        out = pa.fused_attention_residual(
-            x.reshape(n_seg, S, C), zeros_c, zeros_c,
-            params["qkv"]["w"].astype(x.dtype),
-            params["qkv"].get("b", jnp.zeros((3 * C,), x.dtype)),
-            params["proj"]["w"].astype(x.dtype),
-            params["proj"].get("b", zeros_c),
-            num_heads, S, float(scale), 1e-6, False, False)
+        if "w_q" in params["qkv"]:
+            # int8 serving weights (ops/quantize.quantize_attention_weights)
+            out = pa.fused_attention_residual_int8(
+                x.reshape(n_seg, S, C), zeros_c, zeros_c,
+                params["qkv"]["w_q"], params["qkv"]["w_scale"],
+                params["qkv"].get("b", jnp.zeros((3 * C,), x.dtype)),
+                params["proj"]["w_q"], params["proj"]["w_scale"],
+                params["proj"].get("b", zeros_c),
+                num_heads, S, float(scale), 1e-6, False, False)
+        else:
+            out = pa.fused_attention_residual(
+                x.reshape(n_seg, S, C), zeros_c, zeros_c,
+                params["qkv"]["w"].astype(x.dtype),
+                params["qkv"].get("b", jnp.zeros((3 * C,), x.dtype)),
+                params["proj"]["w"].astype(x.dtype),
+                params["proj"].get("b", zeros_c),
+                num_heads, S, float(scale), 1e-6, False, False)
         out = out.reshape(*lead, S, C)
         out = nn.dropout(out, proj_drop, r2, train)
         return out

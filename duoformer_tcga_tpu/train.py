@@ -16,11 +16,30 @@ from __future__ import annotations
 
 from typing import Any, Dict
 
+import contextlib
+import warnings
+
 import jax
 import jax.numpy as jnp
 import optax
 
+from .ops import attention as attn_ops
 from .parallel import mesh as mesh_lib
+
+_nullcontext = contextlib.nullcontext
+
+
+def _tp_active(mesh) -> bool:
+    return (mesh is not None
+            and mesh.shape.get(mesh_lib.MODEL_AXIS, 1) > 1)
+
+
+def _warn_tp_fused_disabled(where: str) -> None:
+    warnings.warn(
+        f"{where}: mesh has model_parallel>1 — fused Pallas kernels do not "
+        f"partition over sharded operands, so the XLA attention path is "
+        f"used for this step (DUOFORMER_FUSED_ATTN/MEGAFUSE ignored)",
+        stacklevel=3)
 
 
 def onecycle_schedule(peak_lr: float, total_steps: int, pct_start: float = 0.3,
@@ -126,13 +145,24 @@ def make_train_step(model, optimizer, mesh=None, donate=True,
     params after the optimizer update (the reference's model.train()
     semantics, main_toy.py:20). Use with bn_stat_frozen_labels (or the
     default backbone_frozen_labels) so the optimizer never touches
-    mean/var."""
+    mean/var.
+
+    Tensor parallelism: when the mesh has a model axis > 1, the fused
+    Pallas kernels are force-disabled for this step's trace (pallas_call
+    does not partition over sharded operands) — the XLA path + SPMD
+    partitioner handle the TP layout. This happens regardless of
+    DUOFORMER_FUSED_ATTN/DUOFORMER_MEGAFUSE."""
+    tp = _tp_active(mesh)
+    if tp:
+        _warn_tp_fused_disabled("make_train_step")
 
     def loss_fn(params, batch, rng):
         stats = {} if bn_stats else None
         kwargs = {"bn_stats": stats} if bn_stats else {}
-        logits = model.apply(params, batch["image"], rng=rng, train=True,
-                             **kwargs)
+        ctx = attn_ops.force_xla_path() if tp else _nullcontext()
+        with ctx:
+            logits = model.apply(params, batch["image"], rng=rng,
+                                 train=True, **kwargs)
         loss = cross_entropy(logits, batch["label"])
         return loss, (logits, stats)
 
@@ -165,10 +195,17 @@ def make_train_step(model, optimizer, mesh=None, donate=True,
 
 def make_eval_step(model, mesh=None):
     """Returns jitted (params, batch) -> metrics (loss, accuracy, and the
-    summed correct-count for exact multi-batch aggregation)."""
+    summed correct-count for exact multi-batch aggregation). Under
+    model_parallel>1 the fused kernels are force-disabled (see
+    make_train_step)."""
+    tp = _tp_active(mesh)
+    if tp:
+        _warn_tp_fused_disabled("make_eval_step")
 
     def step(params, batch):
-        logits = model.apply(params, batch["image"], train=False)
+        ctx = attn_ops.force_xla_path() if tp else _nullcontext()
+        with ctx:
+            logits = model.apply(params, batch["image"], train=False)
         return {
             "loss": cross_entropy(logits, batch["label"]),
             "accuracy": accuracy(logits, batch["label"]),

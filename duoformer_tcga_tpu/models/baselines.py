@@ -60,18 +60,47 @@ class HybridModel:
 
 
 class ViTBase16:
-    """Plain-ViT baseline wrapper (model.py:415-446). model_type='ViT'
-    builds from scratch; the reference's timm-pretrained types map to
-    loading converted weights into the same structure."""
+    """ViT/ R50-ViT hybrid baseline wrapper (model.py:415-446).
+
+    model_type mirrors the reference:
+      * 'ViT'               — plain ViT-B/16 from scratch (model.py:418-419)
+      * 'ViTPretrained' /
+        'R50ViTPretrained'  — timm `vit_base_r50_s16_224_in21k`: ResNetV2
+        (3,4,9) stem -> 14x14 grid -> ViT-B (model.py:420-428)
+      * 'R50ViT'            — timm
+        `vit_small_r26_s32_224.augreg_in21k_ft_in1k`: ResNetV2 (2,2,2,2)
+        stem -> 7x7 grid -> ViT-S/384/6 heads (model.py:430-438)
+
+    The timm-pretrained weights themselves need network egress; here the
+    structures build from scratch and `utils.torch_convert.convert_timm_hybrid`
+    loads a timm hybrid state_dict when one is provided locally."""
 
     def __init__(self, n_classes=100, model_type="ViT", dtype=jnp.float32):
+        from .resnetv2 import HybridViT
+
         self.name = model_type
-        self.vit = VisionTransformer(patch_size=16, depth=12, embed_dim=768,
-                                     num_heads=12, num_classes=n_classes,
-                                     dtype=dtype)
+        if model_type == "ViT":
+            self.vit = VisionTransformer(patch_size=16, depth=12,
+                                         embed_dim=768, num_heads=12,
+                                         num_classes=n_classes, dtype=dtype)
+            self.hybrid = None
+        elif model_type in ("ViTPretrained", "R50ViTPretrained"):
+            self.hybrid = HybridViT(layers=(3, 4, 9), embed_dim=768,
+                                    depth=12, num_heads=12,
+                                    num_classes=n_classes, dtype=dtype)
+        elif model_type == "R50ViT":
+            self.hybrid = HybridViT(layers=(2, 2, 2, 2), embed_dim=384,
+                                    depth=12, num_heads=6,
+                                    num_classes=n_classes, dtype=dtype)
+        else:
+            raise ValueError(f"unknown ViTBase16 model_type: {model_type}")
 
     def init(self, key):
+        if self.hybrid is not None:
+            return {"model": self.hybrid.init(key)}
         return {"model": self.vit.init(key)}
 
     def apply(self, params, x, rng=None, train=False):
+        if self.hybrid is not None:
+            return self.hybrid.apply(params["model"], x, rng, train)
         return self.vit.apply(params["model"], x, rng, train)

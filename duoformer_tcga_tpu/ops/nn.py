@@ -201,6 +201,38 @@ def batchnorm_stats(params, x, eps=1e-5, momentum=0.1):
     return y, upd
 
 
+def groupnorm_init(ch, dtype=jnp.float32):
+    return {"scale": init.ones((ch,), dtype), "bias": init.zeros((ch,), dtype)}
+
+
+def groupnorm(params, x, groups=32, eps=1e-5):
+    """GroupNorm over NHWC (torch nn.GroupNorm semantics: normalize each
+    group of channels over (H, W, C/g) per sample). Used by the timm
+    ResNetV2 hybrid stems (vit_base_r50_s16 etc., GroupNormAct 32)."""
+    N, H, W, C = x.shape
+    g = groups
+    xf = x.astype(jnp.float32).reshape(N, H * W, g, C // g)
+    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y.reshape(N, H, W, C)
+    y = y * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def stdconv2d(params, x, stride=1, padding="SAME", eps=1e-8):
+    """Weight-standardized conv (timm StdConv2dSame, eps 1e-8): the HWIO
+    kernel is standardized per OUTPUT channel over (H, W, I) at every
+    forward — the BiT / ViT-hybrid stem convolution."""
+    w = params["w"].astype(jnp.float32)
+    mean = jnp.mean(w, axis=(0, 1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(w - mean), axis=(0, 1, 2), keepdims=True)
+    w_hat = (w - mean) * jax.lax.rsqrt(var + eps)
+    p = dict(params)
+    p["w"] = w_hat
+    return conv2d(p, x, stride=stride, padding=padding)
+
+
 def fold_batchnorm(bn_params, eps=1e-5):
     """Fold inference BN into a per-channel (scale, bias) pair so XLA fuses it
     into the preceding conv. Returns dict usable with `affine`."""

@@ -270,6 +270,53 @@ def convert_vit(sd: Dict, depth: int = 12, prefix: str = "",
     return p
 
 
+def _groupnorm(sd, prefix):
+    return {"scale": _t(sd[f"{prefix}.weight"]), "bias": _t(sd[f"{prefix}.bias"])}
+
+
+def convert_resnetv2(sd: Dict, layers, prefix: str = "") -> Dict:
+    """timm ResNetV2 trunk state_dict (stem.conv/stem.norm/
+    stages.{s}.blocks.{b}.{convN,normN,downsample.*}) -> ResNetV2Trunk
+    params. Weight standardization is applied at forward time, so weights
+    convert raw."""
+    g = lambda k: f"{prefix}{k}"
+    p = {"stem": {"conv": _conv(sd, g("stem.conv")),
+                  "norm": _groupnorm(sd, g("stem.norm"))}}
+    stages = []
+    for si, nblocks in enumerate(layers):
+        blocks = []
+        for bi in range(nblocks):
+            pre = g(f"stages.{si}.blocks.{bi}")
+            blk = {}
+            for ci in range(1, 4):
+                blk[f"conv{ci}"] = _conv(sd, f"{pre}.conv{ci}")
+                blk[f"norm{ci}"] = _groupnorm(sd, f"{pre}.norm{ci}")
+            if f"{pre}.downsample.conv.weight" in sd:
+                blk["downsample"] = {
+                    "conv": _conv(sd, f"{pre}.downsample.conv"),
+                    "norm": _groupnorm(sd, f"{pre}.downsample.norm"),
+                }
+            blocks.append(blk)
+        stages.append({"blocks": blocks})
+    p["stages"] = stages
+    return p
+
+
+def convert_timm_hybrid(sd: Dict, model) -> Dict:
+    """timm R50/R26-ViT hybrid state_dict -> baselines.ViTBase16 params
+    (hybrid types). Layout: patch_embed.backbone.* (ResNetV2),
+    patch_embed.proj (1x1 embed conv), cls_token/pos_embed/blocks/norm/head
+    (plain timm ViT)."""
+    hybrid = model.hybrid
+    vit = convert_vit(sd, hybrid.vit.depth, prefix="", patch_embed=False)
+    vit["patch_embed"] = _conv(sd, "patch_embed.proj")
+    return {"model": {
+        "backbone": convert_resnetv2(sd, hybrid.trunk.layers,
+                                     prefix="patch_embed.backbone."),
+        "vit": vit,
+    }}
+
+
 def convert_hybrid(sd: Dict, model) -> Dict:
     """HybridModel state_dict -> baselines.HybridModel params
     (model.py:344-412: r18 trunk + 1x1 projection + patch-embed-bypassed

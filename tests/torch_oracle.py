@@ -524,6 +524,131 @@ class OracleHybridModel(nn.Module):
         return vt.head(tokens[:, 0, :])
 
 
+# ---------------------------------------------------------------------------
+# timm R50/R26-ViT hybrid (ResNetV2 stem: StdConv + GroupNorm + TF-SAME)
+# ---------------------------------------------------------------------------
+
+def _same_pad(x, k, s):
+    """TF-'SAME' asymmetric padding for a kxk window with stride s."""
+    n_h, n_w = x.shape[-2], x.shape[-1]
+    def pads(n):
+        total = max((-(-n // s) - 1) * s + k - n, 0)
+        return total // 2, total - total // 2
+    ph = pads(n_h)
+    pw = pads(n_w)
+    return nn.functional.pad(x, (pw[0], pw[1], ph[0], ph[1]))
+
+
+class OracleStdConvSame(nn.Conv2d):
+    """timm StdConv2dSame: per-out-channel weight standardization
+    (eps 1e-8, biased variance) + TF-SAME padding."""
+
+    def __init__(self, cin, cout, k, stride=1):
+        super().__init__(cin, cout, k, stride=stride, bias=False)
+
+    def forward(self, x):
+        w = self.weight
+        mean = w.mean(dim=(1, 2, 3), keepdim=True)
+        var = w.var(dim=(1, 2, 3), unbiased=False, keepdim=True)
+        w = (w - mean) / torch.sqrt(var + 1e-8)
+        x = _same_pad(x, self.kernel_size[0], self.stride[0])
+        return nn.functional.conv2d(x, w, None, self.stride)
+
+
+class OracleV2Bottleneck(nn.Module):
+    """timm resnetv2.Bottleneck, preact=False (the ViT-hybrid variant)."""
+
+    def __init__(self, cin, mid, cout, stride):
+        super().__init__()
+        self.conv1 = OracleStdConvSame(cin, mid, 1)
+        self.norm1 = nn.GroupNorm(32, mid)
+        self.conv2 = OracleStdConvSame(mid, mid, 3, stride=stride)
+        self.norm2 = nn.GroupNorm(32, mid)
+        self.conv3 = OracleStdConvSame(mid, cout, 1)
+        self.norm3 = nn.GroupNorm(32, cout)
+        if stride != 1 or cin != cout:
+            ds = nn.Module()
+            ds.conv = OracleStdConvSame(cin, cout, 1, stride=stride)
+            ds.norm = nn.GroupNorm(32, cout)
+            self.downsample = ds
+        else:
+            self.downsample = None
+        self.relu = nn.ReLU()
+
+    def forward(self, x):
+        shortcut = x
+        if self.downsample is not None:
+            shortcut = self.downsample.norm(self.downsample.conv(x))
+        y = self.relu(self.norm1(self.conv1(x)))
+        y = self.relu(self.norm2(self.conv2(y)))
+        y = self.norm3(self.conv3(y))
+        return self.relu(y + shortcut)
+
+
+class OracleResNetV2Trunk(nn.Module):
+    def __init__(self, layers=(3, 4, 9)):
+        super().__init__()
+        stem = nn.Module()
+        stem.conv = OracleStdConvSame(3, 64, 7, stride=2)
+        stem.norm = nn.GroupNorm(32, 64)
+        self.stem = stem
+        outs = [256, 512, 1024, 2048][:len(layers)]
+        cin = 64
+        stages = []
+        for si, (n, cout) in enumerate(zip(layers, outs)):
+            blocks = []
+            for bi in range(n):
+                stride = 2 if (si > 0 and bi == 0) else 1
+                blocks.append(OracleV2Bottleneck(cin, cout // 4, cout, stride))
+                cin = cout
+            st = nn.Module()
+            st.blocks = nn.Sequential(*blocks)
+            stages.append(st)
+        self.stages = nn.ModuleList(stages)
+        self.relu = nn.ReLU()
+
+    def forward(self, x):
+        y = self.relu(self.stem.norm(self.stem.conv(x)))
+        y = _same_pad(y, 3, 2)
+        y = nn.functional.max_pool2d(y, 3, 2)
+        for st in self.stages:
+            y = st.blocks(y)
+        return y
+
+
+class OracleTimmHybridViT(nn.Module):
+    """vit_base_r50_s16_224 / vit_small_r26_s32_224 structural twin with
+    timm state_dict keys (patch_embed.backbone.*, patch_embed.proj,
+    cls_token, pos_embed, blocks.{i}, norm, head)."""
+
+    def __init__(self, layers=(3, 4, 9), embed_dim=768, depth=12,
+                 num_heads=12, num_classes=10, img_size=224):
+        super().__init__()
+        pe = nn.Module()
+        pe.backbone = OracleResNetV2Trunk(layers)
+        cbb = [256, 512, 1024, 2048][len(layers) - 1]
+        pe.proj = nn.Conv2d(cbb, embed_dim, 1)
+        self.patch_embed = pe
+        grid = img_size // (4 * 2 ** (len(layers) - 1))
+        self.cls_token = nn.Parameter(torch.randn(1, 1, embed_dim) * 0.02)
+        self.pos_embed = nn.Parameter(
+            torch.randn(1, grid * grid + 1, embed_dim) * 0.02)
+        self.blocks = nn.Sequential(*[
+            OracleScaleBlock(embed_dim, num_heads) for _ in range(depth)])
+        self.norm = nn.LayerNorm(embed_dim, eps=1e-6)
+        self.head = nn.Linear(embed_dim, num_classes)
+
+    def forward(self, x):
+        y = self.patch_embed.proj(self.patch_embed.backbone(x))
+        tokens = y.flatten(2).transpose(1, 2)
+        cls = self.cls_token.expand(tokens.shape[0], -1, -1)
+        tokens = torch.cat([cls, tokens], dim=1) + self.pos_embed
+        for blk in self.blocks:
+            tokens = blk(tokens)
+        tokens = self.norm(tokens)
+        return self.head(tokens[:, 0, :])
+
+
 class OracleDuoFormerLegacy(nn.Module):
     """MyModel twin: always-derived channel token + MultiscaleTransformer."""
 

@@ -75,13 +75,12 @@ def cmd_train(cfg, max_steps=None):
     bsh = mesh_lib.batch_sharding(mesh)
     dtype = getattr(jnp, cfg.model.dtype)
 
-    def batches():
-        for raw in data_lib.synthetic_tiles(cfg.train.batch_size,
-                                            cfg.model.num_classes,
-                                            seed=cfg.train.seed):
-            yield raw
-
-    loader = data_lib.PrefetchLoader(batches(), sharding=bsh)
+    from .data import folder as folder_lib
+    batches = folder_lib.open_dataset(cfg.train.dataset,
+                                      cfg.train.batch_size,
+                                      num_classes=cfg.model.num_classes,
+                                      seed=cfg.train.seed)
+    loader = data_lib.PrefetchLoader(batches, sharding=bsh)
     rng = mesh_lib.replicate(mesh, jax.random.PRNGKey(cfg.train.seed + 1))
 
     start = int(jax.device_get(state["step"]))
@@ -90,14 +89,26 @@ def cmd_train(cfg, max_steps=None):
         out_shardings=bsh)
     eval_fn = train_lib.make_eval_step(model, mesh=mesh)
 
+    def eval_stream(num_batches):
+        """Held-out stream: a reshuffled pass for real datasets, a fixed
+        synthetic stream otherwise."""
+        if cfg.train.dataset not in (None, "", "synthetic"):
+            import itertools
+            it = folder_lib.open_dataset(cfg.train.dataset,
+                                         cfg.train.batch_size,
+                                         num_classes=cfg.model.num_classes,
+                                         seed=cfg.train.seed + 7)
+            return itertools.islice(it, num_batches)
+        return data_lib.synthetic_tiles(cfg.train.batch_size,
+                                        cfg.model.num_classes,
+                                        num_batches=num_batches,
+                                        seed=cfg.train.seed + 7)
+
     def quick_eval(params, num_batches=4):
-        """Held-out eval on a fixed synthetic stream (epoch-end gate,
-        mirroring main_toy.py:131-138's per-epoch test accuracy)."""
+        """Held-out eval (epoch-end gate, mirroring main_toy.py:131-138's
+        per-epoch test accuracy)."""
         correct = total = 0
-        for raw in data_lib.synthetic_tiles(cfg.train.batch_size,
-                                            cfg.model.num_classes,
-                                            num_batches=num_batches,
-                                            seed=cfg.train.seed + 7):
+        for raw in eval_stream(num_batches):
             b = {"image": preprocess(jnp.asarray(raw["image"])),
                  "label": jax.device_put(raw["label"], bsh)}
             m = jax.device_get(eval_fn(params, b))

@@ -1,0 +1,139 @@
+"""Real-data ingestion: image-folder and HDF5 tile datasets.
+
+The reference's driver imports a `dataset` module that does not exist in
+its repo (quirk Q1, /root/reference/main_toy.py:11,107-109). This module
+supplies the decode plug-ins the train/eval CLI needs to run on real data:
+
+  * ImageFolderDataset — torchvision-ImageFolder-style layout
+    (root/<class_name>/*.png|jpg|...), decoded with PIL (plus .npy arrays);
+  * hdf5_tiles — streams {"image","label"} batches from an HDF5 file with
+    "images" [N, H, W, 3] uint8 and "labels" [N] datasets;
+  * open_dataset — one entry point the CLI dispatches on
+    ("synthetic", a directory path, or a .h5/.hdf5 path).
+
+Decoding happens on host threads (PrefetchLoader overlaps it with device
+compute); all numeric work (normalize/resize) stays on device
+(pipeline.preprocess_tiles).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+IMAGE_EXTENSIONS = (".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff",
+                    ".ppm", ".npy")
+
+
+def _decode(path: str, size: Optional[int]) -> np.ndarray:
+    """File -> uint8 [H, W, 3]."""
+    if path.endswith(".npy"):
+        img = np.load(path)
+        if img.ndim == 2:
+            img = np.stack([img] * 3, axis=-1)
+        return np.ascontiguousarray(img[..., :3]).astype(np.uint8)
+    from PIL import Image
+
+    with Image.open(path) as im:
+        im = im.convert("RGB")
+        if size is not None and im.size != (size, size):
+            im = im.resize((size, size), Image.BILINEAR)
+        return np.asarray(im, dtype=np.uint8)
+
+
+class ImageFolderDataset:
+    """root/<class_name>/*.ext -> shuffled uint8 batches.
+
+    Class names map to indices in sorted order (torchvision ImageFolder
+    convention). Images are decoded on demand; pass size to resize on host
+    during decode (device-side resize also exists in pipeline.resize)."""
+
+    def __init__(self, root: str, size: Optional[int] = 224):
+        if not os.path.isdir(root):
+            raise FileNotFoundError(f"dataset root not found: {root}")
+        self.root = root
+        self.size = size
+        classes = sorted(
+            d for d in os.listdir(root)
+            if os.path.isdir(os.path.join(root, d)))
+        if not classes:
+            raise ValueError(f"no class subdirectories under {root}")
+        self.class_to_idx: Dict[str, int] = {c: i for i, c in enumerate(classes)}
+        self.samples: List[Tuple[str, int]] = []
+        for c in classes:
+            cdir = os.path.join(root, c)
+            for fn in sorted(os.listdir(cdir)):
+                if fn.lower().endswith(IMAGE_EXTENSIONS):
+                    self.samples.append((os.path.join(cdir, fn),
+                                         self.class_to_idx[c]))
+        if not self.samples:
+            raise ValueError(f"no images with {IMAGE_EXTENSIONS} under {root}")
+        self.num_classes = len(classes)
+
+    def __len__(self):
+        return len(self.samples)
+
+    def batches(self, batch_size: int, seed: int = 0, shuffle: bool = True,
+                epochs: Optional[int] = None) -> Iterator[Dict]:
+        """Yields {"image": uint8 [B,H,W,3], "label": int32 [B]} forever
+        (or for `epochs` passes). Short final batches are dropped so the
+        jitted step sees one static shape."""
+        rng = np.random.default_rng(seed)
+        epoch = 0
+        while epochs is None or epoch < epochs:
+            order = np.arange(len(self.samples))
+            if shuffle:
+                rng.shuffle(order)
+            for lo in range(0, len(order) - batch_size + 1, batch_size):
+                idx = order[lo:lo + batch_size]
+                imgs = np.stack([_decode(self.samples[i][0], self.size)
+                                 for i in idx])
+                labels = np.asarray([self.samples[i][1] for i in idx],
+                                    np.int32)
+                yield {"image": imgs, "label": labels}
+            epoch += 1
+
+
+def hdf5_tiles(path: str, batch_size: int, seed: int = 0,
+               image_key: str = "images", label_key: str = "labels",
+               epochs: Optional[int] = None) -> Iterator[Dict]:
+    """Stream uint8 tile batches from an HDF5 file (the common packed
+    format for pre-extracted TCGA tiles). Reads are chunked per batch so
+    arbitrarily large files stream from disk."""
+    import h5py
+
+    rng = np.random.default_rng(seed)
+    with h5py.File(path, "r") as f:
+        images = f[image_key]
+        labels = f[label_key][:] if label_key in f else None
+        n = images.shape[0]
+        epoch = 0
+        while epochs is None or epoch < epochs:
+            order = np.arange(n)
+            rng.shuffle(order)
+            for lo in range(0, n - batch_size + 1, batch_size):
+                idx = np.sort(order[lo:lo + batch_size])  # h5py wants sorted
+                batch = {
+                    "image": images[idx].astype(np.uint8),
+                    "label": (labels[idx].astype(np.int32)
+                              if labels is not None
+                              else np.zeros((batch_size,), np.int32)),
+                }
+                yield batch
+            epoch += 1
+
+
+def open_dataset(spec: str, batch_size: int, num_classes: int = 2,
+                 seed: int = 0, size: int = 224) -> Iterator[Dict]:
+    """CLI dispatch: "synthetic" -> generator; *.h5/*.hdf5 -> hdf5_tiles;
+    a directory -> ImageFolderDataset.batches."""
+    from . import pipeline
+
+    if spec in (None, "", "synthetic"):
+        return pipeline.synthetic_tiles(batch_size, num_classes, seed=seed,
+                                        size=size)
+    if spec.endswith((".h5", ".hdf5")):
+        return hdf5_tiles(spec, batch_size, seed=seed)
+    return ImageFolderDataset(spec, size=size).batches(batch_size, seed=seed)

@@ -145,6 +145,61 @@ class WSIReader:
         return len(grid_coords(self.shape[0], self.shape[1], tile, stride))
 
 
+# -- decode plug-ins ---------------------------------------------------------
+
+_WSI_DECODERS = []
+
+
+def register_wsi_decoder(fn):
+    """Register `fn(path) -> uint8 [H, W, 3] plane or None` as a slide
+    decoder (openslide-style hook). Decoders are tried in registration
+    order before the built-ins."""
+    _WSI_DECODERS.append(fn)
+    return fn
+
+
+def open_slide(path: str, shape: Optional[Tuple[int, int, int]] = None,
+               level: int = 0) -> "WSIReader":
+    """Open a slide file as a WSIReader through the decoder chain:
+    registered hooks -> openslide (if importable) -> .npy (memory-mapped)
+    -> PIL images -> raw uint8 memmap (requires `shape`). `level` selects
+    the pyramid level for openslide; built-ins synthesize levels with
+    downsample2x."""
+    for dec in _WSI_DECODERS:
+        plane = dec(path)
+        if plane is not None:
+            return WSIReader(plane=np.asarray(plane, np.uint8))
+    try:
+        import openslide  # real WSI formats (svs/ndpi/...), when installed
+
+        slide = openslide.OpenSlide(path)
+        w, h = slide.level_dimensions[level]
+        region = slide.read_region((0, 0), level, (w, h)).convert("RGB")
+        return WSIReader(plane=np.asarray(region, np.uint8))
+    except ImportError:
+        pass
+    if path.endswith(".npy"):
+        plane = np.load(path, mmap_mode="r")
+        reader = WSIReader(plane=plane)
+    elif path.lower().endswith((".png", ".jpg", ".jpeg", ".tif", ".tiff",
+                                ".bmp", ".ppm")):
+        from PIL import Image
+
+        Image.MAX_IMAGE_PIXELS = None   # WSI planes exceed PIL's default cap
+        with Image.open(path) as im:
+            reader = WSIReader(plane=np.asarray(im.convert("RGB"), np.uint8))
+    else:
+        if shape is None:
+            raise ValueError(
+                f"cannot infer decoder for {path}; pass shape= for raw "
+                f"uint8 memmaps or register_wsi_decoder() a custom hook")
+        reader = WSIReader(path=path, shape=shape)
+    for _ in range(level):
+        reader = WSIReader(plane=downsample2x(
+            np.ascontiguousarray(reader.plane)))
+    return reader
+
+
 def stream_classify(model, params, reader: WSIReader, batch_size: int = 256,
                     tile: int = 224, mesh=None, dtype=None):
     """End-to-end streamed inference: native tile extraction -> prefetched

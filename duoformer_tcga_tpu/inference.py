@@ -41,10 +41,13 @@ class Predictor:
             except (KeyError, TypeError):
                 pass   # non-DuoFormer param tree: serve as-is
         if quantize:
-            # opt-in int8 (a8w8) MLP serving — ~bounded logit drift; the
-            # bf16 path remains the parity-tested default
-            from .ops.quantize import quantize_mlp_weights
-            params = quantize_mlp_weights(params)
+            # opt-in int8 (a8w8) serving: every transformer GEMM (MLP
+            # fc1/fc2 + attention qkv/proj in both stacks) runs on the
+            # int8 MXU path; bounded logit drift (tests/test_int8.py);
+            # the bf16 path remains the parity-tested default
+            from .ops.quantize import (quantize_attention_weights,
+                                       quantize_mlp_weights)
+            params = quantize_attention_weights(quantize_mlp_weights(params))
         if mesh is not None:
             params = mesh_lib.replicate(mesh, params)
         self.params = params

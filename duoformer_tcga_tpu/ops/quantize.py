@@ -35,6 +35,19 @@ def quantize_linear_params(p):
     return out
 
 
+def _quantize_stacked_linear(fp):
+    """Stacked [depth, in, out] linear -> {'w_q', 'w_scale', 'b'?}
+    quantized per (depth, out) channel."""
+    w = fp["w"].astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w), axis=1)                   # [depth, out]
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    w_q = jnp.clip(jnp.round(w / scale[:, None, :]), -127, 127)
+    q = {"w_q": w_q.astype(jnp.int8), "w_scale": scale}
+    if "b" in fp:
+        q["b"] = fp["b"]
+    return q
+
+
 def quantize_mlp_weights(params):
     """Quantize every scale-block MLP (fc1/fc2) in a DuoFormer param tree
     (the dominant GEMMs). Returns a new tree; non-MLP weights untouched."""
@@ -43,19 +56,31 @@ def quantize_mlp_weights(params):
     out = copy.copy(params)
     tf = dict(params["transformer"])
     sb = dict(tf["scale_blocks"])
-    mlp = {k: dict(v) for k, v in sb["mlp"].items()}
-    for name in ("fc1", "fc2"):
-        fp = mlp[name]
-        # stacked [depth, in, out]: quantize per (depth, out)
-        w = fp["w"].astype(jnp.float32)
-        amax = jnp.max(jnp.abs(w), axis=1)                   # [depth, out]
-        scale = jnp.where(amax > 0, amax / 127.0, 1.0)
-        w_q = jnp.clip(jnp.round(w / scale[:, None, :]), -127, 127)
-        q = {"w_q": w_q.astype(jnp.int8), "w_scale": scale}
-        if "b" in fp:
-            q["b"] = fp["b"]
-        mlp[name] = q
+    mlp = {k: (_quantize_stacked_linear(v) if k in ("fc1", "fc2") else v)
+           for k, v in sb["mlp"].items()}
     sb["mlp"] = mlp
     tf["scale_blocks"] = sb
+    out["transformer"] = tf
+    return out
+
+
+def quantize_attention_weights(params):
+    """Quantize the attention qkv/proj GEMMs of both transformer stacks
+    (scale_blocks.attn + patch_blocks.attn). With quantize_mlp_weights this
+    puts every transformer GEMM on the int8 MXU path; the attention core
+    (softmax over <=86-token segments) stays bf16."""
+    import copy
+
+    out = copy.copy(params)
+    tf = dict(params["transformer"])
+    for stack in ("scale_blocks", "patch_blocks"):
+        if stack not in tf:
+            continue
+        sb = dict(tf[stack])
+        attn = {k: (_quantize_stacked_linear(v) if k in ("qkv", "proj")
+                    else v)
+                for k, v in sb["attn"].items()}
+        sb["attn"] = attn
+        tf[stack] = sb
     out["transformer"] = tf
     return out

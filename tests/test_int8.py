@@ -62,3 +62,55 @@ def test_predictor_quantized_logits_close(monkeypatch):
     # int8 MLP drift stays small relative to logit scale
     assert np.abs(out - ref).max() < 0.05 * (np.abs(ref).max() + 1.0)
     assert (out.argmax(-1) == ref.argmax(-1)).all()
+
+
+def test_quantize_attention_weights_structure():
+    import duoformer_tcga_tpu as dft
+
+    model = dft.build_model_no_extra_params(
+        num_classes=2, num_layers=2, embed_dim=128, proj_dim=128,
+        num_heads=8, depth=2, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0))
+    qp = q.quantize_attention_weights(params)
+    for stack in ("scale_blocks", "patch_blocks"):
+        attn = qp["transformer"][stack]["attn"]
+        assert attn["qkv"]["w_q"].dtype == jnp.int8
+        assert attn["qkv"]["w_q"].shape == (2, 128, 384)
+        assert attn["qkv"]["w_scale"].shape == (2, 384)
+        assert attn["proj"]["w_q"].dtype == jnp.int8
+        assert "b" in attn["qkv"]
+    # untouched elsewhere
+    assert "w" in qp["transformer"]["scale_blocks"]["mlp"]["fc1"]
+
+
+def test_int8_attention_megakernel_drift(monkeypatch):
+    """Fused int8 attention branch vs bf16: bounded drift relative to the
+    branch magnitude (same bound style as the MLP kernel test)."""
+    import numpy as np
+
+    from duoformer_tcga_tpu.ops import pallas_attention as pa
+
+    monkeypatch.setenv("DUOFORMER_PALLAS_INTERPRET", "1")
+    key = jax.random.PRNGKey(3)
+    ks = jax.random.split(key, 6)
+    n_seg, S, C, H = 42, 6, 128, 8
+    x = jax.random.normal(ks[0], (n_seg, S, C))
+    lns = 1.0 + 0.1 * jax.random.normal(ks[1], (C,))
+    lnb = 0.1 * jax.random.normal(ks[2], (C,))
+    wqkv = jax.random.normal(ks[3], (C, 3 * C)) * 0.05
+    bqkv = jnp.zeros((3 * C,))
+    wproj = jax.random.normal(ks[4], (C, C)) * 0.05
+    bproj = jnp.zeros((C,))
+    scale = (C // H) ** -0.5
+
+    ref = pa.fused_attention_residual(x, lns, lnb, wqkv, bqkv, wproj, bproj,
+                                      H, S, scale, 1e-6, True, True)
+    qkv_q, s_qkv = q.quantize_weight(wqkv)
+    proj_q, s_proj = q.quantize_weight(wproj)
+    out = pa.fused_attention_residual_int8(
+        x, lns, lnb, qkv_q, s_qkv, bqkv, proj_q, s_proj, bproj,
+        H, S, scale, 1e-6, True, True)
+    branch = np.asarray(ref - x)
+    err = np.asarray(out - ref)
+    assert np.abs(err).max() < 0.05 * (np.abs(branch).max() + 0.1), \
+        (np.abs(err).max(), np.abs(branch).max())

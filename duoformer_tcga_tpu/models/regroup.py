@@ -61,8 +61,27 @@ def region_index(stage: str) -> np.ndarray:
     return idx
 
 
+def _regroup_stage(f: jnp.ndarray, stage: str) -> jnp.ndarray:
+    """One stage's space-to-depth regroup as pure reshape/transpose.
+
+    The reference's index tables are exactly a blocked space-to-depth
+    permutation, so instead of a gather (whose BACKWARD is a scatter-add —
+    measurably slow on TPU) we express it as layout ops; forward and
+    backward are both plain transposed copies. Token order inside each
+    region: row-major (i*n + j) for the 28/56 grids; Q8's column-major
+    (j*2 + i) for the 14 grid (model.py:114-121)."""
+    B, H, W, C = f.shape
+    n = H // 7
+    x = f.reshape(B, 7, n, 7, n, C)          # [B, r, i, c, j, C]
+    if stage == "2":
+        x = x.transpose(0, 1, 3, 4, 2, 5)    # Q8: (j, i) column-major
+    else:
+        x = x.transpose(0, 1, 3, 2, 4, 5)    # row-major (i, j)
+    return x.reshape(B, 49, n * n, C)
+
+
 def regroup(features: dict, stages) -> jnp.ndarray:
-    """Gather projected NHWC stage features into region-grouped tokens.
+    """Regroup projected NHWC stage features into region-grouped tokens.
 
     features: {stage: [B, H, W, C]} (all with common C after projection).
     stages: iterable of stage keys, coarsest-first (e.g. ["3","2"] for the
@@ -74,9 +93,20 @@ def regroup(features: dict, stages) -> jnp.ndarray:
         f = features[s]
         B, H, W, C = f.shape
         assert H == W == STAGE_GRID[s], (s, f.shape)
+        parts.append(_regroup_stage(f, s))   # [B, 49, n, C]
+    return jnp.concatenate(parts, axis=2)
+
+
+def regroup_gather(features: dict, stages) -> jnp.ndarray:
+    """Reference formulation: explicit index tables + jnp.take. Kept as
+    the ground truth the layout-op path is tested against."""
+    parts = []
+    for s in stages:
+        f = features[s]
+        B, H, W, C = f.shape
         flat = f.reshape(B, H * W, C)
         idx = jnp.asarray(region_index(s))
-        parts.append(jnp.take(flat, idx, axis=1))   # [B, 49, n, C]
+        parts.append(jnp.take(flat, idx, axis=1))
     return jnp.concatenate(parts, axis=2)
 
 

@@ -68,3 +68,24 @@ def test_regroup_shapes_and_values():
     # token 0 of region p == stage-3 cell p
     flat3 = np.asarray(feats["3"]).reshape(B, 49, C)
     np.testing.assert_array_equal(np.asarray(out[:, :, 0, :]), flat3)
+
+
+def test_layout_regroup_matches_gather_reference():
+    """The reshape/transpose regroup must be BITWISE equal to the
+    index-table gather for every stage (incl. Q8's column-major 14-grid)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from duoformer_tcga_tpu.models import regroup as rg
+
+    key = jax.random.PRNGKey(0)
+    feats = {
+        s: jax.random.normal(jax.random.fold_in(key, int(s)),
+                             (2, rg.STAGE_GRID[s], rg.STAGE_GRID[s], 16))
+        for s in ("0", "1", "2", "3")
+    }
+    for stages in (["3"], ["3", "2"], ["3", "2", "1"], ["3", "2", "1", "0"]):
+        a = rg.regroup(feats, stages)
+        b = rg.regroup_gather(feats, stages)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -47,11 +47,11 @@ def _build(cfg):
         frozen = None
     opt = train_lib.make_optimizer(sched, cfg.train.weight_decay,
                                    frozen_label_fn=frozen)
-    return model, mesh, opt, steps_per_epoch, total_steps
+    return model, mesh, opt, steps_per_epoch, total_steps, frozen
 
 
 def cmd_train(cfg, max_steps=None):
-    model, mesh, opt, steps_per_epoch, total_steps = _build(cfg)
+    model, mesh, opt, steps_per_epoch, total_steps, frozen = _build(cfg)
     if max_steps is not None:
         total_steps = min(total_steps, max_steps)
     state = train_lib.init_train_state(
@@ -68,7 +68,8 @@ def cmd_train(cfg, max_steps=None):
     unfrozen = (not cfg.model.freeze_backbone
                 and cfg.model.family.startswith("duoformer"))
     step_fn = train_lib.make_train_step(model, opt, mesh=mesh,
-                                        bn_stats=unfrozen)
+                                        bn_stats=unfrozen,
+                                        frozen_label_fn=frozen)
     import os
     logger = MetricLogger(os.path.join(cfg.train.checkpoint_dir,
                                        "metrics.jsonl"))
@@ -157,7 +158,7 @@ def cmd_train(cfg, max_steps=None):
 
 
 def cmd_eval(cfg, num_batches=10):
-    model, mesh, opt, _, _ = _build(cfg)
+    model, mesh, opt, _, _, _ = _build(cfg)
     state = train_lib.init_train_state(
         model, jax.random.PRNGKey(cfg.train.seed), opt)
     ckpt = CheckpointManager(cfg.train.checkpoint_dir)

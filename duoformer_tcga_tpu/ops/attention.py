@@ -81,6 +81,12 @@ import os
 # axis > 1 — it outranks even DUOFORMER_FUSED_ATTN=1.
 _FORCE_XLA = False
 
+# Trace-time TP mesh: when set (tp_fused_path), attention/MLP branches run
+# the fused kernels PER model-shard via jax.shard_map (parallel/tp_fused.py)
+# instead of dropping to the XLA path — Megatron head/hidden-split with one
+# psum per branch. force_xla_path still outranks this.
+_TP_MESH = None
+
 
 @contextlib.contextmanager
 def force_xla_path():
@@ -92,6 +98,19 @@ def force_xla_path():
         yield
     finally:
         _FORCE_XLA = prev
+
+
+@contextlib.contextmanager
+def tp_fused_path(mesh):
+    """Run fused kernels per model-shard (shard_map) for code traced inside
+    this block. mesh: a ("data", "model") Mesh with model axis > 1."""
+    global _TP_MESH
+    prev = _TP_MESH
+    _TP_MESH = mesh
+    try:
+        yield
+    finally:
+        _TP_MESH = prev
 
 
 def _use_fused(params, attn_drop, train, C=None, apply_qk_norm=True):
@@ -152,6 +171,24 @@ def multihead_attention(params, x, num_heads, scale=None, attn_drop=0.0,
         for d in lead:
             n_seg *= d
         zeros_c = jnp.zeros((C,), x.dtype)
+        if _TP_MESH is not None and "w_q" in params["qkv"]:
+            raise NotImplementedError(
+                "int8 serving weights under model_parallel>1 are not "
+                "supported: requantize per shard or serve with "
+                "quantize=False / model_parallel=1")
+        if _TP_MESH is not None:
+            # head-split TP: same megakernel per model-shard (shard_map)
+            from ..parallel import tp_fused
+            out = tp_fused.attention_branch_tp(
+                _TP_MESH, x.reshape(n_seg, S, C), zeros_c, zeros_c,
+                params["qkv"]["w"].astype(x.dtype),
+                params["qkv"].get("b", jnp.zeros((3 * C,), x.dtype)),
+                params["proj"]["w"].astype(x.dtype),
+                params["proj"].get("b", zeros_c),
+                num_heads, S, float(scale), 1e-6, False, False)
+            out = out.reshape(*lead, S, C)
+            out = nn.dropout(out, proj_drop, r2, train)
+            return out
         if "w_q" in params["qkv"]:
             # int8 serving weights (ops/quantize.quantize_attention_weights)
             out = pa.fused_attention_residual_int8(

@@ -192,7 +192,8 @@ def _fused_block_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
                         use_ln=True, use_residual=True):
     R = x_ref.shape[1]                 # rows per grid step
     C = x_ref.shape[2]
-    D = C // num_heads
+    Co = wqkv_ref.shape[1] // 3        # attention width (== C except under
+    D = Co // num_heads                # head-split TP, where Co = C/tp)
     arows = groups * seg_len           # rows per attention sub-tile
 
     x = x_ref[0]                                        # [R, C] bf16
@@ -218,14 +219,14 @@ def _fused_block_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
     col_seg = jax.lax.broadcasted_iota(jnp.int32, (arows, arows), 1) // seg_len
     mask = jnp.where(row_seg == col_seg, 0.0, jnp.float32(-1e30))
 
-    # attention per sub-tile, writing the merged heads back over scratch cols [0, C)
+    # attention per sub-tile, writing the merged heads back over scratch cols [0, Co)
     for sub in range(R // arows):
         lo = sub * arows
         qkv = qkv_scratch[lo:lo + arows, :]
         for h in range(num_heads):
             q = qkv[:, h * D:(h + 1) * D]
-            k = qkv[:, C + h * D:C + (h + 1) * D]
-            v = qkv[:, 2 * C + h * D:2 * C + (h + 1) * D]
+            k = qkv[:, Co + h * D:Co + (h + 1) * D]
+            v = qkv[:, 2 * Co + h * D:2 * Co + (h + 1) * D]
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -238,7 +239,7 @@ def _fused_block_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
             qkv_scratch[lo:lo + arows, h * D:(h + 1) * D] = o.astype(x.dtype)
 
     # output projection (+ residual for pre-norm blocks)
-    attn = qkv_scratch[:, :C]
+    attn = qkv_scratch[:, :Co]
     y = jax.lax.dot_general(attn, wproj_ref[:], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     y = y + bproj_ref[0].astype(jnp.float32)
@@ -365,8 +366,11 @@ def fused_attention_residual_int8(x, ln_scale, ln_bias, wqkv_q, sqkv, bqkv,
 def _fused_block_impl(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
                       num_heads, seg_len, scale, ln_eps,
                       use_ln=True, use_residual=True):
-    """x: [n_seg, seg_len, C] -> same shape; the attention residual branch."""
+    """x: [n_seg, seg_len, C] -> same shape; the attention residual branch.
+    wqkv may be [C, 3*Co] with Co < C (head-split TP shard: num_heads local
+    heads of width Co//num_heads); wproj is then [Co, C]."""
     n_seg, S, C = x.shape
+    Co = wqkv.shape[-1] // 3
     G = _segments_per_tile(seg_len, n_seg)
     arows = G * S
     # pack ATTN_SUBTILES attention tiles per grid step when they divide evenly
@@ -392,20 +396,20 @@ def _fused_block_impl(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, 3 * C), lambda i: (0, 0),
+            pl.BlockSpec((C, 3 * Co), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3 * C), lambda i: (0, 0),
+            pl.BlockSpec((1, 3 * Co), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Co, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, R, C), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_steps, R, C), x.dtype),
-        scratch_shapes=[pltpu.VMEM((R, 3 * C), x.dtype)],
+        scratch_shapes=[pltpu.VMEM((R, 3 * Co), x.dtype)],
         interpret=_interpret(),
     )(tiled, ln_scale.reshape(1, C), ln_bias.reshape(1, C),
-      wqkv, bqkv.reshape(1, 3 * C), wproj, bproj.reshape(1, C))
+      wqkv, bqkv.reshape(1, 3 * Co), wproj, bproj.reshape(1, C))
     out = out.reshape(-1, S, C)
     return out[:n_seg] if n_pad else out
 
@@ -491,7 +495,8 @@ def _fused_block_bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref, wqkv_ref,
     Mosaic transpose the [C, 3C] weight inside every grid step."""
     R = x_ref.shape[1]
     C = x_ref.shape[2]
-    D = C // num_heads
+    Co = wqkv_ref.shape[1] // 3        # attention width (C/tp under TP)
+    D = Co // num_heads
     arows = groups * seg_len
 
     # dlns/dlnb are REVISITED accumulator blocks (index_map pins them to
@@ -531,8 +536,8 @@ def _fused_block_bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref, wqkv_ref,
         da = dattn[lo:lo + arows, :]
         for h in range(num_heads):
             q = qkv[:, h * D:(h + 1) * D]
-            k = qkv[:, C + h * D:C + (h + 1) * D]
-            v = qkv[:, 2 * C + h * D:2 * C + (h + 1) * D]
+            k = qkv[:, Co + h * D:Co + (h + 1) * D]
+            v = qkv[:, 2 * Co + h * D:2 * Co + (h + 1) * D]
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -557,9 +562,9 @@ def _fused_block_bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref, wqkv_ref,
             dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
             dqkv_scratch[lo:lo + arows, h * D:(h + 1) * D] = dq.astype(x.dtype)
-            dqkv_scratch[lo:lo + arows, C + h * D:C + (h + 1) * D] = \
+            dqkv_scratch[lo:lo + arows, Co + h * D:Co + (h + 1) * D] = \
                 dk.astype(x.dtype)
-            dqkv_scratch[lo:lo + arows, 2 * C + h * D:2 * C + (h + 1) * D] = \
+            dqkv_scratch[lo:lo + arows, 2 * Co + h * D:2 * Co + (h + 1) * D] = \
                 dv.astype(x.dtype)
 
     dqkv_ref[0] = dqkv_scratch[:]
@@ -585,6 +590,7 @@ def _fused_block_bwd_impl(x, g, ln_scale, ln_bias, wqkv, bqkv, wproj,
     flattened to [n_rows_padded, *]; padded rows carry zero gradients (g is
     zero-padded), so downstream weight-grad GEMMs need no masking."""
     n_seg, S, C = x.shape
+    Co = wqkv.shape[-1] // 3
     G = _segments_per_tile(seg_len, n_seg)
     arows = G * S
     # single sub-tile: the backward kernel holds ~4x the forward's buffers
@@ -612,10 +618,10 @@ def _fused_block_bwd_impl(x, g, ln_scale, ln_bias, wqkv, bqkv, wproj,
         pl.BlockSpec((1, R, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((C, 3 * C), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 3 * C), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((C, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((3 * C, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((C, 3 * Co), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3 * Co), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((C, Co), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3 * Co, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
     dx, ln, attn, dqkv, dlns, dlnb = pl.pallas_call(
         kern,
@@ -626,9 +632,9 @@ def _fused_block_bwd_impl(x, g, ln_scale, ln_bias, wqkv, bqkv, wproj,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, R, C), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R, C), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, R, Co), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R, 3 * C), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, R, 3 * Co), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -636,20 +642,20 @@ def _fused_block_bwd_impl(x, g, ln_scale, ln_bias, wqkv, bqkv, wproj,
         out_shape=[
             jax.ShapeDtypeStruct((n_steps, R, C), x.dtype),
             jax.ShapeDtypeStruct((n_steps, R, C), x.dtype),
-            jax.ShapeDtypeStruct((n_steps, R, C), x.dtype),
-            jax.ShapeDtypeStruct((n_steps, R, 3 * C), x.dtype),
+            jax.ShapeDtypeStruct((n_steps, R, Co), x.dtype),
+            jax.ShapeDtypeStruct((n_steps, R, 3 * Co), x.dtype),
             jax.ShapeDtypeStruct((8, C), jnp.float32),
             jax.ShapeDtypeStruct((8, C), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((R, 3 * C), x.dtype),
-                        pltpu.VMEM((R, 3 * C), x.dtype)],
+        scratch_shapes=[pltpu.VMEM((R, 3 * Co), x.dtype),
+                        pltpu.VMEM((R, 3 * Co), x.dtype)],
         interpret=_interpret(),
     )(xt, gt, ln_scale.reshape(1, C), ln_bias.reshape(1, C), wqkv,
-      bqkv.reshape(1, 3 * C), wproj.T, wqkv.T)
+      bqkv.reshape(1, 3 * Co), wproj.T, wqkv.T)
     n_rows = n_steps * R
     return (dx.reshape(-1, S, C)[:n_seg] if n_pad else dx.reshape(-1, S, C),
-            ln.reshape(n_rows, C), attn.reshape(n_rows, C),
-            dqkv.reshape(n_rows, 3 * C), dlns[0], dlnb[0])
+            ln.reshape(n_rows, C), attn.reshape(n_rows, Co),
+            dqkv.reshape(n_rows, 3 * Co), dlns[0], dlnb[0])
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
@@ -733,7 +739,8 @@ def _erf_poly(x):
 
 
 def _fused_mlp_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
-                      b2_ref, out_ref, hid_scratch, *, ln_eps):
+                      b2_ref, out_ref, hid_scratch, *, ln_eps,
+                      use_residual=True):
     x = x_ref[:]
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
@@ -750,11 +757,14 @@ def _fused_mlp_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
     y = jax.lax.dot_general(hid_scratch[:], w2_ref[:],
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    y = y + b2_ref[0].astype(jnp.float32) + xf
+    y = y + b2_ref[0].astype(jnp.float32)
+    if use_residual:
+        y = y + xf
     out_ref[:] = y.astype(out_ref.dtype)
 
 
-def _fused_mlp_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps):
+def _fused_mlp_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps,
+                    use_residual=True):
     *lead, C = x.shape
     hidden = w1.shape[-1]
     n = 1
@@ -768,7 +778,8 @@ def _fused_mlp_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps):
                                axis=0)
     rows = flat.shape[0]
     out = pl.pallas_call(
-        functools.partial(_fused_mlp_kernel, ln_eps=ln_eps),
+        functools.partial(_fused_mlp_kernel, ln_eps=ln_eps,
+                          use_residual=use_residual),
         grid=(rows // rt,),
         in_specs=[
             pl.BlockSpec((rt, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -872,7 +883,8 @@ def fused_mlp_residual_int8(x, ln_scale, ln_bias, w1_q, s1, b1, w2_q, s2, b2,
     return out.reshape(*lead, C)
 
 
-def _fused_mlp_xla(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps):
+def _fused_mlp_xla(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps,
+                   use_residual=True):
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
@@ -883,7 +895,9 @@ def _fused_mlp_xla(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps):
                 preferred_element_type=jnp.float32) + b1.astype(jnp.float32)
     h = jax.nn.gelu(h, approximate=False).astype(x.dtype)
     y = (jnp.dot(h, w2.astype(x.dtype), preferred_element_type=jnp.float32)
-         + b2.astype(jnp.float32) + xf)
+         + b2.astype(jnp.float32))
+    if use_residual:
+        y = y + xf
     return y.astype(x.dtype)
 
 
@@ -988,20 +1002,25 @@ def _fused_mlp_bwd_impl(x, g, ln_scale, ln_bias, w1, b1, w2, ln_eps):
     return dx, ln, h, dz, dlns[0], dlnb[0]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
-def fused_mlp_residual(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps=1e-6):
-    """y = x + fc2(gelu(fc1(LN(x)))) fused in one kernel. x: [..., C].
-    Backward runs the fused backward kernel (in-kernel recompute) with the
-    dW GEMMs in XLA; DUOFORMER_PALLAS_BWD=0 falls back to the XLA vjp."""
-    return _fused_mlp_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def fused_mlp_residual(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps=1e-6,
+                       use_residual=True):
+    """y = [x +] fc2(gelu(fc1(LN(x)))) fused in one kernel. x: [..., C].
+    use_residual=False gives the bare branch (head-split TP shards psum
+    partial branches and add the residual once). Backward runs the fused
+    backward kernel (in-kernel recompute) with the dW GEMMs in XLA;
+    DUOFORMER_PALLAS_BWD=0 falls back to the XLA vjp."""
+    return _fused_mlp_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps,
+                           use_residual)
 
 
-def _fmr_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps):
-    out = _fused_mlp_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps)
+def _fmr_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps, use_residual):
+    out = _fused_mlp_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps,
+                          use_residual)
     return out, (x, ln_scale, ln_bias, w1, b1, w2, b2)
 
 
-def _fmr_bwd(ln_eps, res, g):
+def _fmr_bwd(ln_eps, use_residual, res, g):
     x, ln_scale, ln_bias, w1, b1, w2, b2 = res
     # Default to the XLA vjp here: the MLP backward is three large GEMMs
     # plus fusable elementwise work, which XLA already runs at MXU peak —
@@ -1009,8 +1028,9 @@ def _fmr_bwd(ln_eps, res, g):
     # branch is where XLA's backward tiles badly). Opt in to the kernel
     # with DUOFORMER_PALLAS_MLP_BWD=1.
     if (os.environ.get("DUOFORMER_PALLAS_MLP_BWD", "0") != "1"
-            or not _use_pallas_bwd()):
-        _, vjp = jax.vjp(lambda *a: _fused_mlp_xla(*a, ln_eps), *res)
+            or not _use_pallas_bwd() or not use_residual):
+        _, vjp = jax.vjp(lambda *a: _fused_mlp_xla(*a, ln_eps, use_residual),
+                         *res)
         return vjp(g)
     dx, ln, h, dz, dlns, dlnb = _fused_mlp_bwd_impl(
         x, g, ln_scale, ln_bias, w1, b1, w2, ln_eps)

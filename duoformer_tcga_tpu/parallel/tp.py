@@ -18,10 +18,11 @@ Note head_dim granularity: shard-count must divide num_heads so attention
 heads split cleanly across the model axis.
 
 Interplay with the Pallas megakernels: pallas_call does not partition
-over sharded operands, so under TP run with DUOFORMER_MEGAFUSE=0 /
-DUOFORMER_FUSED_ATTN=0 (XLA path; the partitioner handles everything) —
-dryrun_multichip does this automatically on the CPU mesh. shard_map-ing
-the kernels over the model axis is a planned follow-up.
+over sharded operands, so plain SPMD tracing with model_parallel>1 must
+take the XLA path. tp_fused.py (round 2) solves this properly: the fused
+kernels run PER MODEL-SHARD via jax.shard_map (head/hidden-split, one
+psum per branch); make_train_step engages it automatically on TPU.
+DUOFORMER_FUSED_ATTN=0 keeps the XLA fallback (the CPU dryrun default).
 """
 
 from __future__ import annotations

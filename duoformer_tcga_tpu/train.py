@@ -36,10 +36,23 @@ def _tp_active(mesh) -> bool:
 
 def _warn_tp_fused_disabled(where: str) -> None:
     warnings.warn(
-        f"{where}: mesh has model_parallel>1 — fused Pallas kernels do not "
-        f"partition over sharded operands, so the XLA attention path is "
-        f"used for this step (DUOFORMER_FUSED_ATTN/MEGAFUSE ignored)",
+        f"{where}: mesh has model_parallel>1 and the fused Pallas path is "
+        f"disabled (DUOFORMER_FUSED_ATTN=0 or non-TPU backend) — the XLA "
+        f"attention path is used for this step",
         stacklevel=3)
+
+
+def _tp_kernel_ctx(mesh, where: str):
+    """Kernel strategy under model_parallel>1: run the fused megakernels
+    per model-shard via shard_map (parallel/tp_fused.py) when the fused
+    path is enabled; otherwise fall back to the XLA path (the SPMD
+    partitioner handles the TP layout) with a logged warning."""
+    import os
+    env = os.environ.get("DUOFORMER_FUSED_ATTN")
+    if env == "1" or (env != "0" and jax.default_backend() == "tpu"):
+        return attn_ops.tp_fused_path(mesh)
+    _warn_tp_fused_disabled(where)
+    return attn_ops.force_xla_path()
 
 
 def onecycle_schedule(peak_lr: float, total_steps: int, pct_start: float = 0.3,
@@ -132,8 +145,16 @@ def init_train_state(model, key, optimizer) -> Dict[str, Any]:
 
 
 def make_train_step(model, optimizer, mesh=None, donate=True,
-                    bn_stats=False):
+                    bn_stats=False, frozen_label_fn=None):
     """Returns jitted (state, batch, rng) -> (state, metrics).
+
+    frozen_label_fn: the SAME label fn handed to make_optimizer (e.g.
+    backbone_frozen_labels). When given, frozen-labeled leaves are
+    stop_gradient-ed inside the loss so the frozen backward is pruned BY
+    CONSTRUCTION. (Measured on v5e: XLA's DCE already prunes it through
+    multi_transform's set_to_zero — same step time either way — so this
+    is a guarantee, not a speedup: it keeps the pruning independent of
+    optimizer wiring and of XLA's ability to see through it.)
 
     batch: {"image": [B,224,224,3], "label": [B]} — shard the batch dim
     with parallel.mesh.shard_batch; params/opt_state replicated. XLA turns
@@ -148,18 +169,21 @@ def make_train_step(model, optimizer, mesh=None, donate=True,
     mean/var.
 
     Tensor parallelism: when the mesh has a model axis > 1, the fused
-    Pallas kernels are force-disabled for this step's trace (pallas_call
-    does not partition over sharded operands) — the XLA path + SPMD
-    partitioner handle the TP layout. This happens regardless of
-    DUOFORMER_FUSED_ATTN/DUOFORMER_MEGAFUSE."""
+    Pallas kernels run PER MODEL-SHARD via shard_map (head/hidden-split
+    Megatron TP, parallel/tp_fused.py) when the fused path is enabled;
+    with DUOFORMER_FUSED_ATTN=0 (or a non-TPU backend without the env
+    override) the XLA path + SPMD partitioner handle the TP layout."""
     tp = _tp_active(mesh)
-    if tp:
-        _warn_tp_fused_disabled("make_train_step")
 
     def loss_fn(params, batch, rng):
+        if frozen_label_fn is not None:
+            labels = frozen_label_fn(params)
+            params = jax.tree.map(
+                lambda p, l: jax.lax.stop_gradient(p) if l == "frozen" else p,
+                params, labels)
         stats = {} if bn_stats else None
         kwargs = {"bn_stats": stats} if bn_stats else {}
-        ctx = attn_ops.force_xla_path() if tp else _nullcontext()
+        ctx = _tp_kernel_ctx(mesh, "make_train_step") if tp else _nullcontext()
         with ctx:
             logits = model.apply(params, batch["image"], rng=rng,
                                  train=True, **kwargs)
@@ -187,23 +211,29 @@ def make_train_step(model, optimizer, mesh=None, donate=True,
     if mesh is not None:
         repl = mesh_lib.replicated(mesh)
         bsh = mesh_lib.batch_sharding(mesh)
-        state_sh = {"params": repl, "opt_state": repl, "step": repl}
-        kwargs["in_shardings"] = (state_sh, {"image": bsh, "label": bsh}, repl)
-        kwargs["out_shardings"] = (state_sh, repl)
+        if tp:
+            # TP layouts live on the state arguments (shard_params_tp);
+            # pin only the batch and let jit honor the arg placements
+            kwargs["in_shardings"] = (None, {"image": bsh, "label": bsh},
+                                      repl)
+            kwargs["out_shardings"] = (None, repl)
+        else:
+            state_sh = {"params": repl, "opt_state": repl, "step": repl}
+            kwargs["in_shardings"] = (state_sh, {"image": bsh, "label": bsh},
+                                      repl)
+            kwargs["out_shardings"] = (state_sh, repl)
     return jax.jit(step, **kwargs)
 
 
 def make_eval_step(model, mesh=None):
     """Returns jitted (params, batch) -> metrics (loss, accuracy, and the
     summed correct-count for exact multi-batch aggregation). Under
-    model_parallel>1 the fused kernels are force-disabled (see
-    make_train_step)."""
+    model_parallel>1 the fused kernels run per model-shard via shard_map
+    (see make_train_step)."""
     tp = _tp_active(mesh)
-    if tp:
-        _warn_tp_fused_disabled("make_eval_step")
 
     def step(params, batch):
-        ctx = attn_ops.force_xla_path() if tp else _nullcontext()
+        ctx = _tp_kernel_ctx(mesh, "make_eval_step") if tp else _nullcontext()
         with ctx:
             logits = model.apply(params, batch["image"], train=False)
         return {
@@ -217,6 +247,8 @@ def make_eval_step(model, mesh=None):
     if mesh is not None:
         repl = mesh_lib.replicated(mesh)
         bsh = mesh_lib.batch_sharding(mesh)
-        kwargs["in_shardings"] = (repl, {"image": bsh, "label": bsh})
+        # under TP the params arrive sharded over the model axis
+        kwargs["in_shardings"] = (None if tp else repl,
+                                  {"image": bsh, "label": bsh})
         kwargs["out_shardings"] = repl
     return jax.jit(step, **kwargs)

@@ -108,3 +108,37 @@ class TestMiniBackbone:
         x1, x2 = jax.jit(lambda p, v: m.apply(p, v))(params, x)
         assert x1.shape == (1, 28, 28, 512)
         assert x2.shape == (1, 14, 14, 1024)
+
+
+def test_frozen_stop_grad_step_identical():
+    """make_train_step(frozen_label_fn=...) stop-gradients the frozen
+    subtree so the backbone backward is pruned by construction (not by
+    relying on XLA DCE through set_to_zero) — the resulting state must
+    be IDENTICAL to the unpruned step."""
+    import numpy as np
+    import duoformer_tcga_tpu as dft
+
+    model = dft.build_model_no_extra_params(
+        num_classes=2, num_layers=2, embed_dim=96, proj_dim=96,
+        num_heads=12, depth=1)
+    sched = train_lib.onecycle_schedule(1e-3, total_steps=10)
+    opt = train_lib.make_optimizer(
+        sched, weight_decay=1e-4,
+        frozen_label_fn=train_lib.backbone_frozen_labels)
+    state = train_lib.init_train_state(model, jax.random.PRNGKey(0), opt)
+    batch = {
+        "image": jax.random.normal(jax.random.PRNGKey(1), (2, 224, 224, 3)),
+        "label": jnp.array([0, 1], jnp.int32),
+    }
+    rng = jax.random.PRNGKey(2)
+
+    ref_step = train_lib.make_train_step(model, opt, donate=False)
+    new_step = train_lib.make_train_step(
+        model, opt, donate=False,
+        frozen_label_fn=train_lib.backbone_frozen_labels)
+    s_ref, m_ref = ref_step(state, batch, rng)
+    s_new, m_new = new_step(state, batch, rng)
+    assert float(m_ref["loss"]) == float(m_new["loss"])
+    for a, b in zip(jax.tree.leaves(s_ref["params"]),
+                    jax.tree.leaves(s_new["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -32,7 +32,8 @@ def _build(cfg):
                           jax.devices(cfg.train.platform)[0])
     model = cfg.model.build()
     mesh = mesh_lib.make_mesh(model_parallel=cfg.train.model_parallel,
-                              platform=cfg.train.platform)
+                              platform=cfg.train.platform,
+                              dcn_slices=cfg.train.dcn_slices)
     steps_per_epoch = cfg.train.steps_per_epoch or 100
     total_steps = steps_per_epoch * cfg.train.epochs
     sched = train_lib.onecycle_schedule(cfg.train.lr, total_steps)

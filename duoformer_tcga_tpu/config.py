@@ -96,6 +96,7 @@ class TrainConfig:
     keep_checkpoints: int = 3
     log_every: int = 50
     model_parallel: int = 1
+    dcn_slices: int = 1            # multi-slice DP: leading "dcn" mesh axis
     dataset: str = "synthetic"
     # backend override ("cpu"/"tpu"); None = process default. Needed where
     # a TPU plugin is registered but the CPU backend should run the job.

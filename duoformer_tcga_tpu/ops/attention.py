@@ -132,7 +132,8 @@ def _use_fused(params, attn_drop, train, C=None, apply_qk_norm=True):
         return True
     if C is not None and C % 128 != 0:
         return False
-    return jax.default_backend() == "tpu"
+    from . import pallas_attention as pa
+    return pa.default_device_is_tpu()
 
 
 def multihead_attention(params, x, num_heads, scale=None, attn_drop=0.0,

@@ -38,6 +38,19 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 
 
+def default_device_is_tpu() -> bool:
+    """True when computation actually lands on TPU by default. Checks the
+    jax_default_device override FIRST: on hosts where a TPU plugin is the
+    process-default backend but the user pinned CPU via
+    jax.config.update("jax_default_device", ...) — the idiom this
+    environment needs because its plugin ignores JAX_PLATFORMS — compiled
+    Pallas kernels must not be traced (CPU cannot lower them)."""
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return getattr(dev, "platform", None) == "tpu"
+    return jax.default_backend() == "tpu"
+
+
 def _interpret() -> bool:
     """Run the kernel in interpreter mode off-TPU. Env override
     DUOFORMER_PALLAS_INTERPRET=0/1 (needed where computations are placed on
@@ -45,7 +58,7 @@ def _interpret() -> bool:
     env = os.environ.get("DUOFORMER_PALLAS_INTERPRET")
     if env is not None:
         return env == "1"
-    return jax.default_backend() != "tpu"
+    return not default_device_is_tpu()
 
 
 def _segments_per_tile(seg_len: int, n_seg: int = 0) -> int:
@@ -763,8 +776,38 @@ def _fused_mlp_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
     out_ref[:] = y.astype(out_ref.dtype)
 
 
+def _fused_mlp_kernel_z(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
+                        b2_ref, out_ref, z_ref, *, ln_eps,
+                        use_residual=True):
+    """Save-hidden variant: emits the pre-GELU hidden z (so the backward
+    skips the fc1 recompute — see _fmr_bwd_saved_hidden) and uses z_ref as
+    the hidden staging buffer instead of a scratch, keeping the kernel
+    inside the 16MB scoped-VMEM limit at C=768/hidden=3072."""
+    x = x_ref[:]
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    ln = (xf - mean) * jax.lax.rsqrt(var + ln_eps)
+    ln = ln * lns_ref[0].astype(jnp.float32) + lnb_ref[0].astype(jnp.float32)
+    z = jax.lax.dot_general(ln.astype(x.dtype), w1_ref[:],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    z = z + b1_ref[0].astype(jnp.float32)
+    z_ref[:] = z.astype(z_ref.dtype)
+    h = 0.5 * z * (1.0 + _erf_poly(z * 0.7071067811865476))
+    y = jax.lax.dot_general(h.astype(x.dtype), w2_ref[:],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    y = y + b2_ref[0].astype(jnp.float32)
+    if use_residual:
+        y = y + xf
+    out_ref[:] = y.astype(out_ref.dtype)
+
+
 def _fused_mlp_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps,
-                    use_residual=True):
+                    use_residual=True, return_hidden=False):
+    """return_hidden=True additionally returns the pre-GELU hidden z
+    [n_rows_padded, hidden] (bf16) for the save-hidden backward."""
     *lead, C = x.shape
     hidden = w1.shape[-1]
     n = 1
@@ -777,12 +820,27 @@ def _fused_mlp_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps,
         flat = jnp.concatenate([flat, jnp.zeros((n_pad, C), flat.dtype)],
                                axis=0)
     rows = flat.shape[0]
-    out = pl.pallas_call(
-        functools.partial(_fused_mlp_kernel, ln_eps=ln_eps,
-                          use_residual=use_residual),
+    row_spec = pl.BlockSpec((rt, C), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_specs = row_spec
+    out_shape = jax.ShapeDtypeStruct((rows, C), x.dtype)
+    kern = functools.partial(_fused_mlp_kernel, ln_eps=ln_eps,
+                             use_residual=use_residual)
+    scratch_shapes = [pltpu.VMEM((rt, hidden), x.dtype)]
+    if return_hidden:
+        kern = functools.partial(_fused_mlp_kernel_z, ln_eps=ln_eps,
+                                 use_residual=use_residual)
+        out_specs = [row_spec,
+                     pl.BlockSpec((rt, hidden), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((rows, hidden), x.dtype)]
+        scratch_shapes = []   # z_ref doubles as the hidden staging
+    res = pl.pallas_call(
+        kern,
         grid=(rows // rt,),
         in_specs=[
-            pl.BlockSpec((rt, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            row_spec,
             pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((C, hidden), lambda i: (0, 0),
@@ -793,16 +851,17 @@ def _fused_mlp_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((rt, C), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows, C), x.dtype),
-        scratch_shapes=[pltpu.VMEM((rt, hidden), x.dtype)],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         interpret=_interpret(),
     )(flat, ln_scale.reshape(1, C), ln_bias.reshape(1, C), w1,
       b1.reshape(1, hidden), w2, b2.reshape(1, C))
+    out, z = res if return_hidden else (res, None)
     if n_pad:
         out = out[:n]
-    return out.reshape(*lead, C)
+    out = out.reshape(*lead, C)
+    return (out, z) if return_hidden else out
 
 
 def _rowquant(v):
@@ -1014,14 +1073,75 @@ def fused_mlp_residual(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps=1e-6,
                            use_residual)
 
 
+def _mlp_save_hidden() -> bool:
+    """Save the pre-GELU hidden `z` in the forward kernel so the backward
+    skips the fc1-GEMM + GELU recompute (~1/3 of the MLP backward FLOPs).
+    Costs one [rows, hidden] bf16 residual per block; DUOFORMER_MLP_SAVE_HIDDEN=0
+    reverts to recompute-from-x (lower memory, more FLOPs)."""
+    return (os.environ.get("DUOFORMER_MLP_SAVE_HIDDEN", "1") == "1"
+            and _use_pallas_bwd())
+
+
 def _fmr_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps, use_residual):
-    out = _fused_mlp_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps,
-                          use_residual)
-    return out, (x, ln_scale, ln_bias, w1, b1, w2, b2)
+    if _mlp_save_hidden():
+        out, z = _fused_mlp_impl(x, ln_scale, ln_bias, w1, b1, w2, b2,
+                                 ln_eps, use_residual, return_hidden=True)
+    else:
+        out = _fused_mlp_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps,
+                              use_residual)
+        z = None
+    return out, (x, ln_scale, ln_bias, w1, b1, w2, b2, z)
+
+
+def _fmr_bwd_saved_hidden(x, g, z, ln_scale, ln_bias, w1, b1, w2, b2,
+                          ln_eps, use_residual):
+    """MLP-residual backward from the saved pre-GELU hidden: four large
+    GEMMs (dh, dW2, dW1, dln) + fused elementwise, no fc1 recompute.
+    Plain XLA — these GEMMs already run at MXU peak."""
+    *lead, C = x.shape
+    n = 1
+    for d in lead:
+        n *= d
+    rows = z.shape[0]
+    x2 = x.reshape(n, C)
+    g2 = g.reshape(n, C)
+    if rows != n:
+        # forward padded to the kernel row tile; padded g rows are zero so
+        # they contribute nothing to any weight grad (see row-pad analysis)
+        x2 = jnp.concatenate([x2, jnp.zeros((rows - n, C), x.dtype)], axis=0)
+        g2 = jnp.concatenate([g2, jnp.zeros((rows - n, C), g.dtype)], axis=0)
+    xf = x2.astype(jnp.float32)
+    lnf, xhat, inv = _ln_fwd_f32(xf, ln_scale, ln_bias, ln_eps)
+    ln = lnf.astype(x.dtype)
+    zf = z.astype(jnp.float32)
+    phi_z = 0.5 * (1.0 + jax.lax.erf(zf * _SQRT1_2))
+    h = (zf * phi_z).astype(x.dtype)
+    dh = jax.lax.dot_general(g2, w2.T, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dgelu = phi_z + zf * (_INV_SQRT_2PI * jnp.exp(-0.5 * zf * zf))
+    dz = (dh * dgelu).astype(x.dtype)
+    dw1 = jax.lax.dot_general(ln, dz, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    db1 = jnp.sum(dz.astype(jnp.float32), axis=0)
+    dw2 = jax.lax.dot_general(h, g2, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    db2 = jnp.sum(g2.astype(jnp.float32), axis=0)
+    dln = jax.lax.dot_general(dz, w1.T, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dxf, dlns, dlnb = _ln_bwd_f32(dln, ln_scale, xhat, inv)
+    if use_residual:
+        dxf = dxf + g2.astype(jnp.float32)
+    dx = dxf[:n].astype(x.dtype).reshape(*lead, C)
+    return (dx, dlns[0].astype(ln_scale.dtype), dlnb[0].astype(ln_bias.dtype),
+            dw1.astype(w1.dtype), db1.astype(b1.dtype),
+            dw2.astype(w2.dtype), db2.astype(b2.dtype))
 
 
 def _fmr_bwd(ln_eps, use_residual, res, g):
-    x, ln_scale, ln_bias, w1, b1, w2, b2 = res
+    x, ln_scale, ln_bias, w1, b1, w2, b2, z = res
+    if z is not None:
+        return _fmr_bwd_saved_hidden(x, g, z, ln_scale, ln_bias, w1, b1,
+                                     w2, b2, ln_eps, use_residual)
     # Default to the XLA vjp here: the MLP backward is three large GEMMs
     # plus fusable elementwise work, which XLA already runs at MXU peak —
     # measured on v5e, the Pallas variant buys nothing (the attention
@@ -1030,7 +1150,7 @@ def _fmr_bwd(ln_eps, use_residual, res, g):
     if (os.environ.get("DUOFORMER_PALLAS_MLP_BWD", "0") != "1"
             or not _use_pallas_bwd() or not use_residual):
         _, vjp = jax.vjp(lambda *a: _fused_mlp_xla(*a, ln_eps, use_residual),
-                         *res)
+                         x, ln_scale, ln_bias, w1, b1, w2, b2)
         return vjp(g)
     dx, ln, h, dz, dlns, dlnb = _fused_mlp_bwd_impl(
         x, g, ln_scale, ln_bias, w1, b1, w2, ln_eps)

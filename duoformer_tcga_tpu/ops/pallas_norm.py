@@ -28,7 +28,8 @@ def _interpret() -> bool:
     env = os.environ.get("DUOFORMER_PALLAS_INTERPRET")
     if env is not None:
         return env == "1"
-    return jax.default_backend() != "tpu"
+    from .pallas_attention import default_device_is_tpu
+    return not default_device_is_tpu()
 
 
 def use_fused_ln(x) -> bool:

@@ -21,15 +21,36 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+DCN_AXIS = "dcn"
+
+
+def _slice_major(devices):
+    """Order devices slice-major (stable within a slice) so DCN-crossing
+    axes get contiguous ICI groups. Virtual/CPU devices carry no
+    slice_index — they keep their given order."""
+    idx = [getattr(d, "slice_index", None) for d in devices]
+    if any(i is None for i in idx):
+        return list(devices)
+    return [d for _, d in sorted(zip(idx, devices), key=lambda t: t[0])]
 
 
 def make_mesh(n_devices: Optional[int] = None, model_parallel: int = 1,
               devices: Optional[Sequence] = None,
-              platform: Optional[str] = None) -> Mesh:
-    """Build a ("data", "model") mesh over the available devices.
+              platform: Optional[str] = None,
+              dcn_slices: int = 1) -> Mesh:
+    """Build a ("data", "model") mesh — or ("dcn", "data", "model") when
+    dcn_slices > 1 — over the available devices.
 
     With model_parallel=1 (default) this is pure DP over the ICI ring —
     the layout the v5e-8 north-star workload uses (BASELINE.json).
+
+    dcn_slices > 1 is the multi-pod/multi-slice layout: the leading "dcn"
+    axis spans slices (data-center network), while "data" and "model" stay
+    inside a slice (ICI). Devices are ordered slice-major (real TPU
+    `slice_index` when present) so the only DCN-crossing collective is the
+    per-leaf gradient all-reduce over "dcn" — XLA decomposes it into an
+    ICI reduce-scatter + DCN all-reduce + ICI all-gather. Model-parallel
+    groups never cross a slice boundary.
 
     platform: optional backend name ("cpu"/"tpu") to pick devices from a
     specific backend (needed because this environment's TPU plugin ignores
@@ -46,13 +67,28 @@ def make_mesh(n_devices: Optional[int] = None, model_parallel: int = 1,
     n = len(devices)
     if n % model_parallel:
         raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    if dcn_slices > 1:
+        if n % (dcn_slices * model_parallel):
+            raise ValueError(
+                f"{n} devices not divisible by dcn_slices={dcn_slices} "
+                f"x model_parallel={model_parallel}")
+        arr = np.asarray(_slice_major(devices)).reshape(
+            dcn_slices, n // (dcn_slices * model_parallel), model_parallel)
+        return Mesh(arr, (DCN_AXIS, DATA_AXIS, MODEL_AXIS))
     arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
+def batch_axes(mesh: Mesh):
+    """The mesh axes the batch dim is sharded over (dcn-first if present)."""
+    if DCN_AXIS in mesh.axis_names:
+        return (DCN_AXIS, DATA_AXIS)
+    return DATA_AXIS
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) dim across the data axis."""
-    return NamedSharding(mesh, P(DATA_AXIS))
+    """Shard the leading (batch) dim across the data (and dcn) axes."""
+    return NamedSharding(mesh, P(batch_axes(mesh)))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

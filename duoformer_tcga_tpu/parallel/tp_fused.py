@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from .mesh import DATA_AXIS, MODEL_AXIS
+from .mesh import MODEL_AXIS, batch_axes
 from ..ops import pallas_attention as pa
 
 
@@ -45,8 +45,10 @@ def _rep_rank(rank):
     return P(*([None] * rank))
 
 
-def _batch_spec(rank):
-    return P(*([DATA_AXIS] + [None] * (rank - 1)))
+def _batch_spec(mesh, rank):
+    """Batch rows split over the data axis — and the dcn axis too on a
+    multi-slice mesh (keeps per-slice compute disjoint)."""
+    return P(*([batch_axes(mesh)] + [None] * (rank - 1)))
 
 
 def attention_branch_tp(mesh, x, ln_scale, ln_bias, wqkv, bqkv, wproj,
@@ -94,9 +96,9 @@ def attention_branch_tp(mesh, x, ln_scale, ln_bias, wqkv, bqkv, wproj,
 
     return jax.shard_map(
         body, mesh=mesh,
-        in_specs=(_batch_spec(x.ndim), P(None), P(None), _rep_rank(2),
+        in_specs=(_batch_spec(mesh, x.ndim), P(None), P(None), _rep_rank(2),
                   P(None), P(MODEL_AXIS, None), P(None)),
-        out_specs=_batch_spec(x.ndim),
+        out_specs=_batch_spec(mesh, x.ndim),
         check_vma=False,
     )(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj)
 
@@ -126,9 +128,9 @@ def mlp_branch_tp(mesh, x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps=1e-6):
 
     return jax.shard_map(
         body, mesh=mesh,
-        in_specs=(_batch_spec(x.ndim), P(None), P(None),
+        in_specs=(_batch_spec(mesh, x.ndim), P(None), P(None),
                   P(None, MODEL_AXIS), P(MODEL_AXIS), P(MODEL_AXIS, None),
                   P(None)),
-        out_specs=_batch_spec(x.ndim),
+        out_specs=_batch_spec(mesh, x.ndim),
         check_vma=False,
     )(x, ln_scale, ln_bias, w1, b1, w2, b2)

@@ -48,8 +48,9 @@ def _tp_kernel_ctx(mesh, where: str):
     path is enabled; otherwise fall back to the XLA path (the SPMD
     partitioner handles the TP layout) with a logged warning."""
     import os
+    from .ops import pallas_attention as pa
     env = os.environ.get("DUOFORMER_FUSED_ATTN")
-    if env == "1" or (env != "0" and jax.default_backend() == "tpu"):
+    if env == "1" or (env != "0" and pa.default_device_is_tpu()):
         return attn_ops.tp_fused_path(mesh)
     _warn_tp_fused_disabled(where)
     return attn_ops.force_xla_path()

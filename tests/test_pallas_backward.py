@@ -107,6 +107,38 @@ def test_mlp_residual_backward_parity(monkeypatch):
             err_msg=f"{name} mismatch")
 
 
+@pytest.mark.parametrize("use_residual", [True, False])
+def test_mlp_residual_saved_hidden_backward_parity(use_residual, monkeypatch):
+    """Save-hidden backward (forward kernel emits pre-GELU z; backward
+    skips the fc1 recompute) vs the XLA-composition vjp. Rows chosen to
+    exercise the kernel row-tile padding."""
+    C, hidden = 128, 512
+    ks = jax.random.split(jax.random.PRNGKey(3), 8)
+    x = jax.random.normal(ks[0], (3, 70, C))       # 210 rows: pads to 256
+    lns = 1.0 + 0.1 * jax.random.normal(ks[1], (C,))
+    lnb = 0.1 * jax.random.normal(ks[2], (C,))
+    w1 = jax.random.normal(ks[3], (C, hidden)) * 0.05
+    b1 = 0.1 * jax.random.normal(ks[4], (hidden,))
+    w2 = jax.random.normal(ks[5], (hidden, C)) * 0.05
+    b2 = 0.1 * jax.random.normal(ks[6], (C,))
+    g = jax.random.normal(ks[7], (3, 70, C))
+    args = (x, lns, lnb, w1, b1, w2, b2)
+
+    monkeypatch.setenv("DUOFORMER_PALLAS_BWD", "1")
+    monkeypatch.setenv("DUOFORMER_MLP_SAVE_HIDDEN", "1")
+    out_k, grads_k = _grads(
+        lambda *a: pa.fused_mlp_residual(*a, 1e-6, use_residual), args, g)
+    out_x, grads_x = _grads(
+        lambda *a: pa._fused_mlp_xla(*a, 1e-6, use_residual), args, g)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x),
+                               atol=1e-5, rtol=1e-5)
+    names = ["dx", "dln_scale", "dln_bias", "dw1", "db1", "dw2", "db2"]
+    for name, gk, gx in zip(names, grads_k, grads_x):
+        np.testing.assert_allclose(
+            np.asarray(gk), np.asarray(gx), atol=3e-4, rtol=3e-4,
+            err_msg=f"{name} mismatch (use_residual={use_residual})")
+
+
 def test_scale_block_train_grads_through_megakernels(monkeypatch):
     """End-to-end: grads of a scale block (megafused path) vs the
     unfused block composition."""

@@ -48,8 +48,16 @@ class Predictor:
             from .ops.quantize import (quantize_attention_weights,
                                        quantize_mlp_weights)
             params = quantize_attention_weights(quantize_mlp_weights(params))
+        tp_active = (mesh is not None
+                     and mesh.shape.get(mesh_lib.MODEL_AXIS, 1) > 1)
         if mesh is not None:
-            params = mesh_lib.replicate(mesh, params)
+            if tp_active:
+                # Megatron layout over the model axis; the fused kernels
+                # (bf16 or int8) run per model-shard via shard_map
+                from .parallel import tp as tp_lib
+                params = tp_lib.shard_params_tp(mesh, params)
+            else:
+                params = mesh_lib.replicate(mesh, params)
         self.params = params
         self._bsh = mesh_lib.batch_sharding(mesh) if mesh is not None else None
 
@@ -58,6 +66,10 @@ class Predictor:
                 x = data_lib.preprocess_tiles(x, dtype=dtype)
             else:
                 x = x.astype(dtype)
+            if tp_active:
+                from .ops import attention as attn_ops
+                with attn_ops.tp_fused_path(mesh):
+                    return self.model.apply(p, x, train=False)
             return self.model.apply(p, x, train=False)
 
         kwargs = {}

@@ -135,10 +135,28 @@ def scale_block_apply(p, x, num_heads, scale=None, ln_eps=1e-6,
         attn_p = p["attn"]
         head_dim = C // num_heads
         if attn_ops._TP_MESH is not None and "w_q" in attn_p["qkv"]:
-            raise NotImplementedError(
-                "int8 serving weights under model_parallel>1 are not "
-                "supported: requantize per shard or serve with "
-                "quantize=False / model_parallel=1")
+            # int8 serving under head/hidden-split TP: the rectangular
+            # int8 megakernels run per model-shard (parallel/tp_fused.py)
+            from ..parallel import tp_fused
+            mesh = attn_ops._TP_MESH
+            mlp_p = p["mlp"]
+            hidden = mlp_p["fc1"]["w_q"].shape[-1]
+            x = tp_fused.attention_branch_tp_int8(
+                mesh, x.reshape(n_seg, S, C), p["norm1"]["scale"],
+                p["norm1"]["bias"], attn_p["qkv"]["w_q"],
+                attn_p["qkv"]["w_scale"],
+                attn_p["qkv"].get("b", jnp.zeros((3 * C,), x.dtype)),
+                attn_p["proj"]["w_q"], attn_p["proj"]["w_scale"],
+                attn_p["proj"].get("b", jnp.zeros((C,), x.dtype)),
+                num_heads, S, head_dim ** -0.5, ln_eps).reshape(*lead, S, C)
+            return tp_fused.mlp_branch_tp_int8(
+                mesh, x.reshape(n_seg * S, C), p["norm2"]["scale"],
+                p["norm2"]["bias"], mlp_p["fc1"]["w_q"],
+                mlp_p["fc1"]["w_scale"],
+                mlp_p["fc1"].get("b", jnp.zeros((hidden,), x.dtype)),
+                mlp_p["fc2"]["w_q"], mlp_p["fc2"]["w_scale"],
+                mlp_p["fc2"].get("b", jnp.zeros((C,), x.dtype)),
+                ln_eps).reshape(*lead, S, C)
         if attn_ops._TP_MESH is not None:
             # head/hidden-split TP: run both megakernels per model-shard
             # via shard_map (parallel/tp_fused.py) — one psum per branch

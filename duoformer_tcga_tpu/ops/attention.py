@@ -173,10 +173,19 @@ def multihead_attention(params, x, num_heads, scale=None, attn_drop=0.0,
             n_seg *= d
         zeros_c = jnp.zeros((C,), x.dtype)
         if _TP_MESH is not None and "w_q" in params["qkv"]:
-            raise NotImplementedError(
-                "int8 serving weights under model_parallel>1 are not "
-                "supported: requantize per shard or serve with "
-                "quantize=False / model_parallel=1")
+            # int8 under head-split TP: rectangular int8 megakernel per
+            # model-shard (parallel/tp_fused.py)
+            from ..parallel import tp_fused
+            out = tp_fused.attention_branch_tp_int8(
+                _TP_MESH, x.reshape(n_seg, S, C), zeros_c, zeros_c,
+                params["qkv"]["w_q"], params["qkv"]["w_scale"],
+                params["qkv"].get("b", jnp.zeros((3 * C,), x.dtype)),
+                params["proj"]["w_q"], params["proj"]["w_scale"],
+                params["proj"].get("b", zeros_c),
+                num_heads, S, float(scale), 1e-6, False, False)
+            out = out.reshape(*lead, S, C)
+            out = nn.dropout(out, proj_drop, r2, train)
+            return out
         if _TP_MESH is not None:
             # head-split TP: same megakernel per model-shard (shard_map)
             from ..parallel import tp_fused

@@ -61,14 +61,17 @@ def _interpret() -> bool:
     return not default_device_is_tpu()
 
 
-def _segments_per_tile(seg_len: int, n_seg: int = 0) -> int:
-    """Segments packed per row-tile (G, with G*seg_len <= 128).
+def _segments_per_tile(seg_len: int, n_seg: int = 0,
+                       rows_cap: int = 0) -> int:
+    """Segments packed per row-tile (G, with G*seg_len <= rows_cap,
+    default LANES=128).
 
     Prefer the largest G <= 128//S that DIVIDES n_seg: a non-dividing G
     forces a pad-concat that copies the entire qkv tensor (~350MB per
     block at B=256) before every kernel call. A slightly smaller tile
     (e.g. 16x6=96 rows instead of 21x6=126) is cheaper than that copy."""
-    g_max = max(1, LANES // seg_len)
+    cap = rows_cap or LANES
+    g_max = max(1, cap // seg_len)
     if n_seg:
         for g in range(g_max, 0, -1):
             if n_seg % g == 0:
@@ -268,10 +271,17 @@ def _fused_block_int8_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref,
     """a8w8 variant of the attention-residual megakernel: the qkv and
     output-proj GEMMs run int8 x int8 -> int32 on the MXU (2x bf16
     throughput on v5e); the attention core itself (tiny FLOPs over
-    <=86-token segments) stays bf16. Serving-only — no vjp."""
+    <=86-token segments) stays bf16. Serving-only — no vjp.
+
+    Rectangular like the bf16 kernel: wqkv may be [C, 3*Co] with Co < C
+    (head-split TP shard — num_heads local heads of width Co//num_heads),
+    wproj then [Co, C]. Note per-shard row-quant of the proj activation
+    spans only that shard's Co columns, so TP int8 output differs from
+    single-device int8 at rounding level (bounded; tests)."""
     R = x_ref.shape[1]
     C = x_ref.shape[2]
-    D = C // num_heads
+    Co = wqkv_ref.shape[1] // 3
+    D = Co // num_heads
     arows = groups * seg_len
 
     x = x_ref[0]
@@ -301,8 +311,8 @@ def _fused_block_int8_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref,
         qkv = qkv_scratch[lo:lo + arows, :]
         for h in range(num_heads):
             q = qkv[:, h * D:(h + 1) * D]
-            k = qkv[:, C + h * D:C + (h + 1) * D]
-            v = qkv[:, 2 * C + h * D:2 * C + (h + 1) * D]
+            k = qkv[:, Co + h * D:Co + (h + 1) * D]
+            v = qkv[:, 2 * Co + h * D:2 * Co + (h + 1) * D]
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -314,7 +324,7 @@ def _fused_block_int8_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref,
                         preferred_element_type=jnp.float32)
             qkv_scratch[lo:lo + arows, h * D:(h + 1) * D] = o.astype(x.dtype)
 
-    aq, as_ = _rowquant(qkv_scratch[:, :C].astype(jnp.float32))
+    aq, as_ = _rowquant(qkv_scratch[:, :Co].astype(jnp.float32))
     acc2 = jax.lax.dot_general(aq, wproj_ref[:], (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.int32)
     y = (acc2.astype(jnp.float32) * as_ * sproj_ref[0]
@@ -328,8 +338,10 @@ def fused_attention_residual_int8(x, ln_scale, ln_bias, wqkv_q, sqkv, bqkv,
                                   wproj_q, sproj, bproj, num_heads, seg_len,
                                   scale, ln_eps=1e-6, use_ln=True,
                                   use_residual=True):
-    """int8 serving form of fused_attention_residual (no vjp)."""
+    """int8 serving form of fused_attention_residual (no vjp). wqkv_q may
+    be [C, 3*Co] with Co < C (head-split TP shard), wproj_q then [Co, C]."""
     n_seg, S, C = x.shape
+    Co = wqkv_q.shape[-1] // 3
     G = _segments_per_tile(seg_len, n_seg)
     arows = G * S
     T = ATTN_SUBTILES
@@ -354,23 +366,23 @@ def fused_attention_residual_int8(x, ln_scale, ln_bias, wqkv_q, sqkv, bqkv,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, 3 * C), lambda i: (0, 0),
+            pl.BlockSpec((C, 3 * Co), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3 * C), lambda i: (0, 0),
+            pl.BlockSpec((1, 3 * Co), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3 * C), lambda i: (0, 0),
+            pl.BlockSpec((1, 3 * Co), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Co, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, R, C), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_steps, R, C), x.dtype),
-        scratch_shapes=[pltpu.VMEM((R, 3 * C), x.dtype)],
+        scratch_shapes=[pltpu.VMEM((R, 3 * Co), x.dtype)],
         interpret=_interpret(),
     )(tiled, ln_scale.reshape(1, C), ln_bias.reshape(1, C), wqkv_q,
-      sqkv.reshape(1, 3 * C), bqkv.reshape(1, 3 * C), wproj_q,
+      sqkv.reshape(1, 3 * Co), bqkv.reshape(1, 3 * Co), wproj_q,
       sproj.reshape(1, C), bproj.reshape(1, C))
     out = out.reshape(-1, S, C)
     return out[:n_seg] if n_pad else out
@@ -384,7 +396,9 @@ def _fused_block_impl(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
     heads of width Co//num_heads); wproj is then [Co, C]."""
     n_seg, S, C = x.shape
     Co = wqkv.shape[-1] // 3
-    G = _segments_per_tile(seg_len, n_seg)
+    G = _segments_per_tile(
+        seg_len, n_seg,
+        rows_cap=int(os.environ.get("DUOFORMER_ATTN_ROWS_CAP", "128")))
     arows = G * S
     # pack ATTN_SUBTILES attention tiles per grid step when they divide evenly
     T = ATTN_SUBTILES
@@ -604,7 +618,11 @@ def _fused_block_bwd_impl(x, g, ln_scale, ln_bias, wqkv, bqkv, wproj,
     zero-padded), so downstream weight-grad GEMMs need no masking."""
     n_seg, S, C = x.shape
     Co = wqkv.shape[-1] // 3
-    G = _segments_per_tile(seg_len, n_seg)
+    # rows cap: wider tiles raise MXU fill of the per-head core matmuls
+    # ([rows,64]x[64,rows]) and cut grid steps; bounded by scoped VMEM
+    G = _segments_per_tile(
+        seg_len, n_seg,
+        rows_cap=int(os.environ.get("DUOFORMER_BWD_ROWS_CAP", "128")))
     arows = G * S
     # single sub-tile: the backward kernel holds ~4x the forward's buffers
     # per step (x+g in, dx+ln+attn+dqkv out, two 3C scratches, wqkvT);
@@ -873,7 +891,8 @@ def _rowquant(v):
 
 
 def _fused_mlp_int8_kernel(x_ref, lns_ref, lnb_ref, w1_ref, s1_ref, b1_ref,
-                           w2_ref, s2_ref, b2_ref, out_ref, *, ln_eps):
+                           w2_ref, s2_ref, b2_ref, out_ref, *, ln_eps,
+                           use_residual=True):
     """a8w8 variant: both GEMMs run int8 x int8 -> int32 on the MXU (2x
     bf16 throughput on v5e); dequant is an outer product of the dynamic
     per-row activation scale and the static per-channel weight scale."""
@@ -894,12 +913,16 @@ def _fused_mlp_int8_kernel(x_ref, lns_ref, lnb_ref, w1_ref, s1_ref, b1_ref,
     acc2 = jax.lax.dot_general(hq, w2_ref[:], (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.int32)
     y = acc2.astype(jnp.float32) * hs * s2_ref[0] + b2_ref[0].astype(jnp.float32)
-    out_ref[:] = (y + xf).astype(out_ref.dtype)
+    if use_residual:
+        y = y + xf
+    out_ref[:] = y.astype(out_ref.dtype)
 
 
 def fused_mlp_residual_int8(x, ln_scale, ln_bias, w1_q, s1, b1, w2_q, s2, b2,
-                            ln_eps=1e-6):
-    """int8 serving form of fused_mlp_residual (inference only — no vjp)."""
+                            ln_eps=1e-6, use_residual=True):
+    """int8 serving form of fused_mlp_residual (inference only — no vjp).
+    use_residual=False gives the bare branch (hidden-split TP shards psum
+    partial branches and add the residual once)."""
     *lead, C = x.shape
     hidden = w1_q.shape[-1]
     n = 1
@@ -913,7 +936,8 @@ def fused_mlp_residual_int8(x, ln_scale, ln_bias, w1_q, s1, b1, w2_q, s2, b2,
                                axis=0)
     rows = flat.shape[0]
     out = pl.pallas_call(
-        functools.partial(_fused_mlp_int8_kernel, ln_eps=ln_eps),
+        functools.partial(_fused_mlp_int8_kernel, ln_eps=ln_eps,
+                          use_residual=use_residual),
         grid=(rows // rt,),
         in_specs=[
             pl.BlockSpec((rt, C), lambda i: (i, 0), memory_space=pltpu.VMEM),

@@ -44,19 +44,20 @@ def _spec_for(path_names, leaf) -> P:
     def second_last_dim(axis_name):
         return P(*([None] * (rank - 2) + [axis_name, None]))
 
-    # attention / mlp linears inside block stacks
+    # attention / mlp linears inside block stacks. int8 serving leaves
+    # (w_q + per-output-column w_scale, ops/quantize.py) shard with their
+    # output columns for the column-parallel weights; the row-parallel
+    # weights' scales belong to unsharded output channels and replicate.
     if "qkv" in names or ("fc1" in names and "mlp" in names):
-        if names[-1] == "w":
+        if names[-1] in ("w", "w_q", "w_scale", "b"):
             return last_dim(MODEL_AXIS)         # column-parallel
-        if names[-1] == "b":
-            return last_dim(MODEL_AXIS)
     if "proj" in names and ("attn" in names or "attn1" in names
                             or "attn2" in names):
-        if names[-1] == "w":
+        if names[-1] in ("w", "w_q"):
             return second_last_dim(MODEL_AXIS)  # row-parallel
-        return P()                               # bias replicated
+        return P()                               # bias/scale replicated
     if "fc2" in names and "mlp" in names:
-        if names[-1] == "w":
+        if names[-1] in ("w", "w_q"):
             return second_last_dim(MODEL_AXIS)
         return P()
     return P()                                   # replicate everything else

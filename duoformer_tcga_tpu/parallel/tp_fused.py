@@ -103,6 +103,93 @@ def attention_branch_tp(mesh, x, ln_scale, ln_bias, wqkv, bqkv, wproj,
     )(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj)
 
 
+def attention_branch_tp_int8(mesh, x, ln_scale, ln_bias, wqkv_q, sqkv, bqkv,
+                             wproj_q, sproj, bproj, num_heads, seg_len,
+                             scale, ln_eps=1e-6, use_ln=True,
+                             use_residual=True):
+    """int8 (a8w8) serving form of attention_branch_tp: each model-shard
+    runs the rectangular int8 megakernel on its heads. Same weight
+    movement as bf16 (qkv replicated + head-sliced, proj row-sharded);
+    the per-column weight scales travel with their columns/rows. Note the
+    proj activation row-quant spans only the shard's Co columns, so TP
+    int8 differs from single-device int8 at rounding level (bounded by
+    the int8 cases in tests/test_tp_fused.py)."""
+    tp = _tp_size(mesh)
+    if tp == 1:
+        return pa.fused_attention_residual_int8(
+            x, ln_scale, ln_bias, wqkv_q, sqkv, bqkv, wproj_q, sproj,
+            bproj, num_heads, seg_len, scale, ln_eps, use_ln, use_residual)
+    if num_heads % tp:
+        raise ValueError(f"num_heads={num_heads} not divisible by tp={tp}")
+    C = x.shape[-1]
+    C_loc = C // tp
+    h_loc = num_heads // tp
+
+    def body(x, ln_scale, ln_bias, wqkv_q, sqkv, bqkv, wproj_loc, sproj,
+             bproj):
+        idx = jax.lax.axis_index(MODEL_AXIS)
+        lo = idx * C_loc
+
+        def _sl3(a):   # head-aligned q|k|v column slices ([..., 3C] -> 3C_loc)
+            if a.ndim == 2:
+                parts = [jax.lax.dynamic_slice(a, (0, k * C + lo), (C, C_loc))
+                         for k in range(3)]
+            else:
+                parts = [jax.lax.dynamic_slice(a, (k * C + lo,), (C_loc,))
+                         for k in range(3)]
+            return jnp.concatenate(parts, axis=-1)
+
+        part = pa.fused_attention_residual_int8(
+            x, ln_scale, ln_bias, _sl3(wqkv_q), _sl3(sqkv), _sl3(bqkv),
+            wproj_loc, sproj, jnp.zeros((C,), x.dtype), h_loc, seg_len,
+            scale, ln_eps, use_ln, False)
+        y = jax.lax.psum(part.astype(jnp.float32), MODEL_AXIS)
+        y = y + bproj.astype(jnp.float32)
+        if use_residual:
+            y = y + x.astype(jnp.float32)
+        return y.astype(x.dtype)
+
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(_batch_spec(mesh, x.ndim), P(None), P(None), _rep_rank(2),
+                  P(None), P(None), P(MODEL_AXIS, None), P(None), P(None)),
+        out_specs=_batch_spec(mesh, x.ndim),
+        check_vma=False,
+    )(x, ln_scale, ln_bias, wqkv_q, sqkv, bqkv, wproj_q, sproj, bproj)
+
+
+def mlp_branch_tp_int8(mesh, x, ln_scale, ln_bias, w1_q, s1, b1, w2_q, s2,
+                       b2, ln_eps=1e-6):
+    """int8 (a8w8) serving form of mlp_branch_tp: fc1 column-sharded with
+    its per-column scales, fc2 row-sharded (its per-output scales stay
+    replicated — they belong to output channels), partials psum in f32."""
+    tp = _tp_size(mesh)
+    if tp == 1:
+        return pa.fused_mlp_residual_int8(x, ln_scale, ln_bias, w1_q, s1,
+                                          b1, w2_q, s2, b2, ln_eps)
+    hid = w1_q.shape[-1]
+    if hid % tp:
+        raise ValueError(f"mlp hidden={hid} not divisible by tp={tp}")
+    C = x.shape[-1]
+
+    def body(x, ln_scale, ln_bias, w1_loc, s1_loc, b1_loc, w2_loc, s2, b2):
+        part = pa.fused_mlp_residual_int8(
+            x, ln_scale, ln_bias, w1_loc, s1_loc, b1_loc, w2_loc, s2,
+            jnp.zeros((C,), x.dtype), ln_eps, False)
+        y = jax.lax.psum(part.astype(jnp.float32), MODEL_AXIS)
+        y = y + b2.astype(jnp.float32) + x.astype(jnp.float32)
+        return y.astype(x.dtype)
+
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(_batch_spec(mesh, x.ndim), P(None), P(None),
+                  P(None, MODEL_AXIS), P(MODEL_AXIS), P(MODEL_AXIS),
+                  P(MODEL_AXIS, None), P(None), P(None)),
+        out_specs=_batch_spec(mesh, x.ndim),
+        check_vma=False,
+    )(x, ln_scale, ln_bias, w1_q, s1, b1, w2_q, s2, b2)
+
+
 def mlp_branch_tp(mesh, x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps=1e-6):
     """y = x + fc2(gelu(fc1(LN(x)))) under hidden-split TP.
 

@@ -114,3 +114,33 @@ def test_int8_attention_megakernel_drift(monkeypatch):
     err = np.asarray(out - ref)
     assert np.abs(err).max() < 0.05 * (np.abs(branch).max() + 0.1), \
         (np.abs(err).max(), np.abs(branch).max())
+
+
+def test_predictor_int8_tp2_close(monkeypatch):
+    """End-to-end int8 serving under tensor parallelism: Predictor with a
+    model_parallel=2 mesh + quantize=True stays within the int8 drift
+    budget of the bf16 reference and close to single-device int8."""
+    import duoformer_tcga_tpu as dft
+    from duoformer_tcga_tpu.inference import Predictor
+    from duoformer_tcga_tpu.parallel import mesh as mesh_lib
+
+    monkeypatch.setenv("DUOFORMER_MEGAFUSE", "1")
+    monkeypatch.setenv("DUOFORMER_PALLAS_INTERPRET", "1")
+    model = dft.build_model_no_extra_params(
+        num_classes=4, num_layers=2, embed_dim=128, proj_dim=128,
+        num_heads=8, depth=2, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0))
+    tiles = np.random.default_rng(1).integers(
+        0, 256, (8, 224, 224, 3), dtype=np.uint8)
+
+    ref = np.asarray(Predictor(model, params, dtype=jnp.float32)(tiles))
+    one = np.asarray(Predictor(model, params, dtype=jnp.float32,
+                               quantize=True)(tiles))
+    mesh = mesh_lib.make_mesh(model_parallel=2, platform="cpu")
+    tp = np.asarray(Predictor(model, params, mesh=mesh, dtype=jnp.float32,
+                              quantize=True)(tiles))
+    spread = ref.max() - ref.min() + 1e-3
+    assert np.abs(tp - one).max() < 0.1 * spread, \
+        (np.abs(tp - one).max(), spread)
+    assert np.abs(tp - ref).max() < 0.2 * spread, \
+        (np.abs(tp - ref).max(), spread)

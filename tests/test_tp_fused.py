@@ -163,3 +163,93 @@ def test_train_step_tp2_fused(monkeypatch):
     state2, metrics = step(state, batch, rng)
     assert np.isfinite(float(metrics["loss"]))
     assert int(state2["step"]) == 1
+
+
+def test_tp_int8_attention_branch_close(monkeypatch):
+    """int8 attention branch under tp=2 vs single-device int8: identical
+    qkv stage (same row/column scales), proj activation row-quant spans
+    only the shard's Co columns -> rounding-level drift, bounded."""
+    from duoformer_tcga_tpu.ops import quantize as q
+
+    H, S, C = 12, 6, 96
+    i = _branch_inputs(jax.random.PRNGKey(5), S=S, C=C)
+    scale = (C // H) ** -0.5
+    wqkv_q, sqkv = q.quantize_weight(i["wqkv"])
+    wproj_q, sproj = q.quantize_weight(i["wproj"])
+
+    ref_f32 = pa._fused_block_xla(i["x"], i["lns"], i["lnb"], i["wqkv"],
+                                  i["bqkv"], i["wproj"], i["bproj"],
+                                  H, S, scale, 1e-6)
+    one = pa.fused_attention_residual_int8(
+        i["x"], i["lns"], i["lnb"], wqkv_q, sqkv, i["bqkv"], wproj_q,
+        sproj, i["bproj"], H, S, scale, 1e-6)
+    mesh = mesh_lib.make_mesh(model_parallel=2, platform="cpu")
+    out = jax.jit(lambda *a: tp_fused.attention_branch_tp_int8(
+        mesh, *a, num_heads=H, seg_len=S, scale=scale))(
+        i["x"], i["lns"], i["lnb"], wqkv_q, sqkv, i["bqkv"], wproj_q,
+        sproj, i["bproj"])
+    branch = np.abs(np.asarray(ref_f32) - np.asarray(i["x"])).max()
+    # tp-vs-single int8 differ only in proj act quantization granularity
+    assert np.abs(np.asarray(out) - np.asarray(one)).max() \
+        < 0.05 * (branch + 0.1)
+    # and both stay within the int8 drift budget of the f32 reference
+    assert np.abs(np.asarray(out) - np.asarray(ref_f32)).max() \
+        < 0.08 * (branch + 0.1)
+
+
+def test_tp_int8_mlp_branch_close(monkeypatch):
+    from duoformer_tcga_tpu.ops import quantize as q
+
+    C = 96
+    i = _branch_inputs(jax.random.PRNGKey(6), C=C)
+    ks = jax.random.split(jax.random.PRNGKey(7), 2)
+    w1 = jax.random.normal(ks[0], (C, 4 * C)) * 0.05
+    w2 = jax.random.normal(ks[1], (4 * C, C)) * 0.05
+    b1 = jnp.full((4 * C,), 0.01)
+    b2 = jnp.full((C,), 0.01)
+    w1_q, s1 = q.quantize_weight(w1)
+    w2_q, s2 = q.quantize_weight(w2)
+    x2 = i["x"].reshape(-1, C)
+
+    ref_f32 = pa._fused_mlp_xla(x2, i["lns"], i["lnb"], w1, b1, w2, b2,
+                                1e-6)
+    one = pa.fused_mlp_residual_int8(x2, i["lns"], i["lnb"], w1_q, s1, b1,
+                                     w2_q, s2, b2, 1e-6)
+    mesh = mesh_lib.make_mesh(model_parallel=2, platform="cpu")
+    out = jax.jit(lambda *a: tp_fused.mlp_branch_tp_int8(mesh, *a))(
+        x2, i["lns"], i["lnb"], w1_q, s1, b1, w2_q, s2, b2)
+    branch = np.abs(np.asarray(ref_f32) - np.asarray(x2)).max()
+    assert np.abs(np.asarray(out) - np.asarray(one)).max() \
+        < 0.05 * (branch + 0.1)
+    assert np.abs(np.asarray(out) - np.asarray(ref_f32)).max() \
+        < 0.08 * (branch + 0.1)
+
+
+def test_model_forward_tp2_int8_close(monkeypatch):
+    """Full tiny model with every transformer GEMM int8 under tp=2: logits
+    close to the bf16/f32 XLA path (int8 drift budget), argmax agreement."""
+    from duoformer_tcga_tpu.ops import quantize as q
+
+    monkeypatch.setenv("DUOFORMER_FUSED_ATTN", "1")
+    monkeypatch.setenv("DUOFORMER_MEGAFUSE", "1")
+    model = dft.build_model_no_extra_params(
+        num_classes=4, num_layers=2, embed_dim=128, proj_dim=128,
+        num_heads=8, depth=2)
+    params = model.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 224, 224, 3))
+
+    with attn_ops.force_xla_path():
+        ref = jax.jit(lambda p, x: model.apply(p, x))(params, x)
+
+    qparams = q.quantize_attention_weights(q.quantize_mlp_weights(params))
+    mesh = mesh_lib.make_mesh(model_parallel=2, platform="cpu")
+    ps = tp_lib.shard_params_tp(mesh, qparams)
+    xs = mesh_lib.shard_batch(mesh, x)
+    with attn_ops.tp_fused_path(mesh):
+        out = jax.jit(lambda p, x: model.apply(p, x),
+                      out_shardings=mesh_lib.batch_sharding(mesh))(ps, xs)
+    ref_n, out_n = np.asarray(ref), np.asarray(out)
+    spread = ref_n.max() - ref_n.min() + 1e-3
+    assert np.abs(out_n - ref_n).max() < 0.15 * spread, \
+        (np.abs(out_n - ref_n).max(), spread)
+    assert (out_n.argmax(-1) == ref_n.argmax(-1)).mean() >= 0.9

@@ -509,7 +509,8 @@ def _ln_bwd_f32(dln, lns, xhat, inv):
 def _fused_block_bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref, wqkv_ref,
                             bqkv_ref, wprojT_ref, wqkvT_ref,
                             dx_ref, ln_ref, attn_ref,
-                            dqkv_ref, dlns_ref, dlnb_ref, qkv_scratch,
+                            dqkv_ref, dlns_ref, dlnb_ref, dbq_ref,
+                            dbp_ref, qkv_scratch,
                             dqkv_scratch, *, num_heads, seg_len, groups,
                             scale, ln_eps, use_ln, use_residual):
     """dx + row-space grad intermediates for the attention-residual branch.
@@ -533,6 +534,8 @@ def _fused_block_bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref, wqkv_ref,
     def _init_accums():
         dlns_ref[:] = jnp.zeros_like(dlns_ref)
         dlnb_ref[:] = jnp.zeros_like(dlnb_ref)
+        dbq_ref[:] = jnp.zeros_like(dbq_ref)
+        dbp_ref[:] = jnp.zeros_like(dbp_ref)
 
     x = x_ref[0]
     g = g_ref[0]
@@ -595,6 +598,12 @@ def _fused_block_bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref, wqkv_ref,
                 dv.astype(x.dtype)
 
     dqkv_ref[0] = dqkv_scratch[:]
+    # bias grads accumulated in-kernel: saves the XLA-side full re-read of
+    # dqkv (~347MB/block) and g for the column sums
+    dbq_ref[0:1] = dbq_ref[0:1] + jnp.sum(
+        dqkv_scratch[:].astype(jnp.float32), axis=0, keepdims=True)
+    dbp_ref[0:1] = dbp_ref[0:1] + jnp.sum(
+        g.astype(jnp.float32), axis=0, keepdims=True)
     # dln = dqkv @ wqkv^T  (pre-transposed operand)
     dln = jax.lax.dot_general(dqkv_scratch[:], wqkvT_ref[:],
                               (((1,), (0,)), ((), ())),
@@ -654,7 +663,7 @@ def _fused_block_bwd_impl(x, g, ln_scale, ln_bias, wqkv, bqkv, wproj,
         pl.BlockSpec((C, Co), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((3 * Co, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
-    dx, ln, attn, dqkv, dlns, dlnb = pl.pallas_call(
+    dx, ln, attn, dqkv, dlns, dlnb, dbq, dbp = pl.pallas_call(
         kern,
         grid=(n_steps,),
         in_specs=wspec,
@@ -669,6 +678,9 @@ def _fused_block_bwd_impl(x, g, ln_scale, ln_bias, wqkv, bqkv, wproj,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 3 * Co), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_steps, R, C), x.dtype),
@@ -676,6 +688,8 @@ def _fused_block_bwd_impl(x, g, ln_scale, ln_bias, wqkv, bqkv, wproj,
             jax.ShapeDtypeStruct((n_steps, R, Co), x.dtype),
             jax.ShapeDtypeStruct((n_steps, R, 3 * Co), x.dtype),
             jax.ShapeDtypeStruct((8, C), jnp.float32),
+            jax.ShapeDtypeStruct((8, C), jnp.float32),
+            jax.ShapeDtypeStruct((8, 3 * Co), jnp.float32),
             jax.ShapeDtypeStruct((8, C), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((R, 3 * Co), x.dtype),
@@ -686,7 +700,8 @@ def _fused_block_bwd_impl(x, g, ln_scale, ln_bias, wqkv, bqkv, wproj,
     n_rows = n_steps * R
     return (dx.reshape(-1, S, C)[:n_seg] if n_pad else dx.reshape(-1, S, C),
             ln.reshape(n_rows, C), attn.reshape(n_rows, Co),
-            dqkv.reshape(n_rows, 3 * Co), dlns[0], dlnb[0])
+            dqkv.reshape(n_rows, 3 * Co), dlns[0], dlnb[0],
+            dbq[0], dbp[0])
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
@@ -721,7 +736,7 @@ def _far_bwd(num_heads, seg_len, scale, ln_eps, use_ln, use_residual, res, g):
                                         use_ln, use_residual),
             *res)
         return vjp(g)
-    dx, ln, attn, dqkv, dlns, dlnb = _fused_block_bwd_impl(
+    dx, ln, attn, dqkv, dlns, dlnb, dbqkv, dbproj = _fused_block_bwd_impl(
         x, g, ln_scale, ln_bias, wqkv, bqkv, wproj,
         num_heads, seg_len, scale, ln_eps, use_ln, use_residual)
     n_seg, S, C = x.shape
@@ -731,13 +746,13 @@ def _far_bwd(num_heads, seg_len, scale, ln_eps, use_ln, use_residual, res, g):
         g2d = jnp.concatenate(
             [g2d, jnp.zeros((g2d_padded_rows - g2d.shape[0], C), g.dtype)],
             axis=0)
-    # weight-grad GEMMs: large row-space contractions, MXU-peak in XLA
+    # weight-grad GEMMs: large row-space contractions, MXU-peak in XLA;
+    # bias grads come out of the kernel's accumulator blocks (no HBM
+    # re-read of dqkv/g)
     dwqkv = jax.lax.dot_general(ln, dqkv, (((0,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-    dbqkv = jnp.sum(dqkv.astype(jnp.float32), axis=0)
     dwproj = jax.lax.dot_general(attn, g2d, (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-    dbproj = jnp.sum(g2d.astype(jnp.float32), axis=0)
     return (dx,
             dlns.astype(ln_scale.dtype), dlnb.astype(ln_bias.dtype),
             dwqkv.astype(wqkv.dtype), dbqkv.astype(bqkv.dtype),
@@ -833,6 +848,10 @@ def _fused_mlp_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps,
         n *= d
     flat = x.reshape(n, C)
     rt = MLP_ROW_TILE
+    if return_hidden:
+        # the z-emitting kernel sits at the scoped-VMEM edge (~16.0M at
+        # rt=256, C=768); some fusion contexts push it over — shrinkable
+        rt = int(os.environ.get("DUOFORMER_MLP_SH_ROWS", str(MLP_ROW_TILE)))
     n_pad = (-n) % rt
     if n_pad:
         flat = jnp.concatenate([flat, jnp.zeros((n_pad, C), flat.dtype)],

@@ -70,7 +70,8 @@ def cmd_train(cfg, max_steps=None):
                 and cfg.model.family.startswith("duoformer"))
     step_fn = train_lib.make_train_step(model, opt, mesh=mesh,
                                         bn_stats=unfrozen,
-                                        frozen_label_fn=frozen)
+                                        frozen_label_fn=frozen,
+                                        accum_steps=cfg.train.accum_steps)
     import os
     logger = MetricLogger(os.path.join(cfg.train.checkpoint_dir,
                                        "metrics.jsonl"))

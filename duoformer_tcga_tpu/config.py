@@ -97,6 +97,7 @@ class TrainConfig:
     log_every: int = 50
     model_parallel: int = 1
     dcn_slices: int = 1            # multi-slice DP: leading "dcn" mesh axis
+    accum_steps: int = 1           # gradient accumulation (microbatches)
     dataset: str = "synthetic"
     # backend override ("cpu"/"tpu"); None = process default. Needed where
     # a TPU plugin is registered but the CPU backend should run the job.

@@ -88,12 +88,31 @@ class ImageFolderDataset:
                 rng.shuffle(order)
             for lo in range(0, len(order) - batch_size + 1, batch_size):
                 idx = order[lo:lo + batch_size]
-                imgs = np.stack([_decode(self.samples[i][0], self.size)
-                                 for i in idx])
+                paths = [self.samples[i][0] for i in idx]
+                imgs = self._decode_batch(paths)
                 labels = np.asarray([self.samples[i][1] for i in idx],
                                     np.int32)
                 yield {"image": imgs, "label": labels}
             epoch += 1
+
+    def _decode_batch(self, paths: List[str]) -> np.ndarray:
+        """Whole-batch decode: the native threaded C++ decoder
+        (data/native_decode.py, libjpeg/libpng) when every file is a
+        JPEG/PNG and a fixed size is set; PIL per-file otherwise (and for
+        any file the native decoder rejects)."""
+        from . import native_decode as nd
+
+        if (self.size is not None and nd.available()
+                and all(nd.decodable(p) for p in paths)):
+            res = nd.decode_batch(paths, self.size)
+            if res is not None:
+                imgs, ok = res
+                if ok.all():
+                    return imgs
+                for j in np.nonzero(ok == 0)[0]:   # corrupt/odd file: PIL
+                    imgs[j] = _decode(paths[j], self.size)
+                return imgs
+        return np.stack([_decode(p, self.size) for p in paths])
 
 
 def hdf5_tiles(path: str, batch_size: int, seed: int = 0,

@@ -202,6 +202,13 @@ def _xla_reference(qkv, num_heads, seg_len, scale):
 ATTN_SUBTILES = 5   # attention sub-tiles per grid step (VMEM-budgeted)
 
 
+def _attn_subtiles() -> int:
+    """Sub-tiles per grid step for the attention megakernels. Tunable so
+    a wider rows-cap (DUOFORMER_ATTN_ROWS_CAP) can trade sub-tile count
+    for tile width at constant VMEM (R = arows * T)."""
+    return int(os.environ.get("DUOFORMER_ATTN_SUBTILES", str(ATTN_SUBTILES)))
+
+
 def _fused_block_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
                         wproj_ref, bproj_ref, out_ref, qkv_scratch,
                         *, num_heads, seg_len, groups, scale, ln_eps,
@@ -342,9 +349,11 @@ def fused_attention_residual_int8(x, ln_scale, ln_bias, wqkv_q, sqkv, bqkv,
     be [C, 3*Co] with Co < C (head-split TP shard), wproj_q then [Co, C]."""
     n_seg, S, C = x.shape
     Co = wqkv_q.shape[-1] // 3
-    G = _segments_per_tile(seg_len, n_seg)
+    G = _segments_per_tile(
+        seg_len, n_seg,
+        rows_cap=int(os.environ.get("DUOFORMER_ATTN_ROWS_CAP", "128")))
     arows = G * S
-    T = ATTN_SUBTILES
+    T = _attn_subtiles()
     while T > 1 and (n_seg // G) % T != 0:
         T -= 1
     R = arows * T
@@ -401,7 +410,7 @@ def _fused_block_impl(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
         rows_cap=int(os.environ.get("DUOFORMER_ATTN_ROWS_CAP", "128")))
     arows = G * S
     # pack ATTN_SUBTILES attention tiles per grid step when they divide evenly
-    T = ATTN_SUBTILES
+    T = _attn_subtiles()
     while T > 1 and (n_seg // G) % T != 0:
         T -= 1
     R = arows * T

@@ -146,7 +146,7 @@ def init_train_state(model, key, optimizer) -> Dict[str, Any]:
 
 
 def make_train_step(model, optimizer, mesh=None, donate=True,
-                    bn_stats=False, frozen_label_fn=None):
+                    bn_stats=False, frozen_label_fn=None, accum_steps=1):
     """Returns jitted (state, batch, rng) -> (state, metrics).
 
     frozen_label_fn: the SAME label fn handed to make_optimizer (e.g.
@@ -173,8 +173,21 @@ def make_train_step(model, optimizer, mesh=None, donate=True,
     Pallas kernels run PER MODEL-SHARD via shard_map (head/hidden-split
     Megatron TP, parallel/tp_fused.py) when the fused path is enabled;
     with DUOFORMER_FUSED_ATTN=0 (or a non-TPU backend without the env
-    override) the XLA path + SPMD partitioner handle the TP layout."""
+    override) the XLA path + SPMD partitioner handle the TP layout.
+
+    accum_steps>1: gradient accumulation — the batch is split into
+    accum_steps equal microbatches run sequentially under lax.scan, grads
+    averaged, ONE optimizer update. Same math as the full batch (CE is a
+    mean over examples; equal microbatches keep the mean exact), O(1/N)
+    activation memory: the save-hidden residuals (~5.5GB at B=256) are
+    per-microbatch, so effective batches past the B~256 HBM ceiling
+    train without remat. Incompatible with bn_stats (running-stat updates
+    would need per-microbatch sequencing)."""
     tp = _tp_active(mesh)
+    if accum_steps > 1 and bn_stats:
+        raise ValueError("accum_steps>1 with bn_stats=True is not "
+                         "supported: BN running-stat updates need "
+                         "per-microbatch sequencing")
 
     def loss_fn(params, batch, rng):
         if frozen_label_fn is not None:
@@ -191,18 +204,51 @@ def make_train_step(model, optimizer, mesh=None, donate=True,
         loss = cross_entropy(logits, batch["label"])
         return loss, (logits, stats)
 
+    def _grads_and_metrics(params, batch, rng):
+        if accum_steps <= 1:
+            (loss, (logits, stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, batch, rng)
+            acc = accuracy(logits, batch["label"])
+            return grads, loss, acc, stats
+
+        micro = jax.tree.map(
+            lambda x: x.reshape(accum_steps, x.shape[0] // accum_steps,
+                                *x.shape[1:]),
+            batch)
+
+        def body(carry, xs):
+            gsum, lsum, asum = carry
+            mb, i = xs
+            (loss, (logits, _)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, mb,
+                                       None if rng is None
+                                       else jax.random.fold_in(rng, i))
+            gsum = jax.tree.map(lambda a, b: a + b.astype(a.dtype),
+                                gsum, grads)
+            return (gsum, lsum + loss, asum + accuracy(logits, mb["label"])), None
+
+        zeros = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32),
+                             params)
+        (gsum, lsum, asum), _ = jax.lax.scan(
+            body, (zeros, jnp.float32(0.0), jnp.float32(0.0)),
+            (micro, jnp.arange(accum_steps)))
+        n = jnp.float32(accum_steps)
+        grads = jax.tree.map(lambda g, p: (g / n).astype(p.dtype),
+                             gsum, params)
+        return grads, lsum / n, asum / n, None
+
     def step(state, batch, rng):
         # fold the step counter in so dropout masks differ per step even
         # though the caller passes a fixed key
         rng = jax.random.fold_in(rng, state["step"])
-        (loss, (logits, stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state["params"], batch, rng)
+        grads, loss, acc, stats = _grads_and_metrics(state["params"], batch,
+                                                     rng)
         updates, opt_state = optimizer.update(grads, state["opt_state"],
                                               state["params"])
         params = optax.apply_updates(state["params"], updates)
         if bn_stats and stats:
             params = merge_bn_stats(params, stats)
-        metrics = {"loss": loss, "accuracy": accuracy(logits, batch["label"])}
+        metrics = {"loss": loss, "accuracy": acc}
         return {"params": params, "opt_state": opt_state,
                 "step": state["step"] + 1}, metrics
 

@@ -6,6 +6,8 @@ Usage:
     python -m duoformer_tcga_tpu.cli train --preset=release-2scale \
         --train.batch_size=64 --train.epochs=2 [--steps=N]
     python -m duoformer_tcga_tpu.cli eval --preset=release-2scale
+    python -m duoformer_tcga_tpu.cli predict --preset=release-2scale \
+        --input=/path/to/tiles [--output=predictions.csv]
 
 Runs SPMD data-parallel over every visible chip, checkpoints with resume,
 and logs structured per-step metrics (loss, accuracy, tiles/sec/chip).
@@ -177,11 +179,15 @@ def cmd_eval(cfg, num_batches=10):
         lambda img: data_lib.preprocess_tiles(img, dtype=dtype),
         out_shardings=bsh)
 
+    from .data import folder as folder_lib
+    import itertools
+    stream = itertools.islice(
+        folder_lib.open_dataset(cfg.train.dataset, cfg.train.batch_size,
+                                num_classes=cfg.model.num_classes,
+                                seed=cfg.train.seed + 7),
+        num_batches)
     total, correct, loss_sum = 0, 0, 0.0
-    for raw in data_lib.synthetic_tiles(cfg.train.batch_size,
-                                        cfg.model.num_classes,
-                                        num_batches=num_batches,
-                                        seed=cfg.train.seed + 7):
+    for raw in stream:
         batch = {
             "image": preprocess(jnp.asarray(raw["image"])),
             "label": jax.device_put(raw["label"], bsh),
@@ -195,14 +201,88 @@ def cmd_eval(cfg, num_batches=10):
     return correct / total
 
 
+def cmd_predict(cfg, inputs, output="predictions.csv"):
+    """Serve a checkpoint on a folder (or single file) of image tiles and
+    write per-tile class probabilities as CSV — the deployable twin of
+    the reference's evaluation() loop (main_toy.py:39-54) for unlabeled
+    data. Restores the orbax checkpoint from --train.checkpoint_dir; for
+    reference torch checkpoints use inference.from_torch_checkpoint."""
+    import os
+
+    import numpy as np
+
+    from .data import folder as folder_lib
+    from .inference import Predictor
+
+    model, mesh, opt, _, _, _ = _build(cfg)
+    state = train_lib.init_train_state(
+        model, jax.random.PRNGKey(cfg.train.seed), opt)
+    ckpt = CheckpointManager(cfg.train.checkpoint_dir)
+    restored = ckpt.restore(state)
+    if restored is not None:
+        state = restored
+        print(f"predicting with checkpoint step {int(state['step'])}",
+              flush=True)
+    else:
+        print("warning: no checkpoint found — predicting from random init",
+              flush=True)
+
+    if os.path.isdir(inputs):
+        paths = sorted(
+            os.path.join(inputs, f) for f in os.listdir(inputs)
+            if f.lower().endswith(folder_lib.IMAGE_EXTENSIONS))
+        # class-subdir layout works too (recurses one level)
+        for d in sorted(os.listdir(inputs)):
+            sub = os.path.join(inputs, d)
+            if os.path.isdir(sub):
+                paths.extend(sorted(
+                    os.path.join(sub, f) for f in os.listdir(sub)
+                    if f.lower().endswith(folder_lib.IMAGE_EXTENSIONS)))
+    else:
+        paths = [inputs]
+    if not paths:
+        raise FileNotFoundError(f"no images under {inputs}")
+
+    B = cfg.train.batch_size
+    axes = mesh_lib.batch_axes(mesh)
+    dp = 1
+    for ax in ((axes,) if isinstance(axes, str) else axes):
+        dp *= mesh.shape[ax]
+    use_mesh = mesh if (mesh.devices.size > 1 and B % dp == 0) else None
+    pred = Predictor(model, state["params"], mesh=use_mesh,
+                     dtype=getattr(jnp, cfg.model.dtype))
+    rows = []
+    for lo in range(0, len(paths), B):
+        chunk = paths[lo:lo + B]
+        imgs = np.stack([folder_lib._decode(p, 224) for p in chunk])
+        if len(chunk) < B:   # pad to the jitted static shape
+            imgs = np.concatenate(
+                [imgs, np.zeros((B - len(chunk), *imgs.shape[1:]),
+                                imgs.dtype)])
+        probs = np.asarray(pred.predict_proba(imgs))[:len(chunk)]
+        for p, pr in zip(chunk, probs):
+            rows.append((p, int(pr.argmax()), pr))
+
+    with open(output, "w") as f:
+        ncls = len(rows[0][2])
+        f.write("path,pred," + ",".join(f"prob_{i}" for i in range(ncls))
+                + "\n")
+        for path, cls, pr in rows:
+            f.write(f"{path},{cls}," + ",".join(f"{x:.6f}" for x in pr)
+                    + "\n")
+    print(f"wrote {len(rows)} predictions to {output}", flush=True)
+    return output
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
-    if not argv or argv[0] not in ("train", "eval"):
+    if not argv or argv[0] not in ("train", "eval", "predict"):
         print(__doc__)
         return 1
     cmd, rest = argv[0], argv[1:]
     max_steps = None
     trace_dir = None
+    pred_input, pred_output = None, "predictions.csv"
     filtered = []
     for a in rest:
         key = a.lstrip("-")
@@ -210,6 +290,10 @@ def main(argv=None):
             max_steps = int(a.split("=", 1)[1])
         elif key.startswith("trace="):
             trace_dir = a.split("=", 1)[1]
+        elif key.startswith("input="):
+            pred_input = a.split("=", 1)[1]
+        elif key.startswith("output="):
+            pred_output = a.split("=", 1)[1]
         elif key == "debug_nans":
             from .utils import profiling
             profiling.enable_nan_checks(True)
@@ -225,6 +309,11 @@ def main(argv=None):
     with ctx:
         if cmd == "train":
             cmd_train(cfg, max_steps=max_steps)
+        elif cmd == "predict":
+            if not pred_input:
+                print("predict requires --input=<folder-or-image>")
+                return 1
+            cmd_predict(cfg, pred_input, pred_output)
         else:
             cmd_eval(cfg)
     return 0

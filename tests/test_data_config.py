@@ -104,3 +104,36 @@ class TestCheckpoint:
         np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
                                       np.ones((3,)))
         mgr.close()
+
+
+def test_cli_predict_writes_csv(tmp_path):
+    """End-to-end `cli predict`: folder of PNGs -> per-tile probability
+    CSV (padding exercised: 3 images, batch 2)."""
+    import numpy as np
+    from PIL import Image
+
+    from duoformer_tcga_tpu import cli
+
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        Image.fromarray(rng.integers(0, 256, (224, 224, 3),
+                                     dtype=np.uint8)).save(
+            str(imgs / f"t{i}.png"))
+    out = tmp_path / "preds.csv"
+    rc = cli.main([
+        "predict", "--preset=release-2scale", "--model.depth=1",
+        "--model.embed_dim=96", "--model.proj_dim=96",
+        "--model.dtype=float32", "--train.platform=cpu",
+        "--train.batch_size=2",
+        f"--train.checkpoint_dir={tmp_path}/ck",
+        f"--input={imgs}", f"--output={out}",
+    ])
+    assert rc == 0
+    lines = out.read_text().strip().split("\n")
+    assert lines[0].startswith("path,pred,prob_0")
+    assert len(lines) == 4            # header + 3 rows
+    probs = np.array([[float(x) for x in l.split(",")[2:]]
+                      for l in lines[1:]])
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)

@@ -70,12 +70,15 @@ def build_hybrid(num_classes=100, num_blocks=12, proj_dim=768, num_heads=12,
 def build_model(
     depth=12, embed_dim=768, num_heads=12, init_values=1e-5, num_classes=2,
     num_layers=2, proj_dim=768, pretrained=True, freeze=True,
-    dtype=jnp.float32,
+    remat=False, dtype=jnp.float32,
 ):
     """Channel-token DuoFormer with the inherited-ViT core (reference
-    build_model, models/__init__.py:12-37 -> MyModel)."""
+    build_model, models/__init__.py:12-37 -> MyModel). remat=True
+    rematerializes blocks in the backward — the legacy family's active
+    attention dropout + LayerScale keep it on the XLA attention path,
+    whose saved activations otherwise exceed HBM at large batches."""
     return DuoFormerLegacy(
         depth=depth, embed_dim=embed_dim, num_heads=num_heads,
         num_classes=num_classes, num_layers=num_layers, proj_dim=proj_dim,
         init_values=init_values, freeze=freeze,
-        pretrained_backbone=pretrained, dtype=dtype)
+        pretrained_backbone=pretrained, remat=remat, dtype=dtype)

@@ -254,7 +254,7 @@ def cmd_predict(cfg, inputs, output="predictions.csv"):
     rows = []
     for lo in range(0, len(paths), B):
         chunk = paths[lo:lo + B]
-        imgs = np.stack([folder_lib._decode(p, 224) for p in chunk])
+        imgs = folder_lib.decode_paths(chunk, 224)   # native batch decoder
         if len(chunk) < B:   # pad to the jitted static shape
             imgs = np.concatenate(
                 [imgs, np.zeros((B - len(chunk), *imgs.shape[1:]),
@@ -290,9 +290,9 @@ def main(argv=None):
             max_steps = int(a.split("=", 1)[1])
         elif key.startswith("trace="):
             trace_dir = a.split("=", 1)[1]
-        elif key.startswith("input="):
+        elif cmd == "predict" and key.startswith("input="):
             pred_input = a.split("=", 1)[1]
-        elif key.startswith("output="):
+        elif cmd == "predict" and key.startswith("output="):
             pred_output = a.split("=", 1)[1]
         elif key == "debug_nans":
             from .utils import profiling

@@ -66,7 +66,7 @@ class ModelConfig:
                 num_layers=self.num_layers, proj_dim=self.proj_dim,
                 init_values=self.init_values, freeze=self.freeze_backbone,
                 attn_drop_rate=self.attn_drop_rate,
-                drop_rate=self.proj_drop_rate, dtype=d)
+                drop_rate=self.proj_drop_rate, remat=self.remat, dtype=d)
         if self.family == "hybrid":
             return HybridModel(num_classes=self.num_classes,
                                num_blocks=self.depth, proj_dim=self.proj_dim,

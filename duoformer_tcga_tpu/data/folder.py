@@ -28,12 +28,18 @@ IMAGE_EXTENSIONS = (".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff",
 
 
 def _decode(path: str, size: Optional[int]) -> np.ndarray:
-    """File -> uint8 [H, W, 3]."""
+    """File -> uint8 [H, W, 3] (resized to size x size when given)."""
     if path.endswith(".npy"):
         img = np.load(path)
         if img.ndim == 2:
             img = np.stack([img] * 3, axis=-1)
-        return np.ascontiguousarray(img[..., :3]).astype(np.uint8)
+        img = np.ascontiguousarray(img[..., :3]).astype(np.uint8)
+        if size is not None and img.shape[:2] != (size, size):
+            from PIL import Image
+            img = np.asarray(
+                Image.fromarray(img).resize((size, size), Image.BILINEAR),
+                dtype=np.uint8)
+        return img
     from PIL import Image
 
     with Image.open(path) as im:
@@ -96,23 +102,34 @@ class ImageFolderDataset:
             epoch += 1
 
     def _decode_batch(self, paths: List[str]) -> np.ndarray:
-        """Whole-batch decode: the native threaded C++ decoder
-        (data/native_decode.py, libjpeg/libpng) when every file is a
-        JPEG/PNG and a fixed size is set; PIL per-file otherwise (and for
-        any file the native decoder rejects)."""
-        from . import native_decode as nd
+        return decode_paths(paths, self.size)
 
-        if (self.size is not None and nd.available()
-                and all(nd.decodable(p) for p in paths)):
-            res = nd.decode_batch(paths, self.size)
+
+def decode_paths(paths: List[str], size: Optional[int]) -> np.ndarray:
+    """Decode a list of files to one uint8 [n, size, size, 3] batch.
+
+    JPEG/PNG files go through the native threaded C++ decoder
+    (data/native_decode.py, libjpeg/libpng) when available and a fixed
+    size is set; everything else — other formats, mixed batches' non-JPEG
+    members, files the native decoder rejects — decodes per-file with PIL.
+    Used by ImageFolderDataset batches and the serving CLI alike."""
+    from . import native_decode as nd
+
+    if size is not None and nd.available():
+        native_idx = [i for i, p in enumerate(paths) if nd.decodable(p)]
+        if native_idx:
+            res = nd.decode_batch([paths[i] for i in native_idx], size)
             if res is not None:
-                imgs, ok = res
-                if ok.all():
-                    return imgs
-                for j in np.nonzero(ok == 0)[0]:   # corrupt/odd file: PIL
-                    imgs[j] = _decode(paths[j], self.size)
-                return imgs
-        return np.stack([_decode(p, self.size) for p in paths])
+                sub, ok = res
+                out = np.zeros((len(paths), size, size, 3), np.uint8)
+                for j, i in enumerate(native_idx):
+                    out[i] = (sub[j] if ok[j]
+                              else _decode(paths[i], size))
+                rest = set(range(len(paths))) - set(native_idx)
+                for i in rest:
+                    out[i] = _decode(paths[i], size)
+                return out
+    return np.stack([_decode(p, size) for p in paths])
 
 
 def hdf5_tiles(path: str, batch_size: int, seed: int = 0,

@@ -33,10 +33,15 @@ def _load_native():
     try:
         if (not os.path.exists(_LIB_PATH)
                 or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC_PATH)):
+            # temp + atomic rename: concurrent processes must never CDLL a
+            # partially written .so (the loser of the race just re-renames
+            # an identical file)
+            tmp = f"{_LIB_PATH}.{os.getpid()}.tmp"
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB_PATH,
+                ["g++", "-O3", "-shared", "-fPIC", "-o", tmp,
                  _SRC_PATH, "-ljpeg", "-lpng", "-lz", "-lpthread"],
                 check=True, capture_output=True)
+            os.replace(tmp, _LIB_PATH)
         lib = ctypes.CDLL(_LIB_PATH)
         lib.decode_resize_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, ctypes.c_int64,

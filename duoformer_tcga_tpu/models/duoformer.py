@@ -145,7 +145,7 @@ class DuoFormerLegacy:
                  num_classes=2, num_layers=2, num_patches=49,
                  proj_dim=768, init_values=1e-5, freeze=True,
                  attn_drop_rate=0.1, drop_rate=0.1, pretrained_backbone=True,
-                 dtype=jnp.float32):
+                 remat=False, dtype=jnp.float32):
         if num_layers != 2:
             raise ValueError(
                 "DuoFormerLegacy supports num_layers=2 only (reference Q5: "
@@ -163,7 +163,7 @@ class DuoFormerLegacy:
             embed_dim=embed_dim, qkv_bias=True,
             drop_rate=drop_rate, attn_drop_rate=attn_drop_rate,
             init_values=init_values, num_classes=num_classes,
-            num_patches=num_patches, dtype=dtype)
+            num_patches=num_patches, remat=remat, dtype=dtype)
 
     def init(self, key):
         kb, kp, kc, kt = jax.random.split(key, 4)

@@ -47,6 +47,8 @@ def default_device_is_tpu() -> bool:
     Pallas kernels must not be traced (CPU cannot lower them)."""
     dev = jax.config.jax_default_device
     if dev is not None:
+        if isinstance(dev, str):   # jax accepts "tpu" / "tpu:0" strings
+            return dev.split(":")[0].lower() in ("tpu", "axon")
         return getattr(dev, "platform", None) == "tpu"
     return jax.default_backend() == "tpu"
 

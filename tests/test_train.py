@@ -142,3 +142,37 @@ def test_frozen_stop_grad_step_identical():
     for a, b in zip(jax.tree.leaves(s_ref["params"]),
                     jax.tree.leaves(s_new["params"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_legacy_family_train_step():
+    """One train step through the legacy (inherited-ViT core) family:
+    finite loss, trainable transformer params move, frozen backbone
+    untouched — the reference's MyModel is trainable here even though its
+    own driver cannot run (Q1-Q3)."""
+    import duoformer_tcga_tpu as dft
+
+    model = dft.build_model(num_classes=2, num_layers=2, embed_dim=96,
+                            proj_dim=96, num_heads=12, depth=2,
+                            pretrained=False)
+    sched = train_lib.onecycle_schedule(1e-3, total_steps=10)
+    opt = train_lib.make_optimizer(
+        sched, weight_decay=1e-4,
+        frozen_label_fn=train_lib.backbone_frozen_labels)
+    state = train_lib.init_train_state(model, jax.random.PRNGKey(0), opt)
+    p0 = jax.tree.map(np.asarray, state["params"])
+    batch = {
+        "image": jax.random.normal(jax.random.PRNGKey(1), (2, 224, 224, 3)),
+        "label": jnp.array([0, 1], jnp.int32),
+    }
+    step = train_lib.make_train_step(model, opt, donate=False)
+    state2, metrics = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))
+    for a, b in zip(jax.tree.leaves(p0["backbone"]),
+                    jax.tree.leaves(jax.tree.map(np.asarray,
+                                                 state2["params"]["backbone"]))):
+        np.testing.assert_array_equal(a, b)
+    moved = any(
+        not np.array_equal(a, np.asarray(b))
+        for a, b in zip(jax.tree.leaves(p0["transformer"]),
+                        jax.tree.leaves(state2["params"]["transformer"])))
+    assert moved

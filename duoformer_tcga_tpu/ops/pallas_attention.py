@@ -517,7 +517,7 @@ def _ln_bwd_f32(dln, lns, xhat, inv):
             jnp.sum(dln, axis=0, keepdims=True))
 
 
-def _fused_block_bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref, wqkv_ref,
+def _fused_block_bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref,
                             bqkv_ref, wprojT_ref, wqkvT_ref,
                             dx_ref, ln_ref, attn_ref,
                             dqkv_ref, dlns_ref, dlnb_ref, dbq_ref,
@@ -529,12 +529,14 @@ def _fused_block_bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref, wqkv_ref,
     Recomputes LN/qkv/softmax in VMEM (in-kernel recompute — forward saves
     only x and the weights), then walks the chain backwards per head. All
     [rows, rows] probability matrices live and die in registers/VMEM.
-    The weight matrices arrive PRE-TRANSPOSED (wprojT, wqkvT) so every
-    in-kernel GEMM contracts on dim 0 — a dim-1 contraction would make
-    Mosaic transpose the [C, 3C] weight inside every grid step."""
+    The proj/qkv weights arrive PRE-TRANSPOSED (wprojT, wqkvT); the qkv
+    recompute reuses wqkvT with a dim-1 x dim-1 contraction (same MXU
+    feed), so the untransposed wqkv needn't occupy VMEM at all (~3.4MB
+    freed at C=768 — headroom for wider row tiles,
+    DUOFORMER_BWD_ROWS_CAP)."""
     R = x_ref.shape[1]
     C = x_ref.shape[2]
-    Co = wqkv_ref.shape[1] // 3        # attention width (C/tp under TP)
+    Co = wqkvT_ref.shape[0] // 3       # attention width (C/tp under TP)
     D = Co // num_heads
     arows = groups * seg_len
 
@@ -558,8 +560,10 @@ def _fused_block_bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref, wqkv_ref,
         ln = x
     ln_ref[0] = ln
 
+    # qkv recompute via the TRANSPOSED weight: contracting ln dim-1 with
+    # wqkvT dim-1 == ln @ wqkv, so no second weight buffer is resident
     qkv_scratch[:] = (jax.lax.dot_general(
-        ln, wqkv_ref[:], (((1,), (0,)), ((), ())),
+        ln, wqkvT_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
         + bqkv_ref[0].astype(jnp.float32)).astype(x.dtype)
 
@@ -639,10 +643,13 @@ def _fused_block_bwd_impl(x, g, ln_scale, ln_bias, wqkv, bqkv, wproj,
     n_seg, S, C = x.shape
     Co = wqkv.shape[-1] // 3
     # rows cap: wider tiles raise MXU fill of the per-head core matmuls
-    # ([rows,64]x[64,rows]) and cut grid steps; bounded by scoped VMEM
+    # ([rows,64]x[64,rows]) and cut grid steps. 192 fits scoped VMEM once
+    # wqkv stopped being resident (qkv recomputes via wqkvT) and is
+    # measured faster than 128 (456 vs 469 ms full train step at B=256);
+    # 384 still exceeds the 16MB limit.
     G = _segments_per_tile(
         seg_len, n_seg,
-        rows_cap=int(os.environ.get("DUOFORMER_BWD_ROWS_CAP", "128")))
+        rows_cap=int(os.environ.get("DUOFORMER_BWD_ROWS_CAP", "192")))
     arows = G * S
     # single sub-tile: the backward kernel holds ~4x the forward's buffers
     # per step (x+g in, dx+ln+attn+dqkv out, two 3C scratches, wqkvT);
@@ -669,7 +676,6 @@ def _fused_block_bwd_impl(x, g, ln_scale, ln_bias, wqkv, bqkv, wproj,
         pl.BlockSpec((1, R, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((C, 3 * Co), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 3 * Co), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((C, Co), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((3 * Co, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -706,7 +712,7 @@ def _fused_block_bwd_impl(x, g, ln_scale, ln_bias, wqkv, bqkv, wproj,
         scratch_shapes=[pltpu.VMEM((R, 3 * Co), x.dtype),
                         pltpu.VMEM((R, 3 * Co), x.dtype)],
         interpret=_interpret(),
-    )(xt, gt, ln_scale.reshape(1, C), ln_bias.reshape(1, C), wqkv,
+    )(xt, gt, ln_scale.reshape(1, C), ln_bias.reshape(1, C),
       bqkv.reshape(1, 3 * Co), wproj.T, wqkv.T)
     n_rows = n_steps * R
     return (dx.reshape(-1, S, C)[:n_seg] if n_pad else dx.reshape(-1, S, C),

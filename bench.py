@@ -99,12 +99,80 @@ def measure_jax(batch=256, iters=20, dtype="bfloat16"):
     return batch / dt   # tiles/sec on this chip
 
 
+def measure_train(batch=256, iters=6, dtype="bfloat16"):
+    """Full train-step throughput (frozen backbone, Adam+OneCycle), same
+    chained-jit methodology. Opt-in via --mode=train / DUOFORMER_BENCH=train
+    — the driver contract (default invocation) stays the forward metric."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    import duoformer_tcga_tpu as dft
+    from duoformer_tcga_tpu import train as train_lib
+
+    model = dft.build_model_no_extra_params(
+        num_classes=2, num_layers=2, embed_dim=768, proj_dim=768,
+        num_heads=12, depth=12, dtype=getattr(jnp, dtype))
+    sched = train_lib.onecycle_schedule(1e-4, total_steps=1000)
+    opt = train_lib.make_optimizer(
+        sched, weight_decay=1e-4,
+        frozen_label_fn=train_lib.backbone_frozen_labels)
+    params = model.init(jax.random.PRNGKey(0))
+    state = {"params": params, "opt_state": jax.jit(opt.init)(params),
+             "step": jnp.zeros((), jnp.int32)}
+    batch_d = {"image": jax.random.normal(jax.random.PRNGKey(1),
+                                          (batch, 224, 224, 3),
+                                          getattr(jnp, dtype)),
+               "label": jnp.zeros((batch,), jnp.int32)}
+    step = train_lib.make_train_step(model, opt, donate=False,
+                                     frozen_label_fn=train_lib.backbone_frozen_labels)
+
+    def run_n(state, b, rng, n):
+        def body(i, carry):
+            st, acc = carry
+            bi = {"image": b["image"] + (i.astype(b["image"].dtype) * 0),
+                  "label": b["label"]}
+            st, m = step(st, bi, rng)
+            # fetch the accumulated LOSS: anything less lets XLA DCE the
+            # whole model out of the loop (docs/performance.md)
+            return st, acc + m["loss"].astype(jnp.float32)
+        _, acc = jax.lax.fori_loop(0, n, body, (state, jnp.float32(0.0)))
+        return acc
+
+    chained = jax.jit(run_n)
+    rng = jax.random.PRNGKey(2)
+    _ = np.asarray(chained(state, batch_d, rng, 2))
+    t1 = time.perf_counter()
+    _ = np.asarray(chained(state, batch_d, rng, 1))
+    t1 = time.perf_counter() - t1
+    tN = time.perf_counter()
+    _ = np.asarray(chained(state, batch_d, rng, iters + 1))
+    tN = time.perf_counter() - tN
+    dt = (tN - t1) / iters
+    return batch / dt
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--rebaseline", action="store_true")
+    ap.add_argument("--mode", default=os.environ.get("DUOFORMER_BENCH",
+                                                     "forward"),
+                    choices=["forward", "train"])
     args = ap.parse_args()
+
+    if args.mode == "train":
+        tps = measure_train(batch=args.batch)
+        print(json.dumps({
+            "metric": "224^2 tiles/sec/chip (DuoFormer 2-scale TRAIN step, "
+                      "bf16, frozen backbone, batch 256)",
+            "value": round(tps, 2),
+            "unit": "tiles/sec/chip",
+            "vs_baseline": 0.0,   # no torch-CPU train baseline measured
+        }))
+        return
 
     baseline = torch_baseline(rebuild=args.rebaseline)
     try:

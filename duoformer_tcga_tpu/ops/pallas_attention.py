@@ -522,7 +522,7 @@ def _fused_block_bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref,
                             dx_ref, ln_ref, attn_ref,
                             dqkv_ref, dlns_ref, dlnb_ref, dbq_ref,
                             dbp_ref, qkv_scratch,
-                            dqkv_scratch, *, num_heads, seg_len, groups,
+                            *, num_heads, seg_len, groups,
                             scale, ln_eps, use_ln, use_residual):
     """dx + row-space grad intermediates for the attention-residual branch.
 
@@ -606,21 +606,23 @@ def _fused_block_bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref,
                                      preferred_element_type=jnp.float32)
             dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
-            dqkv_scratch[lo:lo + arows, h * D:(h + 1) * D] = dq.astype(x.dtype)
-            dqkv_scratch[lo:lo + arows, Co + h * D:Co + (h + 1) * D] = \
+            # dqkv_ref doubles as the assembly buffer (output blocks are
+            # readable in-step) — no separate dqkv scratch resident
+            dqkv_ref[0, lo:lo + arows, h * D:(h + 1) * D] = dq.astype(x.dtype)
+            dqkv_ref[0, lo:lo + arows, Co + h * D:Co + (h + 1) * D] = \
                 dk.astype(x.dtype)
-            dqkv_scratch[lo:lo + arows, 2 * Co + h * D:2 * Co + (h + 1) * D] = \
+            dqkv_ref[0, lo:lo + arows, 2 * Co + h * D:2 * Co + (h + 1) * D] = \
                 dv.astype(x.dtype)
 
-    dqkv_ref[0] = dqkv_scratch[:]
+    dqkv = dqkv_ref[0]
     # bias grads accumulated in-kernel: saves the XLA-side full re-read of
     # dqkv (~347MB/block) and g for the column sums
     dbq_ref[0:1] = dbq_ref[0:1] + jnp.sum(
-        dqkv_scratch[:].astype(jnp.float32), axis=0, keepdims=True)
+        dqkv.astype(jnp.float32), axis=0, keepdims=True)
     dbp_ref[0:1] = dbp_ref[0:1] + jnp.sum(
         g.astype(jnp.float32), axis=0, keepdims=True)
     # dln = dqkv @ wqkv^T  (pre-transposed operand)
-    dln = jax.lax.dot_general(dqkv_scratch[:], wqkvT_ref[:],
+    dln = jax.lax.dot_general(dqkv, wqkvT_ref[:],
                               (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
     if use_ln:
@@ -709,8 +711,7 @@ def _fused_block_bwd_impl(x, g, ln_scale, ln_bias, wqkv, bqkv, wproj,
             jax.ShapeDtypeStruct((8, 3 * Co), jnp.float32),
             jax.ShapeDtypeStruct((8, C), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((R, 3 * Co), x.dtype),
-                        pltpu.VMEM((R, 3 * Co), x.dtype)],
+        scratch_shapes=[pltpu.VMEM((R, 3 * Co), x.dtype)],
         interpret=_interpret(),
     )(xt, gt, ln_scale.reshape(1, C), ln_bias.reshape(1, C),
       bqkv.reshape(1, 3 * Co), wproj.T, wqkv.T)

@@ -118,9 +118,7 @@ def measure_train(batch=256, iters=6, dtype="bfloat16"):
     opt = train_lib.make_optimizer(
         sched, weight_decay=1e-4,
         frozen_label_fn=train_lib.backbone_frozen_labels)
-    params = model.init(jax.random.PRNGKey(0))
-    state = {"params": params, "opt_state": jax.jit(opt.init)(params),
-             "step": jnp.zeros((), jnp.int32)}
+    state = train_lib.init_train_state(model, jax.random.PRNGKey(0), opt)
     batch_d = {"image": jax.random.normal(jax.random.PRNGKey(1),
                                           (batch, 224, 224, 3),
                                           getattr(jnp, dtype)),
@@ -164,7 +162,7 @@ def main():
     args = ap.parse_args()
 
     if args.mode == "train":
-        tps = measure_train(batch=args.batch)
+        tps = measure_train(batch=args.batch, iters=args.iters)
         print(json.dumps({
             "metric": "224^2 tiles/sec/chip (DuoFormer 2-scale TRAIN step, "
                       "bf16, frozen backbone, batch 256)",

@@ -227,17 +227,19 @@ def cmd_predict(cfg, inputs, output="predictions.csv"):
         print("warning: no checkpoint found — predicting from random init",
               flush=True)
 
+    def _images_in(d):
+        return sorted(
+            p for f in os.listdir(d)
+            if f.lower().endswith(folder_lib.IMAGE_EXTENSIONS)
+            and os.path.isfile(p := os.path.join(d, f)))
+
     if os.path.isdir(inputs):
-        paths = sorted(
-            os.path.join(inputs, f) for f in os.listdir(inputs)
-            if f.lower().endswith(folder_lib.IMAGE_EXTENSIONS))
+        paths = _images_in(inputs)
         # class-subdir layout works too (recurses one level)
         for d in sorted(os.listdir(inputs)):
             sub = os.path.join(inputs, d)
             if os.path.isdir(sub):
-                paths.extend(sorted(
-                    os.path.join(sub, f) for f in os.listdir(sub)
-                    if f.lower().endswith(folder_lib.IMAGE_EXTENSIONS)))
+                paths.extend(_images_in(sub))
     else:
         paths = [inputs]
     if not paths:
@@ -263,13 +265,13 @@ def cmd_predict(cfg, inputs, output="predictions.csv"):
         for p, pr in zip(chunk, probs):
             rows.append((p, int(pr.argmax()), pr))
 
-    with open(output, "w") as f:
+    import csv
+    with open(output, "w", newline="") as f:
+        w = csv.writer(f)   # quotes paths containing commas
         ncls = len(rows[0][2])
-        f.write("path,pred," + ",".join(f"prob_{i}" for i in range(ncls))
-                + "\n")
+        w.writerow(["path", "pred"] + [f"prob_{i}" for i in range(ncls)])
         for path, cls, pr in rows:
-            f.write(f"{path},{cls}," + ",".join(f"{x:.6f}" for x in pr)
-                    + "\n")
+            w.writerow([path, cls] + [f"{x:.6f}" for x in pr])
     print(f"wrote {len(rows)} predictions to {output}", flush=True)
     return output
 

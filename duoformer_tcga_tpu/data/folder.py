@@ -86,6 +86,12 @@ class ImageFolderDataset:
         """Yields {"image": uint8 [B,H,W,3], "label": int32 [B]} forever
         (or for `epochs` passes). Short final batches are dropped so the
         jitted step sees one static shape."""
+        if len(self.samples) < batch_size:
+            raise ValueError(
+                f"dataset has {len(self.samples)} samples but "
+                f"batch_size={batch_size}: short batches are dropped for "
+                f"static shapes, so no batch would ever be yielded — "
+                f"lower --train.batch_size")
         rng = np.random.default_rng(seed)
         epoch = 0
         while epochs is None or epoch < epochs:
@@ -145,6 +151,11 @@ def hdf5_tiles(path: str, batch_size: int, seed: int = 0,
         images = f[image_key]
         labels = f[label_key][:] if label_key in f else None
         n = images.shape[0]
+        if n < batch_size:
+            raise ValueError(
+                f"HDF5 dataset has {n} tiles but batch_size={batch_size}: "
+                f"short batches are dropped for static shapes — lower "
+                f"--train.batch_size")
         epoch = 0
         while epochs is None or epoch < epochs:
             order = np.arange(n)

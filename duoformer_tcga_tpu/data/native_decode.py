@@ -37,11 +37,15 @@ def _load_native():
             # partially written .so (the loser of the race just re-renames
             # an identical file)
             tmp = f"{_LIB_PATH}.{os.getpid()}.tmp"
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-o", tmp,
-                 _SRC_PATH, "-ljpeg", "-lpng", "-lz", "-lpthread"],
-                check=True, capture_output=True)
-            os.replace(tmp, _LIB_PATH)
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-o", tmp,
+                     _SRC_PATH, "-ljpeg", "-lpng", "-lz", "-lpthread"],
+                    check=True, capture_output=True)
+                os.replace(tmp, _LIB_PATH)
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
         lib = ctypes.CDLL(_LIB_PATH)
         lib.decode_resize_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, ctypes.c_int64,

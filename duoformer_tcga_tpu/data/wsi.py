@@ -42,11 +42,15 @@ def _load_native():
             # temp + atomic rename (see data/native_decode.py): concurrent
             # processes must never CDLL a partially written .so
             tmp = f"{_LIB_PATH}.{os.getpid()}.tmp"
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-o", tmp,
-                 _SRC_PATH, "-lpthread"],
-                check=True, capture_output=True)
-            os.replace(tmp, _LIB_PATH)
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-o", tmp,
+                     _SRC_PATH, "-lpthread"],
+                    check=True, capture_output=True)
+                os.replace(tmp, _LIB_PATH)
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
         lib = ctypes.CDLL(_LIB_PATH)
         lib.extract_tiles.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,

@@ -654,7 +654,7 @@ def _fused_block_bwd_impl(x, g, ln_scale, ln_bias, wqkv, bqkv, wproj,
         rows_cap=int(os.environ.get("DUOFORMER_BWD_ROWS_CAP", "192")))
     arows = G * S
     # single sub-tile: the backward kernel holds ~4x the forward's buffers
-    # per step (x+g in, dx+ln+attn+dqkv out, two 3C scratches, wqkvT);
+    # per step (x+g in, dx+ln+attn+dqkv out, one 3C scratch, wqkvT);
     # T=2 at C=768 already exceeds the 16MB VMEM scoped limit (measured)
     T = int(os.environ.get("DUOFORMER_BWD_TILES", "1"))
     while T > 1 and (n_seg // G) % T != 0:

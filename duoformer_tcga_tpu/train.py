@@ -140,7 +140,9 @@ def init_train_state(model, key, optimizer) -> Dict[str, Any]:
     params = model.init(key)
     return {
         "params": params,
-        "opt_state": optimizer.init(params),
+        # jitted: eager optax init dispatches one tiny op per param leaf,
+        # which is minutes over a high-latency device transport
+        "opt_state": jax.jit(optimizer.init)(params),
         "step": jnp.zeros((), jnp.int32),
     }
 

@@ -95,12 +95,13 @@ def cmd_train(cfg, max_steps=None):
     eval_fn = train_lib.make_eval_step(model, mesh=mesh)
 
     def eval_stream(num_batches):
-        """Held-out stream: a reshuffled pass for real datasets, a fixed
-        synthetic stream otherwise."""
-        if cfg.train.dataset not in (None, "", "synthetic"):
+        """Held-out stream: --train.eval_dataset when given (a real
+        train/val split), else a reshuffled pass over the training
+        dataset, else a fixed synthetic stream."""
+        src = cfg.train.eval_dataset or cfg.train.dataset
+        if src not in (None, "", "synthetic"):
             import itertools
-            it = folder_lib.open_dataset(cfg.train.dataset,
-                                         cfg.train.batch_size,
+            it = folder_lib.open_dataset(src, cfg.train.batch_size,
                                          num_classes=cfg.model.num_classes,
                                          seed=cfg.train.seed + 7)
             return itertools.islice(it, num_batches)
@@ -182,7 +183,8 @@ def cmd_eval(cfg, num_batches=10):
     from .data import folder as folder_lib
     import itertools
     stream = itertools.islice(
-        folder_lib.open_dataset(cfg.train.dataset, cfg.train.batch_size,
+        folder_lib.open_dataset(cfg.train.eval_dataset or cfg.train.dataset,
+                                cfg.train.batch_size,
                                 num_classes=cfg.model.num_classes,
                                 seed=cfg.train.seed + 7),
         num_batches)

@@ -98,6 +98,8 @@ class TrainConfig:
     model_parallel: int = 1
     dcn_slices: int = 1            # multi-slice DP: leading "dcn" mesh axis
     accum_steps: int = 1           # gradient accumulation (microbatches)
+    # held-out eval source; None = a reshuffled pass over `dataset`
+    eval_dataset: Optional[str] = None
     dataset: str = "synthetic"
     # backend override ("cpu"/"tpu"); None = process default. Needed where
     # a TPU plugin is registered but the CPU backend should run the job.

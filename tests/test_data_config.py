@@ -137,3 +137,15 @@ def test_cli_predict_writes_csv(tmp_path):
     probs = np.array([[float(x) for x in l.split(",")[2:]]
                       for l in lines[1:]])
     np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
+
+
+def test_eval_dataset_config_parses():
+    from duoformer_tcga_tpu import config as config_lib
+
+    cfg = config_lib.from_args(["--preset=release-2scale",
+                                "--train.dataset=/data/train",
+                                "--train.eval_dataset=/data/val"])
+    assert cfg.train.dataset == "/data/train"
+    assert cfg.train.eval_dataset == "/data/val"
+    cfg2 = config_lib.from_args(["--preset=release-2scale"])
+    assert cfg2.train.eval_dataset is None

@@ -157,12 +157,19 @@ def multihead_attention(params, x, num_heads, scale=None, attn_drop=0.0,
     D = C // num_heads
     if scale is None:
         scale = D ** -0.5
-    if fused is None:
-        fused = _use_fused(params, attn_drop, train, C, apply_qk_norm)
-
     r1 = r2 = None
     if train and rng is not None:
         r1, r2 = jax.random.split(rng)
+    # Active attention-matrix dropout dispatches to the reg megakernel
+    # (in-kernel hash-counter masks) instead of falling off the fused path
+    # — except under a TP mesh (shard_map kernels carry no dropout) or
+    # int8 weights (serving-only)
+    reg_drop = (train and attn_drop > 0.0 and r1 is not None
+                and _TP_MESH is None
+                and "w_q" not in params.get("qkv", {}))
+    if fused is None:
+        fused = _use_fused(params, 0.0 if reg_drop else attn_drop, train,
+                           C, apply_qk_norm)
 
     if fused:
         # qkv GEMM + attention + output proj in ONE kernel (the
@@ -208,6 +215,17 @@ def multihead_attention(params, x, num_heads, scale=None, attn_drop=0.0,
                 params["proj"]["w_q"], params["proj"]["w_scale"],
                 params["proj"].get("b", zeros_c),
                 num_heads, S, float(scale), 1e-6, False, False)
+        elif reg_drop:
+            seed = jax.random.randint(r1, (), -2**31, 2**31 - 1, jnp.int32)
+            out = pa.fused_attention_residual_reg(
+                x.reshape(n_seg, S, C), zeros_c, zeros_c,
+                params["qkv"]["w"].astype(x.dtype),
+                params["qkv"].get("b", jnp.zeros((3 * C,), x.dtype)),
+                params["proj"]["w"].astype(x.dtype),
+                params["proj"].get("b", zeros_c),
+                jnp.ones((C,), x.dtype), seed,
+                num_heads, S, float(scale), 1e-6, False, False,
+                attn_drop, 0.0)
         else:
             out = pa.fused_attention_residual(
                 x.reshape(n_seg, S, C), zeros_c, zeros_c,

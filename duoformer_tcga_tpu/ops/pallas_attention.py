@@ -30,12 +30,101 @@ from __future__ import annotations
 import functools
 import os
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
+
+
+# ---------------------------------------------------------------------------
+# Counter-based dropout RNG (murmur3-fmix32 over position counters).
+#
+# Why not pltpu.prng_*: (a) the stateful TPU PRNG has no interpret-mode
+# lowering, so CPU tests could never execute the dropout kernels; (b) a
+# stateless hash of (seed, tile, row, col) makes the backward regenerate
+# bit-identical masks with zero stream-order coupling between the forward
+# and backward kernels; (c) the same jnp formula runs OUTSIDE kernels, so
+# the XLA fallback path and the test oracle reproduce kernel masks exactly.
+# All arithmetic is int32 with wrap-around (XLA semantics) and logical
+# right shifts — no uint32 ops, which Mosaic support less uniformly.
+# ---------------------------------------------------------------------------
+
+def _i32c(v: int) -> int:
+    """Python int -> int32 two's-complement constant."""
+    v &= 0xFFFFFFFF
+    return v - (1 << 32) if v >= (1 << 31) else v
+
+
+_K_ROW = _i32c(0x9E3779B1)    # golden-ratio odd constants: distinct odd
+_K_COL = _i32c(0x85EBCA77)    # multipliers decorrelate the counter axes
+_K_PID = _i32c(0xC2B2AE3D)
+_K_SALT = _i32c(0x27D4EB2F)
+_FMIX1 = _i32c(0x85EBCA6B)    # murmur3 fmix32 constants
+_FMIX2 = _i32c(0xC2B2AE35)
+
+
+def _fmix32(x):
+    """murmur3 finalizer: full avalanche over an int32 lane."""
+    srl = jax.lax.shift_right_logical
+    x = x ^ srl(x, 16)
+    x = x * jnp.int32(_FMIX1)
+    x = x ^ srl(x, 13)
+    x = x * jnp.int32(_FMIX2)
+    x = x ^ srl(x, 16)
+    return x
+
+
+def keep_mask_from_counters(seed_plus, row_ids, col_ids, rate: float):
+    """Boolean keep-mask from int32 position counters.
+
+    seed_plus: int32 scalar (or broadcastable array) — seed with tile/site
+    salts already folded in. row_ids/col_ids: int32 arrays (broadcastable
+    to the mask shape). P(keep) = 1 - rate, decided on the top 24 hash
+    bits (signed-compare-safe)."""
+    x = (row_ids * jnp.int32(_K_ROW) + col_ids * jnp.int32(_K_COL)
+         + seed_plus)
+    x = _fmix32(x)
+    x = _fmix32(x + seed_plus)   # second round: counters are structured
+    hi = jax.lax.shift_right_logical(x, 8)
+    thr = jnp.int32(int(round((1.0 - rate) * (1 << 24))))
+    return hi < thr
+
+
+_K_SITE = _i32c(0x27D4EB2F)
+
+
+def _site_seed(seed, salt):
+    """Fold the site salt (static int or int32 array) into the seed."""
+    return seed + jnp.int32(salt) * jnp.int32(_K_SITE)
+
+
+def _keep_mask_tile(shape, seed, salt: int, rate: float, row_off=0,
+                    col_off=0):
+    """In-kernel helper: mask over a 2-D tile. row_off/col_off shift the
+    local iota counters to GLOBAL positions, so the mask for a given
+    logical element is invariant to the kernel's row tiling — the backward
+    kernel (different rows-cap) and the XLA oracle regenerate identical
+    masks from global indices alone."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + row_off
+    cols = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + col_off
+    return keep_mask_from_counters(_site_seed(seed, salt), rows, cols, rate)
+
+
+def _drop(v, mask, rate: float):
+    """Inverted dropout: v * mask / keep (v float32)."""
+    return jnp.where(mask, v * jnp.float32(1.0 / (1.0 - rate)),
+                     jnp.float32(0.0))
+
+
+# site salts (distinct per dropout application point within one kernel call)
+_SITE_ATTN = 0     # attention-probability matrix
+_SITE_PROJ = 1     # attention output-projection rows
+_SITE_MLP_HID = 2  # MLP hidden (post-GELU)
+_SITE_MLP_OUT = 3  # MLP output rows
 
 
 def default_device_is_tpu() -> bool:
@@ -211,15 +300,27 @@ def _attn_subtiles() -> int:
     return int(os.environ.get("DUOFORMER_ATTN_SUBTILES", str(ATTN_SUBTILES)))
 
 
-def _fused_block_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
-                        wproj_ref, bproj_ref, out_ref, qkv_scratch,
-                        *, num_heads, seg_len, groups, scale, ln_eps,
-                        use_ln=True, use_residual=True):
+def _fused_block_kernel(*refs, num_heads, seg_len, groups, scale, ln_eps,
+                        use_ln=True, use_residual=True, attn_drop=0.0,
+                        proj_drop=0.0, has_gamma=False, has_seed=False):
+    """Extended ("reg") instantiation carries optional trailing inputs —
+    gamma [1, C] (LayerScale) and seed [1, 1] int32 SMEM (dropout) — gated
+    by static flags; the inert instantiation (flags off) generates exactly
+    the round-2 kernel."""
+    it = iter(refs)
+    x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref = (
+        next(it) for _ in range(7))
+    gamma_ref = next(it) if has_gamma else None
+    seed_ref = next(it) if has_seed else None
+    out_ref, qkv_scratch = next(it), next(it)
+
     R = x_ref.shape[1]                 # rows per grid step
     C = x_ref.shape[2]
     Co = wqkv_ref.shape[1] // 3        # attention width (== C except under
     D = Co // num_heads                # head-split TP, where Co = C/tp)
     arows = groups * seg_len           # rows per attention sub-tile
+    seed = seed_ref[0, 0] if has_seed else None
+    pid = pl.program_id(0)
 
     x = x_ref[0]                                        # [R, C] bf16
     xf = x.astype(jnp.float32)
@@ -259,15 +360,27 @@ def _fused_block_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
             s = s - jnp.max(s, axis=-1, keepdims=True)
             e = jnp.exp(s)
             p = e / jnp.sum(e, axis=-1, keepdims=True)
+            if attn_drop > 0.0:
+                goff = pid * R + lo          # global token index of row 0
+                km = _keep_mask_tile((arows, arows), seed,
+                                     _SITE_ATTN + 4 * h, attn_drop,
+                                     row_off=goff, col_off=goff)
+                p = _drop(p, km, attn_drop)
             o = jnp.dot(p.astype(v.dtype), v,
                         preferred_element_type=jnp.float32)
             qkv_scratch[lo:lo + arows, h * D:(h + 1) * D] = o.astype(x.dtype)
 
-    # output projection (+ residual for pre-norm blocks)
+    # output projection (+ dropout/LayerScale epilogue, + residual)
     attn = qkv_scratch[:, :Co]
     y = jax.lax.dot_general(attn, wproj_ref[:], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     y = y + bproj_ref[0].astype(jnp.float32)
+    if proj_drop > 0.0:
+        km = _keep_mask_tile((R, C), seed, _SITE_PROJ, proj_drop,
+                             row_off=pid * R)
+        y = _drop(y, km, proj_drop)
+    if has_gamma:
+        y = y * gamma_ref[0].astype(jnp.float32)
     if use_residual:
         y = y + xf
     out_ref[0] = y.astype(out_ref.dtype)
@@ -401,10 +514,15 @@ def fused_attention_residual_int8(x, ln_scale, ln_bias, wqkv_q, sqkv, bqkv,
 
 def _fused_block_impl(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
                       num_heads, seg_len, scale, ln_eps,
-                      use_ln=True, use_residual=True):
+                      use_ln=True, use_residual=True,
+                      gamma=None, seed=None, attn_drop=0.0, proj_drop=0.0):
     """x: [n_seg, seg_len, C] -> same shape; the attention residual branch.
     wqkv may be [C, 3*Co] with Co < C (head-split TP shard: num_heads local
-    heads of width Co//num_heads); wproj is then [Co, C]."""
+    heads of width Co//num_heads); wproj is then [Co, C].
+
+    gamma: optional [C] LayerScale; seed: optional [1,1] int32 (required
+    when attn_drop/proj_drop > 0) — dropout masks are hash-of-counters
+    (see keep_mask_from_counters), regenerated identically in backward."""
     n_seg, S, C = x.shape
     Co = wqkv.shape[-1] // 3
     G = _segments_per_tile(
@@ -422,32 +540,45 @@ def _fused_block_impl(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
     n_steps = (n_seg + n_pad) // (G * T)
 
     tiled = x.reshape(n_steps, R, C)
+    has_gamma = gamma is not None
+    has_seed = attn_drop > 0.0 or proj_drop > 0.0
     kern = functools.partial(
         _fused_block_kernel, num_heads=num_heads, seg_len=seg_len,
         groups=G, scale=scale, ln_eps=ln_eps, use_ln=use_ln,
-        use_residual=use_residual)
+        use_residual=use_residual, attn_drop=attn_drop, proj_drop=proj_drop,
+        has_gamma=has_gamma, has_seed=has_seed)
+    in_specs = [
+        pl.BlockSpec((1, R, C), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((C, 3 * Co), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3 * Co), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Co, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [tiled, ln_scale.reshape(1, C), ln_bias.reshape(1, C),
+                wqkv, bqkv.reshape(1, 3 * Co), wproj, bproj.reshape(1, C)]
+    if has_gamma:
+        in_specs.append(pl.BlockSpec((1, C), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(gamma.reshape(1, C))
+    if has_seed:
+        in_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                     memory_space=pltpu.SMEM))
+        operands.append(seed.reshape(1, 1))
     out = pl.pallas_call(
         kern,
         grid=(n_steps,),
-        in_specs=[
-            pl.BlockSpec((1, R, C), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, 3 * Co), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3 * Co), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Co, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, R, C), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_steps, R, C), x.dtype),
         scratch_shapes=[pltpu.VMEM((R, 3 * Co), x.dtype)],
         interpret=_interpret(),
-    )(tiled, ln_scale.reshape(1, C), ln_bias.reshape(1, C),
-      wqkv, bqkv.reshape(1, 3 * Co), wproj, bproj.reshape(1, C))
+    )(*operands)
     out = out.reshape(-1, S, C)
     return out[:n_seg] if n_pad else out
 
@@ -517,13 +648,10 @@ def _ln_bwd_f32(dln, lns, xhat, inv):
             jnp.sum(dln, axis=0, keepdims=True))
 
 
-def _fused_block_bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref,
-                            bqkv_ref, wprojT_ref, wqkvT_ref,
-                            dx_ref, ln_ref, attn_ref,
-                            dqkv_ref, dlns_ref, dlnb_ref, dbq_ref,
-                            dbp_ref, qkv_scratch,
-                            *, num_heads, seg_len, groups,
-                            scale, ln_eps, use_ln, use_residual):
+def _fused_block_bwd_kernel(*refs, num_heads, seg_len, groups,
+                            scale, ln_eps, use_ln, use_residual,
+                            attn_drop=0.0, proj_drop=0.0, has_gamma=False,
+                            has_seed=False):
     """dx + row-space grad intermediates for the attention-residual branch.
 
     Recomputes LN/qkv/softmax in VMEM (in-kernel recompute — forward saves
@@ -533,12 +661,31 @@ def _fused_block_bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref,
     recompute reuses wqkvT with a dim-1 x dim-1 contraction (same MXU
     feed), so the untransposed wqkv needn't occupy VMEM at all (~3.4MB
     freed at C=768 — headroom for wider row tiles,
-    DUOFORMER_BWD_ROWS_CAP)."""
+    DUOFORMER_BWD_ROWS_CAP).
+
+    Reg instantiation (dropout/LayerScale): regenerates the forward's
+    hash-of-global-counters masks (tiling-invariant, so the different
+    fwd/bwd row caps don't matter); gm_ref (present iff proj_drop>0)
+    emits the proj-dropout-masked upstream gradient the XLA-side dwproj
+    GEMM contracts against; dbp accumulates colsum(gm) and the caller
+    applies gamma/bias identities outside (see _far_reg_bwd)."""
+    it = iter(refs)
+    (x_ref, g_ref, lns_ref, lnb_ref, bqkv_ref, wprojT_ref,
+     wqkvT_ref) = (next(it) for _ in range(7))
+    gamma_ref = next(it) if has_gamma else None
+    seed_ref = next(it) if has_seed else None
+    (dx_ref, ln_ref, attn_ref, dqkv_ref, dlns_ref, dlnb_ref, dbq_ref,
+     dbp_ref) = (next(it) for _ in range(8))
+    gm_ref = next(it) if proj_drop > 0.0 else None
+    qkv_scratch = next(it)
+
     R = x_ref.shape[1]
     C = x_ref.shape[2]
     Co = wqkvT_ref.shape[0] // 3       # attention width (C/tp under TP)
     D = Co // num_heads
     arows = groups * seg_len
+    seed = seed_ref[0, 0] if has_seed else None
+    pid = pl.program_id(0)
 
     # dlns/dlnb are REVISITED accumulator blocks (index_map pins them to
     # block (0, 0) for every grid step, so they stay VMEM-resident and
@@ -567,8 +714,23 @@ def _fused_block_bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref,
         preferred_element_type=jnp.float32)
         + bqkv_ref[0].astype(jnp.float32)).astype(x.dtype)
 
-    # dattn = g @ wproj^T  (pre-transposed operand)
-    dattn = jax.lax.dot_general(g, wprojT_ref[:], (((1,), (0,)), ((), ())),
+    # effective upstream gradient of the pre-LayerScale branch output:
+    # geff = g * proj_mask/keep * gamma; gm (mask only, no gamma) feeds
+    # the outside dwproj/dgamma identities and the dbp accumulator
+    geff = g
+    if proj_drop > 0.0:
+        km = _keep_mask_tile((R, C), seed, _SITE_PROJ, proj_drop,
+                             row_off=pid * R)
+        gm = _drop(g.astype(jnp.float32), km, proj_drop)
+        gm_ref[0] = gm.astype(x.dtype)
+        geff = gm.astype(x.dtype)
+    if has_gamma:
+        geff = (geff.astype(jnp.float32)
+                * gamma_ref[0].astype(jnp.float32)).astype(x.dtype)
+
+    # dattn = geff @ wproj^T  (pre-transposed operand)
+    dattn = jax.lax.dot_general(geff, wprojT_ref[:],
+                                (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
 
     row_seg = jax.lax.broadcasted_iota(jnp.int32, (arows, arows), 0) // seg_len
@@ -590,16 +752,28 @@ def _fused_block_bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref,
             s = s - jnp.max(s, axis=-1, keepdims=True)
             e = jnp.exp(s)
             p = e / jnp.sum(e, axis=-1, keepdims=True)
-            pb = p.astype(x.dtype)
+            if attn_drop > 0.0:
+                goff = pid * R + lo
+                km_a = _keep_mask_tile((arows, arows), seed,
+                                       _SITE_ATTN + 4 * h, attn_drop,
+                                       row_off=goff, col_off=goff)
+                pd = _drop(p, km_a, attn_drop)
+            else:
+                pd = p
+            pb = pd.astype(x.dtype)
             o = jnp.dot(pb, v, preferred_element_type=jnp.float32)
             attn_ref[0, lo:lo + arows, h * D:(h + 1) * D] = o.astype(x.dtype)
             # softmax / attention backward (block-diag mask keeps p zero
-            # across segments, so ds is segment-local automatically)
+            # across segments, so ds is segment-local automatically);
+            # dropout backward: mask/rescale dp, then the softmax Jacobian
+            # uses the UNDROPPED p
             do = da[:, h * D:(h + 1) * D].astype(x.dtype)
             dv = jax.lax.dot_general(pb, do, (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
             dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                      preferred_element_type=jnp.float32)
+            if attn_drop > 0.0:
+                dp = _drop(dp, km_a, attn_drop)
             ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
             ds = (ds * scale).astype(x.dtype)
             dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
@@ -619,8 +793,12 @@ def _fused_block_bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref,
     # dqkv (~347MB/block) and g for the column sums
     dbq_ref[0:1] = dbq_ref[0:1] + jnp.sum(
         dqkv.astype(jnp.float32), axis=0, keepdims=True)
+    # dbp accumulates the PROJ-MASKED raw g (no gamma): the caller derives
+    # dbproj = gamma * dbp and dgamma's bias term from it (identities in
+    # _far_reg_bwd)
     dbp_ref[0:1] = dbp_ref[0:1] + jnp.sum(
-        g.astype(jnp.float32), axis=0, keepdims=True)
+        (gm if proj_drop > 0.0 else g).astype(jnp.float32),
+        axis=0, keepdims=True)
     # dln = dqkv @ wqkv^T  (pre-transposed operand)
     dln = jax.lax.dot_general(dqkv, wqkvT_ref[:],
                               (((1,), (0,)), ((), ())),
@@ -638,10 +816,14 @@ def _fused_block_bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref,
 
 def _fused_block_bwd_impl(x, g, ln_scale, ln_bias, wqkv, bqkv, wproj,
                           num_heads, seg_len, scale, ln_eps,
-                          use_ln, use_residual):
-    """Returns (dx, ln, attn, dqkv, dlns, dlnb) with the row-space tensors
-    flattened to [n_rows_padded, *]; padded rows carry zero gradients (g is
-    zero-padded), so downstream weight-grad GEMMs need no masking."""
+                          use_ln, use_residual,
+                          gamma=None, seed=None, attn_drop=0.0,
+                          proj_drop=0.0):
+    """Returns (dx, ln, attn, dqkv, dlns, dlnb, dbq, dbp[, gm]) with the
+    row-space tensors flattened to [n_rows_padded, *]; padded rows carry
+    zero gradients (g is zero-padded), so downstream weight-grad GEMMs
+    need no masking. gm (proj-dropout-masked g) is appended iff
+    proj_drop > 0."""
     n_seg, S, C = x.shape
     Co = wqkv.shape[-1] // 3
     # rows cap: wider tiles raise MXU fill of the per-head core matmuls
@@ -669,10 +851,13 @@ def _fused_block_bwd_impl(x, g, ln_scale, ln_bias, wqkv, bqkv, wproj,
 
     xt = x.reshape(n_steps, R, C)
     gt = g.reshape(n_steps, R, C)
+    has_gamma = gamma is not None
+    has_seed = attn_drop > 0.0 or proj_drop > 0.0
     kern = functools.partial(
         _fused_block_bwd_kernel, num_heads=num_heads, seg_len=seg_len,
         groups=G, scale=scale, ln_eps=ln_eps, use_ln=use_ln,
-        use_residual=use_residual)
+        use_residual=use_residual, attn_drop=attn_drop,
+        proj_drop=proj_drop, has_gamma=has_gamma, has_seed=has_seed)
     wspec = [
         pl.BlockSpec((1, R, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, R, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -682,44 +867,63 @@ def _fused_block_bwd_impl(x, g, ln_scale, ln_bias, wqkv, bqkv, wproj,
         pl.BlockSpec((C, Co), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((3 * Co, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
-    dx, ln, attn, dqkv, dlns, dlnb, dbq, dbp = pl.pallas_call(
+    operands = [xt, gt, ln_scale.reshape(1, C), ln_bias.reshape(1, C),
+                bqkv.reshape(1, 3 * Co), wproj.T, wqkv.T]
+    if has_gamma:
+        wspec.append(pl.BlockSpec((1, C), lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM))
+        operands.append(gamma.reshape(1, C))
+    if has_seed:
+        wspec.append(pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                  memory_space=pltpu.SMEM))
+        operands.append(seed.reshape(1, 1))
+    out_specs = [
+        pl.BlockSpec((1, R, C), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, R, C), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, R, Co), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, R, 3 * Co), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, 3 * Co), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n_steps, R, C), x.dtype),
+        jax.ShapeDtypeStruct((n_steps, R, C), x.dtype),
+        jax.ShapeDtypeStruct((n_steps, R, Co), x.dtype),
+        jax.ShapeDtypeStruct((n_steps, R, 3 * Co), x.dtype),
+        jax.ShapeDtypeStruct((8, C), jnp.float32),
+        jax.ShapeDtypeStruct((8, C), jnp.float32),
+        jax.ShapeDtypeStruct((8, 3 * Co), jnp.float32),
+        jax.ShapeDtypeStruct((8, C), jnp.float32),
+    ]
+    if proj_drop > 0.0:
+        out_specs.append(pl.BlockSpec((1, R, C), lambda i: (i, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((n_steps, R, C), x.dtype))
+    res = pl.pallas_call(
         kern,
         grid=(n_steps,),
         in_specs=wspec,
-        out_specs=[
-            pl.BlockSpec((1, R, C), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R, C), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R, Co), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R, 3 * Co), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 3 * Co), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_steps, R, C), x.dtype),
-            jax.ShapeDtypeStruct((n_steps, R, C), x.dtype),
-            jax.ShapeDtypeStruct((n_steps, R, Co), x.dtype),
-            jax.ShapeDtypeStruct((n_steps, R, 3 * Co), x.dtype),
-            jax.ShapeDtypeStruct((8, C), jnp.float32),
-            jax.ShapeDtypeStruct((8, C), jnp.float32),
-            jax.ShapeDtypeStruct((8, 3 * Co), jnp.float32),
-            jax.ShapeDtypeStruct((8, C), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((R, 3 * Co), x.dtype)],
         interpret=_interpret(),
-    )(xt, gt, ln_scale.reshape(1, C), ln_bias.reshape(1, C),
-      bqkv.reshape(1, 3 * Co), wproj.T, wqkv.T)
+    )(*operands)
+    dx, ln, attn, dqkv, dlns, dlnb, dbq, dbp = res[:8]
     n_rows = n_steps * R
-    return (dx.reshape(-1, S, C)[:n_seg] if n_pad else dx.reshape(-1, S, C),
-            ln.reshape(n_rows, C), attn.reshape(n_rows, Co),
-            dqkv.reshape(n_rows, 3 * Co), dlns[0], dlnb[0],
-            dbq[0], dbp[0])
+    out = (dx.reshape(-1, S, C)[:n_seg] if n_pad else dx.reshape(-1, S, C),
+           ln.reshape(n_rows, C), attn.reshape(n_rows, Co),
+           dqkv.reshape(n_rows, 3 * Co), dlns[0], dlnb[0],
+           dbq[0], dbp[0])
+    if proj_drop > 0.0:
+        out = out + (res[8].reshape(n_rows, C),)
+    return out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
@@ -781,6 +985,163 @@ fused_attention_residual.defvjp(_far_fwd, _far_bwd)
 
 
 # ---------------------------------------------------------------------------
+# "Reg" (regularized-training) megakernel entry points: the same fused
+# attention/MLP residual branches with in-kernel dropout (hash-of-counters
+# masks, see keep_mask_from_counters) and a LayerScale epilogue. These are
+# what keep the reference's ACTUAL training hyperparameters — legacy
+# attn_drop=0.1 + LayerScale (model.py:94, multiscale_attn.py:146-148) and
+# any release proj_drop_rate>0 run — on the fast path instead of the XLA
+# fallback. gamma is always an array (callers pass ones when the block has
+# no LayerScale); seed is int32 (any shape with one element).
+# ---------------------------------------------------------------------------
+
+
+def attn_keep_masks(n_seg, seg_len, num_heads, seed, rate):
+    """[n_seg, H, S, S] keep-masks bit-identical to the kernels' in-kernel
+    attention-probability masks (pure-jnp twin; counters are GLOBAL token
+    indices so kernel tiling never matters)."""
+    gt = jnp.arange(n_seg * seg_len, dtype=jnp.int32).reshape(
+        n_seg, 1, seg_len)
+    salts = jnp.int32(_SITE_ATTN) + 4 * jnp.arange(num_heads,
+                                                   dtype=jnp.int32)
+    sp = _site_seed(seed.reshape(()).astype(jnp.int32), salts)   # [H]
+    rows = gt[:, :, :, None]
+    cols = gt[:, :, None, :]
+    return keep_mask_from_counters(sp[None, :, None, None], rows, cols,
+                                   rate)
+
+
+def row_keep_mask(n_rows, n_cols, seed, site, rate):
+    """[n_rows, n_cols] keep-mask identical to the kernels' row-space
+    masks (proj / MLP sites) for global rows [0, n_rows)."""
+    rows = jnp.arange(n_rows, dtype=jnp.int32)[:, None]
+    cols = jnp.arange(n_cols, dtype=jnp.int32)[None, :]
+    return keep_mask_from_counters(
+        _site_seed(seed.reshape(()).astype(jnp.int32), site), rows, cols,
+        rate)
+
+
+def _fused_block_reg_xla(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                         gamma, seed, num_heads, seg_len, scale, ln_eps,
+                         use_ln, use_residual, attn_drop, proj_drop):
+    """XLA composition with the SAME masks as the reg kernels (exact twin:
+    fallback path for DUOFORMER_PALLAS_BWD=0 and the test oracle)."""
+    n_seg, S, C = x.shape
+    Co = wqkv.shape[-1] // 3
+    D = Co // num_heads
+    xf = x.astype(jnp.float32)
+    if use_ln:
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        ln = (xf - mean) * jax.lax.rsqrt(var + ln_eps)
+        ln = (ln * ln_scale.astype(jnp.float32)
+              + ln_bias.astype(jnp.float32)).astype(x.dtype)
+    else:
+        ln = x
+    qkv = (jnp.dot(ln, wqkv.astype(x.dtype),
+                   preferred_element_type=jnp.float32)
+           + bqkv.astype(jnp.float32)).astype(x.dtype)
+    qkv = qkv.reshape(n_seg, S, 3, num_heads, D)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    s = jnp.einsum("nshd,nthd->nhst", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    if attn_drop > 0.0:
+        km = attn_keep_masks(n_seg, S, num_heads, seed, attn_drop)
+        p = _drop(p, km, attn_drop)
+    attn = jnp.einsum("nhst,nthd->nshd", p.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(x.dtype)
+    attn = attn.reshape(n_seg, S, Co)
+    y = (jnp.dot(attn, wproj.astype(x.dtype),
+                 preferred_element_type=jnp.float32)
+         + bproj.astype(jnp.float32))
+    if proj_drop > 0.0:
+        km2 = row_keep_mask(n_seg * S, C, seed, _SITE_PROJ,
+                            proj_drop).reshape(n_seg, S, C)
+        y = _drop(y, km2, proj_drop)
+    y = y * gamma.astype(jnp.float32)
+    if use_residual:
+        y = y + xf
+    return y.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13, 14,
+                                                    15, 16))
+def fused_attention_residual_reg(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
+                                 bproj, gamma, seed, num_heads, seg_len,
+                                 scale, ln_eps=1e-6, use_ln=True,
+                                 use_residual=True, attn_drop=0.0,
+                                 proj_drop=0.0):
+    """y = [x +] gamma * drop_p(proj(drop_a(block_diag_attn(qkv([LN](x))))))
+    fused in one kernel; backward regenerates the dropout masks in-kernel
+    from the same (seed, global-position) hash. See fused_attention_residual
+    for the base (inert) form these extensions wrap."""
+    return _fused_block_impl(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                             num_heads, seg_len, scale, ln_eps,
+                             use_ln, use_residual, gamma=gamma, seed=seed,
+                             attn_drop=attn_drop, proj_drop=proj_drop)
+
+
+def _far_reg_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, gamma,
+                 seed, num_heads, seg_len, scale, ln_eps, use_ln,
+                 use_residual, attn_drop, proj_drop):
+    out = _fused_block_impl(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                            num_heads, seg_len, scale, ln_eps,
+                            use_ln, use_residual, gamma=gamma, seed=seed,
+                            attn_drop=attn_drop, proj_drop=proj_drop)
+    return out, (x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, gamma,
+                 seed)
+
+
+def _far_reg_bwd(num_heads, seg_len, scale, ln_eps, use_ln, use_residual,
+                 attn_drop, proj_drop, res, g):
+    x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, gamma, seed = res
+    dseed = np.zeros(np.shape(seed), dtype=jax.dtypes.float0)
+    if not _use_pallas_bwd():
+        _, vjp = jax.vjp(
+            lambda *a: _fused_block_reg_xla(*a, seed, num_heads, seg_len,
+                                            scale, ln_eps, use_ln,
+                                            use_residual, attn_drop,
+                                            proj_drop),
+            x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, gamma)
+        return (*vjp(g), dseed)
+    outs = _fused_block_bwd_impl(
+        x, g, ln_scale, ln_bias, wqkv, bqkv, wproj,
+        num_heads, seg_len, scale, ln_eps, use_ln, use_residual,
+        gamma=gamma, seed=seed, attn_drop=attn_drop, proj_drop=proj_drop)
+    dx, ln, attn, dqkv, dlns, dlnb, dbqkv, dbp = outs[:8]
+    n_seg, S, C = x.shape
+    if proj_drop > 0.0:
+        gm2d = outs[8]        # proj-masked g, kernel row space
+    else:
+        gm2d = g.reshape(n_seg * S, C)
+        if ln.shape[0] != gm2d.shape[0]:
+            gm2d = jnp.concatenate(
+                [gm2d, jnp.zeros((ln.shape[0] - gm2d.shape[0], C),
+                                 g.dtype)], axis=0)
+    dwqkv = jax.lax.dot_general(ln, dqkv, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    # A = attn^T gm: one GEMM yields dwproj (column-scaled by gamma) AND
+    # dgamma via the identity dgamma = sum_k A*wproj + bproj*colsum(gm) —
+    # the branch output is never rematerialized
+    A = jax.lax.dot_general(attn, gm2d, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    gf = gamma.astype(jnp.float32)
+    dwproj = A * gf[None, :]
+    dgamma = (jnp.sum(A * wproj.astype(jnp.float32), axis=0)
+              + bproj.astype(jnp.float32) * dbp)
+    dbproj = gf * dbp
+    return (dx,
+            dlns.astype(ln_scale.dtype), dlnb.astype(ln_bias.dtype),
+            dwqkv.astype(wqkv.dtype), dbqkv.astype(bqkv.dtype),
+            dwproj.astype(wproj.dtype), dbproj.astype(bproj.dtype),
+            dgamma.astype(gamma.dtype), dseed)
+
+
+fused_attention_residual_reg.defvjp(_far_reg_fwd, _far_reg_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Fused MLP-residual megakernel: y = x + fc2(gelu(fc1(LN(x))))
 # Eliminates the block's largest activation — the 4C-wide MLP hidden
 # (~460MB/block at B=256, C=768) — plus the LN2 materialization.
@@ -802,9 +1163,18 @@ def _erf_poly(x):
     return s * y
 
 
-def _fused_mlp_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
-                      b2_ref, out_ref, hid_scratch, *, ln_eps,
-                      use_residual=True):
+def _fused_mlp_kernel(*refs, ln_eps, use_residual=True, drop=0.0,
+                      has_gamma=False, has_seed=False):
+    it = iter(refs)
+    x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref = (
+        next(it) for _ in range(7))
+    gamma_ref = next(it) if has_gamma else None
+    seed_ref = next(it) if has_seed else None
+    out_ref, hid_scratch = next(it), next(it)
+    seed = seed_ref[0, 0] if has_seed else None
+    rt = x_ref.shape[0]
+    row_off = pl.program_id(0) * rt
+
     x = x_ref[:]
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
@@ -817,23 +1187,43 @@ def _fused_mlp_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
     h = h + b1_ref[0].astype(jnp.float32)
     # exact-GELU via polynomial erf (see _erf_poly)
     h = 0.5 * h * (1.0 + _erf_poly(h * 0.7071067811865476))
+    if drop > 0.0:
+        km1 = _keep_mask_tile(h.shape, seed, _SITE_MLP_HID, drop,
+                              row_off=row_off)
+        h = _drop(h, km1, drop)
     hid_scratch[:] = h.astype(x.dtype)
     y = jax.lax.dot_general(hid_scratch[:], w2_ref[:],
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     y = y + b2_ref[0].astype(jnp.float32)
+    if drop > 0.0:
+        km2 = _keep_mask_tile(y.shape, seed, _SITE_MLP_OUT, drop,
+                              row_off=row_off)
+        y = _drop(y, km2, drop)
+    if has_gamma:
+        y = y * gamma_ref[0].astype(jnp.float32)
     if use_residual:
         y = y + xf
     out_ref[:] = y.astype(out_ref.dtype)
 
 
-def _fused_mlp_kernel_z(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
-                        b2_ref, out_ref, z_ref, *, ln_eps,
-                        use_residual=True):
+def _fused_mlp_kernel_z(*refs, ln_eps, use_residual=True, drop=0.0,
+                        has_gamma=False, has_seed=False):
     """Save-hidden variant: emits the pre-GELU hidden z (so the backward
     skips the fc1 recompute — see _fmr_bwd_saved_hidden) and uses z_ref as
     the hidden staging buffer instead of a scratch, keeping the kernel
-    inside the 16MB scoped-VMEM limit at C=768/hidden=3072."""
+    inside the 16MB scoped-VMEM limit at C=768/hidden=3072. z is saved
+    PRE-dropout; the backward regenerates the hidden mask from the hash."""
+    it = iter(refs)
+    x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref = (
+        next(it) for _ in range(7))
+    gamma_ref = next(it) if has_gamma else None
+    seed_ref = next(it) if has_seed else None
+    out_ref, z_ref = next(it), next(it)
+    seed = seed_ref[0, 0] if has_seed else None
+    rt = x_ref.shape[0]
+    row_off = pl.program_id(0) * rt
+
     x = x_ref[:]
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
@@ -846,19 +1236,32 @@ def _fused_mlp_kernel_z(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
     z = z + b1_ref[0].astype(jnp.float32)
     z_ref[:] = z.astype(z_ref.dtype)
     h = 0.5 * z * (1.0 + _erf_poly(z * 0.7071067811865476))
+    if drop > 0.0:
+        km1 = _keep_mask_tile(h.shape, seed, _SITE_MLP_HID, drop,
+                              row_off=row_off)
+        h = _drop(h, km1, drop)
     y = jax.lax.dot_general(h.astype(x.dtype), w2_ref[:],
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     y = y + b2_ref[0].astype(jnp.float32)
+    if drop > 0.0:
+        km2 = _keep_mask_tile(y.shape, seed, _SITE_MLP_OUT, drop,
+                              row_off=row_off)
+        y = _drop(y, km2, drop)
+    if has_gamma:
+        y = y * gamma_ref[0].astype(jnp.float32)
     if use_residual:
         y = y + xf
     out_ref[:] = y.astype(out_ref.dtype)
 
 
 def _fused_mlp_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps,
-                    use_residual=True, return_hidden=False):
+                    use_residual=True, return_hidden=False,
+                    gamma=None, seed=None, drop=0.0):
     """return_hidden=True additionally returns the pre-GELU hidden z
-    [n_rows_padded, hidden] (bf16) for the save-hidden backward."""
+    [n_rows_padded, hidden] (bf16) for the save-hidden backward.
+    gamma/seed/drop: the reg extensions (LayerScale epilogue + in-kernel
+    dropout on the post-GELU hidden and the branch output)."""
     *lead, C = x.shape
     hidden = w1.shape[-1]
     n = 1
@@ -875,43 +1278,57 @@ def _fused_mlp_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps,
         flat = jnp.concatenate([flat, jnp.zeros((n_pad, C), flat.dtype)],
                                axis=0)
     rows = flat.shape[0]
+    has_gamma = gamma is not None
+    has_seed = drop > 0.0
     row_spec = pl.BlockSpec((rt, C), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     out_specs = row_spec
     out_shape = jax.ShapeDtypeStruct((rows, C), x.dtype)
     kern = functools.partial(_fused_mlp_kernel, ln_eps=ln_eps,
-                             use_residual=use_residual)
+                             use_residual=use_residual, drop=drop,
+                             has_gamma=has_gamma, has_seed=has_seed)
     scratch_shapes = [pltpu.VMEM((rt, hidden), x.dtype)]
     if return_hidden:
         kern = functools.partial(_fused_mlp_kernel_z, ln_eps=ln_eps,
-                                 use_residual=use_residual)
+                                 use_residual=use_residual, drop=drop,
+                                 has_gamma=has_gamma, has_seed=has_seed)
         out_specs = [row_spec,
                      pl.BlockSpec((rt, hidden), lambda i: (i, 0),
                                   memory_space=pltpu.VMEM)]
         out_shape = [out_shape,
                      jax.ShapeDtypeStruct((rows, hidden), x.dtype)]
         scratch_shapes = []   # z_ref doubles as the hidden staging
+    in_specs = [
+        row_spec,
+        pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((C, hidden), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hidden), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((hidden, C), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [flat, ln_scale.reshape(1, C), ln_bias.reshape(1, C), w1,
+                b1.reshape(1, hidden), w2, b2.reshape(1, C)]
+    if has_gamma:
+        in_specs.append(pl.BlockSpec((1, C), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(gamma.reshape(1, C))
+    if has_seed:
+        in_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                     memory_space=pltpu.SMEM))
+        operands.append(seed.reshape(1, 1))
     res = pl.pallas_call(
         kern,
         grid=(rows // rt,),
-        in_specs=[
-            row_spec,
-            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, hidden), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hidden), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((hidden, C), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch_shapes,
         interpret=_interpret(),
-    )(flat, ln_scale.reshape(1, C), ln_bias.reshape(1, C), w1,
-      b1.reshape(1, hidden), w2, b2.reshape(1, C))
+    )(*operands)
     out, z = res if return_hidden else (res, None)
     if n_pad:
         out = out[:n]
@@ -1235,6 +1652,153 @@ def _fmr_bwd(ln_eps, use_residual, res, g):
 
 
 fused_mlp_residual.defvjp(_fmr_fwd, _fmr_bwd)
+
+
+# ---------------------------------------------------------------------------
+# "Reg" MLP megakernel entry point (see the attention reg section above):
+# in-kernel dropout on the post-GELU hidden and the branch output, plus a
+# LayerScale gamma epilogue. Backward = save-hidden XLA with the masks
+# regenerated from the same hash (no Pallas backward needed — the MLP
+# backward is pure large GEMMs, already MXU-bound).
+# ---------------------------------------------------------------------------
+
+
+def _fused_mlp_reg_xla(x, ln_scale, ln_bias, w1, b1, w2, b2, gamma, seed,
+                       ln_eps, use_residual, drop):
+    """XLA composition with the SAME hash masks as the reg MLP kernels
+    (exact twin: fallback for DUOFORMER_PALLAS_BWD=0 and the test oracle).
+    Mask row indices are global flat-row indices, matching the kernels'
+    pid*rt + local row (padding sits at the end, so rows [0, n) agree)."""
+    *lead, C = x.shape
+    hidden = w1.shape[-1]
+    n = 1
+    for d in lead:
+        n *= d
+    flat = x.reshape(n, C)
+    xf = flat.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    ln = (xf - mean) * jax.lax.rsqrt(var + ln_eps)
+    ln = (ln * ln_scale.astype(jnp.float32)
+          + ln_bias.astype(jnp.float32)).astype(x.dtype)
+    h = (jnp.dot(ln, w1.astype(x.dtype), preferred_element_type=jnp.float32)
+         + b1.astype(jnp.float32))
+    h = 0.5 * h * (1.0 + jax.lax.erf(h * _SQRT1_2))
+    if drop > 0.0:
+        km1 = row_keep_mask(n, hidden, seed, _SITE_MLP_HID, drop)
+        h = _drop(h, km1, drop)
+    y = (jnp.dot(h.astype(x.dtype), w2.astype(x.dtype),
+                 preferred_element_type=jnp.float32)
+         + b2.astype(jnp.float32))
+    if drop > 0.0:
+        km2 = row_keep_mask(n, C, seed, _SITE_MLP_OUT, drop)
+        y = _drop(y, km2, drop)
+    y = y * gamma.astype(jnp.float32)
+    if use_residual:
+        y = y + xf
+    return y.astype(x.dtype).reshape(*lead, C)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+def fused_mlp_residual_reg(x, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
+                           seed, ln_eps=1e-6, use_residual=True, drop=0.0):
+    """y = [x +] gamma * drop(fc2(drop(gelu(fc1(LN(x)))))) fused in one
+    kernel. gamma is always an array (pass ones when the block has no
+    LayerScale); seed: int32 (one element), ignored when drop == 0."""
+    return _fused_mlp_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps,
+                           use_residual, gamma=gamma, seed=seed, drop=drop)
+
+
+def _fmr_reg_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, gamma, seed,
+                 ln_eps, use_residual, drop):
+    if _mlp_save_hidden():
+        out, z = _fused_mlp_impl(x, ln_scale, ln_bias, w1, b1, w2, b2,
+                                 ln_eps, use_residual, return_hidden=True,
+                                 gamma=gamma, seed=seed, drop=drop)
+    else:
+        out = _fused_mlp_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps,
+                              use_residual, gamma=gamma, seed=seed,
+                              drop=drop)
+        z = None
+    return out, (x, ln_scale, ln_bias, w1, b1, w2, b2, gamma, seed, z)
+
+
+def _fmr_reg_bwd(ln_eps, use_residual, drop, res, g):
+    """Save-hidden backward with mask regeneration. Gradient chain
+    (forward: z saved PRE-dropout; h_d = drop1(gelu(z)); y0 = h_d@w2+b2;
+    out = x + gamma*drop2(y0)):
+      gm2    = g * mask2/keep                      (no gamma)
+      dW2    = h_d^T gm2 * gamma   (one GEMM A2 = h_d^T gm2 shared with...)
+      dgamma = sum_k A2*w2 + b2*colsum(gm2)        (...this identity)
+      db2    = gamma * colsum(gm2)
+      dh     = (gm2*gamma) @ w2^T * mask1/keep ; dz = dh * gelu'(z)"""
+    x, ln_scale, ln_bias, w1, b1, w2, b2, gamma, seed, z = res
+    dseed = np.zeros(np.shape(seed), dtype=jax.dtypes.float0)
+    if z is None or not _use_pallas_bwd():
+        _, vjp = jax.vjp(
+            lambda *a: _fused_mlp_reg_xla(*a, seed, ln_eps, use_residual,
+                                          drop),
+            x, ln_scale, ln_bias, w1, b1, w2, b2, gamma)
+        return (*vjp(g), dseed)
+    *lead, C = x.shape
+    hidden = w1.shape[-1]
+    n = 1
+    for d in lead:
+        n *= d
+    rows = z.shape[0]
+    x2 = x.reshape(n, C)
+    g2 = g.reshape(n, C)
+    if rows != n:
+        x2 = jnp.concatenate([x2, jnp.zeros((rows - n, C), x.dtype)], axis=0)
+        g2 = jnp.concatenate([g2, jnp.zeros((rows - n, C), g.dtype)], axis=0)
+    xf = x2.astype(jnp.float32)
+    lnf, xhat, inv = _ln_fwd_f32(xf, ln_scale, ln_bias, ln_eps)
+    ln = lnf.astype(x.dtype)
+    zf = z.astype(jnp.float32)
+    phi_z = 0.5 * (1.0 + jax.lax.erf(zf * _SQRT1_2))
+    h = zf * phi_z                                   # f32 pre-dropout
+    gf = g2.astype(jnp.float32)
+    if drop > 0.0:
+        km2 = row_keep_mask(rows, C, seed, _SITE_MLP_OUT, drop)
+        gm2 = _drop(gf, km2, drop)
+        km1 = row_keep_mask(rows, hidden, seed, _SITE_MLP_HID, drop)
+        h_d = _drop(h, km1, drop)
+    else:
+        gm2 = gf
+        h_d = h
+    gamma_f = gamma.astype(jnp.float32)
+    gm2b = gm2.astype(x.dtype)
+    h_db = h_d.astype(x.dtype)
+    dy0 = (gm2 * gamma_f).astype(x.dtype)
+    dh = jax.lax.dot_general(dy0, w2.T, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    if drop > 0.0:
+        dh = _drop(dh, km1, drop)
+    dgelu = phi_z + zf * (_INV_SQRT_2PI * jnp.exp(-0.5 * zf * zf))
+    dz = (dh * dgelu).astype(x.dtype)
+    dw1 = jax.lax.dot_general(ln, dz, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    db1 = jnp.sum(dz.astype(jnp.float32), axis=0)
+    A2 = jax.lax.dot_general(h_db, gm2b, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    colsum_gm2 = jnp.sum(gm2, axis=0)
+    dw2 = A2 * gamma_f[None, :]
+    db2 = gamma_f * colsum_gm2
+    dgamma = (jnp.sum(A2 * w2.astype(jnp.float32), axis=0)
+              + b2.astype(jnp.float32) * colsum_gm2)
+    dln = jax.lax.dot_general(dz, w1.T, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dxf, dlns, dlnb = _ln_bwd_f32(dln, ln_scale, xhat, inv)
+    if use_residual:
+        dxf = dxf + gf
+    dx = dxf[:n].astype(x.dtype).reshape(*lead, C)
+    return (dx, dlns[0].astype(ln_scale.dtype), dlnb[0].astype(ln_bias.dtype),
+            dw1.astype(w1.dtype), db1.astype(b1.dtype),
+            dw2.astype(w2.dtype), db2.astype(b2.dtype),
+            dgamma.astype(gamma.dtype), dseed)
+
+
+fused_mlp_residual_reg.defvjp(_fmr_reg_fwd, _fmr_reg_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))

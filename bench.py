@@ -43,6 +43,11 @@ def measure_torch_cpu(batch=32, iters=3):
 
 
 def torch_baseline(rebuild=False):
+    """The committed PINNED denominator (round-1 quiet-host measurement).
+    Never regenerated implicitly: round 2 accidentally re-measured on a
+    loaded host (0.958 -> 0.715 tiles/s) which made vs_baseline
+    incomparable across rounds. Absolute tiles/sec/chip is the headline;
+    --rebaseline overwrites the pinned file deliberately."""
     if not rebuild and os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
             return json.load(f)["tiles_per_sec"]
@@ -50,7 +55,7 @@ def torch_baseline(rebuild=False):
     with open(BASELINE_FILE, "w") as f:
         json.dump({"tiles_per_sec": tps,
                    "config": "DuoFormer 2-scale 768/12/12, torch CPU fp32, "
-                             "forward-only"}, f)
+                             "forward-only", "pinned": False}, f)
     return tps
 
 
@@ -165,7 +170,7 @@ def main():
         tps = measure_train(batch=args.batch, iters=args.iters)
         print(json.dumps({
             "metric": "224^2 tiles/sec/chip (DuoFormer 2-scale TRAIN step, "
-                      "bf16, frozen backbone, batch 256)",
+                      f"bf16, frozen backbone, batch {args.batch})",
             "value": round(tps, 2),
             "unit": "tiles/sec/chip",
             "vs_baseline": 0.0,   # no torch-CPU train baseline measured

@@ -184,3 +184,57 @@ def open_dataset(spec: str, batch_size: int, num_classes: int = 2,
     if spec.endswith((".h5", ".hdf5")):
         return hdf5_tiles(spec, batch_size, seed=seed)
     return ImageFolderDataset(spec, size=size).batches(batch_size, seed=seed)
+
+
+def _pad_eval_batch(imgs, labels, batch_size):
+    """Pad a short final batch to the jitted static shape. Padded labels
+    are -1: they never match an argmax (correct-count safe) and one-hot to
+    all-zero rows (per-class-count safe); eval steps mask loss on
+    label < 0."""
+    n = len(labels)
+    if n < batch_size:
+        imgs = np.concatenate(
+            [imgs, np.zeros((batch_size - n, *imgs.shape[1:]), imgs.dtype)])
+        labels = np.concatenate(
+            [labels, np.full((batch_size - n,), -1, np.int32)])
+    return {"image": imgs, "label": labels, "valid": n}
+
+
+def open_dataset_eval(spec: str, batch_size: int, num_classes: int = 2,
+                      seed: int = 0, size: int = 224,
+                      synthetic_batches: int = 4) -> Iterator[Dict]:
+    """Full-coverage single pass for evaluation (VERDICT r2 weak #5: the
+    train-path iterators drop short final batches for static shapes, so
+    batch-drop-based eval never saw the dataset tail).
+
+    Yields {"image" [B,...], "label" [B] (pad = -1), "valid": int} covering
+    EVERY sample exactly once, unshuffled; the final batch is zero-padded
+    to the static shape. "synthetic" specs yield `synthetic_batches` fixed
+    batches (valid = B) — there is no finite split to cover."""
+    from . import pipeline
+
+    if spec in (None, "", "synthetic"):
+        for b in pipeline.synthetic_tiles(batch_size, num_classes,
+                                          num_batches=synthetic_batches,
+                                          seed=seed, size=size):
+            yield dict(b, valid=len(b["label"]))
+        return
+    if spec.endswith((".h5", ".hdf5")):
+        import h5py
+
+        with h5py.File(spec, "r") as f:
+            images = f["images"]
+            labels = (f["labels"][:].astype(np.int32) if "labels" in f
+                      else np.zeros((images.shape[0],), np.int32))
+            n = images.shape[0]
+            for lo in range(0, n, batch_size):
+                hi = min(lo + batch_size, n)
+                yield _pad_eval_batch(images[lo:hi].astype(np.uint8),
+                                      labels[lo:hi], batch_size)
+        return
+    ds = ImageFolderDataset(spec, size=size)
+    for lo in range(0, len(ds.samples), batch_size):
+        chunk = ds.samples[lo:lo + batch_size]
+        imgs = ds._decode_batch([p for p, _ in chunk])
+        labels = np.asarray([c for _, c in chunk], np.int32)
+        yield _pad_eval_batch(imgs, labels, batch_size)

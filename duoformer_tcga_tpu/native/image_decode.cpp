@@ -56,6 +56,11 @@ bool decode_jpeg(const uint8_t* data, size_t len, std::vector<uint8_t>& rgb,
   jpeg_start_decompress(&cinfo);
   W = static_cast<int>(cinfo.output_width);
   H = static_cast<int>(cinfo.output_height);
+  if (W <= 0 || H <= 0 ||
+      static_cast<int64_t>(W) * H > 64LL * 1024 * 1024) {
+    jpeg_destroy_decompress(&cinfo);  // hostile/corrupt header dimensions
+    return false;
+  }
   rgb.resize(static_cast<size_t>(W) * H * 3);
   const int stride = W * 3;
   while (cinfo.output_scanline < cinfo.output_height) {
@@ -76,6 +81,11 @@ bool decode_png(const uint8_t* data, size_t len, std::vector<uint8_t>& rgb,
   im.format = PNG_FORMAT_RGB;  // expands gray/palette, strips alpha/16-bit
   W = static_cast<int>(im.width);
   H = static_cast<int>(im.height);
+  if (W <= 0 || H <= 0 ||
+      static_cast<int64_t>(W) * H > 64LL * 1024 * 1024) {
+    png_image_free(&im);  // hostile/corrupt header dimensions
+    return false;
+  }
   rgb.resize(PNG_IMAGE_SIZE(im));
   if (!png_image_finish_read(&im, nullptr, rgb.data(), 0, nullptr)) {
     png_image_free(&im);
@@ -136,21 +146,35 @@ bool read_file(const char* path, std::vector<uint8_t>& buf) {
   return got == buf.size();
 }
 
+// Reject dimensions a crafted/corrupt header could claim (e.g. a PNG
+// declaring 100000x100000 would make rgb.resize() throw bad_alloc inside a
+// worker thread -> std::terminate kills the whole process). 64 MP is far
+// above any real tile.
+constexpr int64_t kMaxPixels = 64LL * 1024 * 1024;
+
 bool decode_one(const char* path, int64_t size, uint8_t* out) {
-  std::vector<uint8_t> file;
-  if (!read_file(path, file) || file.size() < 8) return false;
-  std::vector<uint8_t> rgb;
-  int W = 0, H = 0;
-  bool ok = false;
-  if (file[0] == 0xFF && file[1] == 0xD8) {
-    ok = decode_jpeg(file.data(), file.size(), rgb, W, H);
-  } else if (file[0] == 0x89 && file[1] == 'P' && file[2] == 'N'
-             && file[3] == 'G') {
-    ok = decode_png(file.data(), file.size(), rgb, W, H);
+  // Any C++ exception (bad_alloc from a hostile header, etc.) degrades to
+  // status 0 — the Python caller substitutes/filters and the PIL fallback
+  // takes over — instead of terminating the serving/training process.
+  try {
+    std::vector<uint8_t> file;
+    if (!read_file(path, file) || file.size() < 8) return false;
+    std::vector<uint8_t> rgb;
+    int W = 0, H = 0;
+    bool ok = false;
+    if (file[0] == 0xFF && file[1] == 0xD8) {
+      ok = decode_jpeg(file.data(), file.size(), rgb, W, H);
+    } else if (file[0] == 0x89 && file[1] == 'P' && file[2] == 'N'
+               && file[3] == 'G') {
+      ok = decode_png(file.data(), file.size(), rgb, W, H);
+    }
+    if (!ok || W <= 0 || H <= 0) return false;
+    if (static_cast<int64_t>(W) * H > kMaxPixels) return false;
+    resize_bilinear(rgb.data(), W, H, out, static_cast<int>(size));
+    return true;
+  } catch (...) {
+    return false;
   }
-  if (!ok || W <= 0 || H <= 0) return false;
-  resize_bilinear(rgb.data(), W, H, out, static_cast<int>(size));
-  return true;
 }
 
 }  // namespace

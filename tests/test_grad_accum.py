@@ -61,5 +61,5 @@ def test_accum_rejects_indivisible_batch():
     model, opt, state, batch = _setup()
     step = train_lib.make_train_step(model, opt, donate=False,
                                      accum_steps=3)
-    with pytest.raises(Exception):   # 8 % 3 != 0 -> reshape error
+    with pytest.raises(ValueError, match="accum_steps=3 must divide"):
         step(state, batch, jax.random.PRNGKey(2))

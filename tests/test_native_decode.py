@@ -93,3 +93,25 @@ def test_folder_dataset_uses_native_and_matches_pil(tmp_path):
     paths = [s[0] for s in ds.samples[:4]]
     ref = np.stack([folder_lib._decode(p, 32) for p in paths])
     np.testing.assert_array_equal(batch["image"], ref)
+
+
+def test_hostile_png_header_degrades_to_failure(tmp_path):
+    """A PNG header claiming absurd dimensions (100000x100000 = 30GB RGB)
+    must come back status 0 — not bad_alloc -> std::terminate in a worker
+    thread (ADVICE r2). The file is a syntactically valid signature+IHDR
+    with correct CRC, then garbage."""
+    import struct
+    import zlib
+
+    def chunk(tag, payload):
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 100000, 100000, 8, 2, 0, 0, 0)
+    data = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + b"junk" * 8
+    p = str(tmp_path / "huge.png")
+    with open(p, "wb") as f:
+        f.write(data)
+    out, ok = nd.decode_batch([p], 48)
+    assert ok.tolist() == [0]
+    assert (out[0] == 0).all()

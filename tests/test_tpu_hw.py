@@ -38,9 +38,16 @@ def on_tpu(monkeypatch):
         pytest.skip("no TPU device")
     monkeypatch.setenv("DUOFORMER_PALLAS_INTERPRET", "0")
     prev = jax.config.jax_default_device
+    prev_prec = jax.config.jax_default_matmul_precision
     jax.config.update("jax_default_device", tpus[0])
+    # conftest pins matmul precision "highest" for CPU determinism, but
+    # Mosaic rejects the resulting multi-pass bf16 dots on the AOT compile
+    # path ("Bad lhs type") — the kernels set f32 accumulation explicitly
+    # via preferred_element_type, so "default" loses nothing here
+    jax.config.update("jax_default_matmul_precision", "default")
     yield
     jax.config.update("jax_default_device", prev)
+    jax.config.update("jax_default_matmul_precision", prev_prec)
 
 
 def _branch_inputs(key, n_seg=98, S=6, C=768, dtype=jnp.bfloat16):

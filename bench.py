@@ -188,7 +188,8 @@ def main():
         os.environ["DUOFORMER_FUSED_ATTN"] = "0"
         tps = measure_jax(batch=args.batch, iters=args.iters)
     print(json.dumps({
-        "metric": "224^2 tiles/sec/chip (DuoFormer 2-scale forward, bf16, batch 256)",
+        "metric": "224^2 tiles/sec/chip (DuoFormer 2-scale forward, bf16, "
+                  f"batch {args.batch})",
         "value": round(tps, 2),
         "unit": "tiles/sec/chip",
         "vs_baseline": round(tps / baseline, 2),

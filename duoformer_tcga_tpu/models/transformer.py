@@ -139,6 +139,56 @@ def _can_megafuse(p, attn_drop, proj_drop, drop_path, train, C, num_heads,
                                apply_qk_norm)
 
 
+def _use_unrolled_bwd(stacked, train, drop_rate, remat, C, num_heads):
+    """Eligibility for the scanned-forward / unrolled-backward stack
+    (ops/stack_bwd.py): the plain megafused configuration only — the
+    hand-rolled backward reuses the per-block fused backward internals,
+    so anything that changes the block's vjp (reg dropout/LayerScale,
+    int8, TP, XLA fallback, MLP recompute mode, remat) must stay on the
+    generic scan path. Knob: DUOFORMER_UNROLL_BWD — default OFF: on this
+    environment's AOT compile service any backward with >=3 distinct
+    block bodies is rejected (HTTP 500) and the 2-body grouping measured
+    slower than the scan (probes/_probe_r3_groupbwd.py); enable on
+    toolchains that compile the unrolled graph (42.6 ms/step win on the
+    stack in isolation, docs/performance.md)."""
+    if os.environ.get("DUOFORMER_UNROLL_BWD", "0") != "1":
+        return False
+    if remat or (train and drop_rate > 0.0):
+        return False
+    if "ls1" in stacked:
+        return False                       # LayerScale -> reg kernels
+    if "w_q" in stacked.get("attn", {}).get("qkv", {}):
+        return False                       # int8 serving weights
+    if attn_ops._FORCE_XLA or attn_ops._TP_MESH is not None:
+        return False
+    if C % 128 != 0 or C % num_heads != 0:
+        return False
+    from ..ops import pallas_attention as pa
+    if not (pa._use_pallas_bwd() and pa._mlp_save_hidden()):
+        return False
+    # scale stacks never APPLY qk-norm (Q9 carried weights stay eligible)
+    return attn_ops._use_fused(jax.tree.map(lambda a: a[0],
+                                            stacked.get("attn", {})),
+                               0.0, train, C, apply_qk_norm=False)
+
+
+def _apply_stack_unrolled_bwd(stacked, x, num_heads, ln_eps):
+    """Run a ScaleBlock stack through ops/stack_bwd (scanned forward,
+    python-unrolled backward: the scan serializes each block's weight-grad
+    GEMMs with the backward-kernel chain, measured 42.6 ms/step at B=256 —
+    docs/performance.md round-3 roofline)."""
+    from ..ops import stack_bwd
+    *lead, S, C = x.shape
+    n_seg = 1
+    for d in lead:
+        n_seg *= d
+    w = stack_bwd.stack_weights(stacked, x.dtype)
+    head_dim = C // num_heads
+    out = stack_bwd.fused_stack_residual(
+        x.reshape(n_seg, S, C), w, num_heads, S, head_dim ** -0.5, ln_eps)
+    return out.reshape(*lead, S, C)
+
+
 def scale_block_apply(p, x, num_heads, scale=None, ln_eps=1e-6,
                       attn_drop=0.0, proj_drop=0.0, drop_path=0.0,
                       rng=None, train=False, mlp_drop=None,
@@ -471,8 +521,14 @@ class MultiscaleFormer:
             attn_drop=self.proj_drop_rate, proj_drop=0.0,
             mlp_drop=self.proj_drop_rate, apply_qk_norm=False,
             train=train)
-        x = _scan_blocks(scale_apply, params["scale_blocks"], x,
-                         r_scale, train, self.depth, remat=self.remat)
+        if _use_unrolled_bwd(params["scale_blocks"], train,
+                             self.proj_drop_rate, self.remat,
+                             self.embed_dim, nh):
+            x = _apply_stack_unrolled_bwd(params["scale_blocks"], x, nh,
+                                          self.ln_eps)
+        else:
+            x = _scan_blocks(scale_apply, params["scale_blocks"], x,
+                             r_scale, train, self.depth, remat=self.remat)
 
         if not self.patch_attn:
             cls = jnp.mean(x[:, :, 0, :], axis=1)
@@ -567,8 +623,13 @@ class ScaleFormer:
             ln_eps=self.ln_eps, attn_drop=self.proj_drop_rate,
             proj_drop=0.0, mlp_drop=self.proj_drop_rate,
             apply_qk_norm=False, train=train)
-        x = _scan_blocks(scale_apply, params["blocks"], x, rng, train,
-                         self.depth)
+        if _use_unrolled_bwd(params["blocks"], train, self.proj_drop_rate,
+                             False, self.embed_dim, self.num_heads):
+            x = _apply_stack_unrolled_bwd(params["blocks"], x,
+                                          self.num_heads, self.ln_eps)
+        else:
+            x = _scan_blocks(scale_apply, params["blocks"], x, rng, train,
+                             self.depth)
         return x[:, :, 1, :]   # index 1, not 0 (reference behavior)
 
 

@@ -1579,11 +1579,87 @@ def _fmr_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps, use_residual):
     return out, (x, ln_scale, ln_bias, w1, b1, w2, b2, z)
 
 
+def _mlp_dz_kernel(g_ref, z_ref, w2_ref, dz_ref, *rest, emit_h):
+    """Fused dz pass of the save-hidden MLP backward: dh = g @ w2^T on the
+    MXU with the GELU' elementwise and the db1 reduction applied in VMEM —
+    one read of z, no dh (f32 [rows, hidden]) materialization in HBM, no
+    separate dz re-read for db1. emit_h additionally writes h = gelu(z)
+    (the dW2 operand) from the already-loaded z tile."""
+    h_ref, db1_ref = rest if emit_h else (None, rest[0])
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+
+    dh = jax.lax.dot_general(g_ref[:], w2_ref[:], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    zf = z_ref[:].astype(jnp.float32)
+    phi = 0.5 * (1.0 + _erf_poly(zf * _SQRT1_2))
+    if emit_h:
+        h_ref[:] = (zf * phi).astype(h_ref.dtype)
+    dgelu = phi + zf * (_INV_SQRT_2PI * jnp.exp(-0.5 * zf * zf))
+    dz = (dh * dgelu).astype(dz_ref.dtype)
+    dz_ref[:] = dz
+    db1_ref[:] += jnp.sum(dz.astype(jnp.float32), axis=0, keepdims=True)
+
+
+def _mlp_dz_impl(g2, z, w2, emit_h):
+    """g2: [rows, C], z: [rows, hidden], w2: [hidden, C] ->
+    (dz [rows, hidden] in z.dtype, db1 [hidden] f32[, h [rows, hidden]])."""
+    rows, C = g2.shape
+    hidden = z.shape[-1]
+    rt = int(os.environ.get("DUOFORMER_MLP_DZ_ROWS", "128"))
+    pad = (-rows) % rt
+    if pad:
+        g2 = jnp.concatenate([g2, jnp.zeros((pad, C), g2.dtype)], axis=0)
+        z = jnp.concatenate([z, jnp.zeros((pad, hidden), z.dtype)], axis=0)
+    n_rows = rows + pad
+    row_spec = lambda w: pl.BlockSpec((rt, w), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM)
+    out_specs = [row_spec(hidden)]
+    out_shape = [jax.ShapeDtypeStruct((n_rows, hidden), z.dtype)]
+    if emit_h:
+        out_specs.append(row_spec(hidden))
+        out_shape.append(jax.ShapeDtypeStruct((n_rows, hidden), z.dtype))
+    out_specs.append(pl.BlockSpec((1, hidden), lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM))
+    out_shape.append(jax.ShapeDtypeStruct((1, hidden), jnp.float32))
+    res = pl.pallas_call(
+        functools.partial(_mlp_dz_kernel, emit_h=emit_h),
+        grid=(n_rows // rt,),
+        in_specs=[
+            row_spec(C),
+            row_spec(hidden),
+            pl.BlockSpec((hidden, C), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=_interpret(),
+    )(g2, z, w2)
+    if emit_h:
+        dz, h, db1 = res
+        return dz[:rows], db1[0], h[:rows]
+    dz, db1 = res
+    return dz[:rows], db1[0], None
+
+
+def _use_dz_kernel():
+    """Opt-in: measured SLOWER than the XLA dz pass on the full train
+    step (probes/_probe_r3_dz.py, B=256: 463 ms with h emission / 472
+    without, vs 456 XLA) — XLA already fuses the GELU' elementwise and
+    the rt-row M-dim underfills the MXU on the dh GEMM. Kept for
+    environments where XLA's fusion differs."""
+    return (_use_pallas_bwd()
+            and os.environ.get("DUOFORMER_MLP_DZ", "0") == "1")
+
+
 def _fmr_bwd_saved_hidden(x, g, z, ln_scale, ln_bias, w1, b1, w2, b2,
                           ln_eps, use_residual):
     """MLP-residual backward from the saved pre-GELU hidden: four large
     GEMMs (dh, dW2, dW1, dln) + fused elementwise, no fc1 recompute.
-    Plain XLA — these GEMMs already run at MXU peak."""
+    The dz pass (dh GEMM + GELU' + db1) runs as a Pallas kernel by
+    default (_mlp_dz_kernel); DUOFORMER_MLP_DZ=0 reverts to plain XLA."""
     *lead, C = x.shape
     n = 1
     for d in lead:
@@ -1599,16 +1675,24 @@ def _fmr_bwd_saved_hidden(x, g, z, ln_scale, ln_bias, w1, b1, w2, b2,
     xf = x2.astype(jnp.float32)
     lnf, xhat, inv = _ln_fwd_f32(xf, ln_scale, ln_bias, ln_eps)
     ln = lnf.astype(x.dtype)
-    zf = z.astype(jnp.float32)
-    phi_z = 0.5 * (1.0 + jax.lax.erf(zf * _SQRT1_2))
-    h = (zf * phi_z).astype(x.dtype)
-    dh = jax.lax.dot_general(g2, w2.T, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    dgelu = phi_z + zf * (_INV_SQRT_2PI * jnp.exp(-0.5 * zf * zf))
-    dz = (dh * dgelu).astype(x.dtype)
+    if _use_dz_kernel():
+        emit_h = os.environ.get("DUOFORMER_MLP_DZ_H", "0") == "1"
+        dz, db1, h = _mlp_dz_impl(g2, z, w2, emit_h)
+        if h is None:
+            zf = z.astype(jnp.float32)
+            phi_z = 0.5 * (1.0 + jax.lax.erf(zf * _SQRT1_2))
+            h = (zf * phi_z).astype(x.dtype)
+    else:
+        zf = z.astype(jnp.float32)
+        phi_z = 0.5 * (1.0 + jax.lax.erf(zf * _SQRT1_2))
+        h = (zf * phi_z).astype(x.dtype)
+        dh = jax.lax.dot_general(g2, w2.T, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dgelu = phi_z + zf * (_INV_SQRT_2PI * jnp.exp(-0.5 * zf * zf))
+        dz = (dh * dgelu).astype(x.dtype)
+        db1 = jnp.sum(dz.astype(jnp.float32), axis=0)
     dw1 = jax.lax.dot_general(ln, dz, (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    db1 = jnp.sum(dz.astype(jnp.float32), axis=0)
     dw2 = jax.lax.dot_general(h, g2, (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
     db2 = jnp.sum(g2.astype(jnp.float32), axis=0)

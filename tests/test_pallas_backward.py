@@ -139,6 +139,41 @@ def test_mlp_residual_saved_hidden_backward_parity(use_residual, monkeypatch):
             err_msg=f"{name} mismatch (use_residual={use_residual})")
 
 
+@pytest.mark.parametrize("dz,emit_h", [("0", "0"), ("1", "0"), ("1", "1")])
+def test_mlp_saved_hidden_dz_kernel_variants(dz, emit_h, monkeypatch):
+    """The fused dz kernel (_mlp_dz_kernel: dh GEMM + GELU' + db1
+    accumulation, optional h emission) must match the XLA composition in
+    every variant. Rows (210) force the kernel's own row-tile padding on
+    top of the forward padding."""
+    C, hidden = 128, 512
+    ks = jax.random.split(jax.random.PRNGKey(7), 8)
+    x = jax.random.normal(ks[0], (3, 70, C))
+    lns = 1.0 + 0.1 * jax.random.normal(ks[1], (C,))
+    lnb = 0.1 * jax.random.normal(ks[2], (C,))
+    w1 = jax.random.normal(ks[3], (C, hidden)) * 0.05
+    b1 = 0.1 * jax.random.normal(ks[4], (hidden,))
+    w2 = jax.random.normal(ks[5], (hidden, C)) * 0.05
+    b2 = 0.1 * jax.random.normal(ks[6], (C,))
+    g = jax.random.normal(ks[7], (3, 70, C))
+    args = (x, lns, lnb, w1, b1, w2, b2)
+
+    monkeypatch.setenv("DUOFORMER_PALLAS_BWD", "1")
+    monkeypatch.setenv("DUOFORMER_MLP_SAVE_HIDDEN", "1")
+    monkeypatch.setenv("DUOFORMER_MLP_DZ", dz)
+    monkeypatch.setenv("DUOFORMER_MLP_DZ_H", emit_h)
+    out_k, grads_k = _grads(
+        lambda *a: pa.fused_mlp_residual(*a, 1e-6, True), args, g)
+    out_x, grads_x = _grads(
+        lambda *a: pa._fused_mlp_xla(*a, 1e-6, True), args, g)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x),
+                               atol=1e-5, rtol=1e-5)
+    names = ["dx", "dln_scale", "dln_bias", "dw1", "db1", "dw2", "db2"]
+    for name, gk, gx in zip(names, grads_k, grads_x):
+        np.testing.assert_allclose(
+            np.asarray(gk), np.asarray(gx), atol=3e-4, rtol=3e-4,
+            err_msg=f"{name} mismatch (dz={dz}, emit_h={emit_h})")
+
+
 def test_scale_block_train_grads_through_megakernels(monkeypatch):
     """End-to-end: grads of a scale block (megafused path) vs the
     unfused block composition."""

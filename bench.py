@@ -128,8 +128,12 @@ def measure_train(batch=256, iters=6, dtype="bfloat16"):
                                           (batch, 224, 224, 3),
                                           getattr(jnp, dtype)),
                "label": jnp.zeros((batch,), jnp.int32)}
+    # the production memory/speed policy (accumulation is exact-math and
+    # measured faster at microbatch 32: docs/performance.md accum sweep)
+    plan = train_lib.plan_train_memory(model, batch)
     step = train_lib.make_train_step(model, opt, donate=False,
-                                     frozen_label_fn=train_lib.backbone_frozen_labels)
+                                     frozen_label_fn=train_lib.backbone_frozen_labels,
+                                     accum_steps=plan["accum_steps"])
 
     def run_n(state, b, rng, n):
         def body(i, carry):

@@ -61,9 +61,15 @@ class ImageFolderDataset:
             raise FileNotFoundError(f"dataset root not found: {root}")
         self.root = root
         self.size = size
+        # only directories that actually CONTAIN images count as classes:
+        # a checkpoint/metrics dir placed inside the dataset root would
+        # otherwise silently shift the sorted class->index mapping (and
+        # push real labels out of the model's num_classes range)
         classes = sorted(
             d for d in os.listdir(root)
-            if os.path.isdir(os.path.join(root, d)))
+            if os.path.isdir(os.path.join(root, d))
+            and any(fn.lower().endswith(IMAGE_EXTENSIONS)
+                    for fn in os.listdir(os.path.join(root, d))))
         if not classes:
             raise ValueError(f"no class subdirectories under {root}")
         self.class_to_idx: Dict[str, int] = {c: i for i, c in enumerate(classes)}
@@ -138,9 +144,22 @@ def decode_paths(paths: List[str], size: Optional[int]) -> np.ndarray:
     return np.stack([_decode(p, size) for p in paths])
 
 
+def _check_labels_fit(max_label: int, num_classes: Optional[int], what: str):
+    """Out-of-range labels silently train on garbage: cross_entropy's
+    take_along_axis clamps/wraps out-of-bounds indices, producing NaN
+    loss with finite logits. Fail loudly instead."""
+    if num_classes is not None and max_label >= num_classes:
+        raise ValueError(
+            f"{what} contains label {max_label} but the model has "
+            f"num_classes={num_classes}; pass "
+            f"--model.num_classes={max_label + 1} (out-of-range labels "
+            f"make the loss NaN)")
+
+
 def hdf5_tiles(path: str, batch_size: int, seed: int = 0,
                image_key: str = "images", label_key: str = "labels",
-               epochs: Optional[int] = None) -> Iterator[Dict]:
+               epochs: Optional[int] = None,
+               num_classes: Optional[int] = None) -> Iterator[Dict]:
     """Stream uint8 tile batches from an HDF5 file (the common packed
     format for pre-extracted TCGA tiles). Reads are chunked per batch so
     arbitrarily large files stream from disk."""
@@ -150,6 +169,9 @@ def hdf5_tiles(path: str, batch_size: int, seed: int = 0,
     with h5py.File(path, "r") as f:
         images = f[image_key]
         labels = f[label_key][:] if label_key in f else None
+        if labels is not None and len(labels):
+            _check_labels_fit(int(np.max(labels)), num_classes,
+                              f"HDF5 dataset {path}")
         n = images.shape[0]
         if n < batch_size:
             raise ValueError(
@@ -182,8 +204,13 @@ def open_dataset(spec: str, batch_size: int, num_classes: int = 2,
         return pipeline.synthetic_tiles(batch_size, num_classes, seed=seed,
                                         size=size)
     if spec.endswith((".h5", ".hdf5")):
-        return hdf5_tiles(spec, batch_size, seed=seed)
-    return ImageFolderDataset(spec, size=size).batches(batch_size, seed=seed)
+        return hdf5_tiles(spec, batch_size, seed=seed,
+                          num_classes=num_classes)
+    ds = ImageFolderDataset(spec, size=size)
+    _check_labels_fit(ds.num_classes - 1, num_classes,
+                      f"image folder {spec} ({ds.num_classes} class "
+                      f"directories)")
+    return ds.batches(batch_size, seed=seed)
 
 
 def _pad_eval_batch(imgs, labels, batch_size):
@@ -226,6 +253,9 @@ def open_dataset_eval(spec: str, batch_size: int, num_classes: int = 2,
             images = f["images"]
             labels = (f["labels"][:].astype(np.int32) if "labels" in f
                       else np.zeros((images.shape[0],), np.int32))
+            if len(labels):
+                _check_labels_fit(int(np.max(labels)), num_classes,
+                                  f"HDF5 dataset {spec}")
             n = images.shape[0]
             for lo in range(0, n, batch_size):
                 hi = min(lo + batch_size, n)
@@ -233,6 +263,9 @@ def open_dataset_eval(spec: str, batch_size: int, num_classes: int = 2,
                                       labels[lo:hi], batch_size)
         return
     ds = ImageFolderDataset(spec, size=size)
+    _check_labels_fit(ds.num_classes - 1, num_classes,
+                      f"image folder {spec} ({ds.num_classes} class "
+                      f"directories)")
     for lo in range(0, len(ds.samples), batch_size):
         chunk = ds.samples[lo:lo + batch_size]
         imgs = ds._decode_batch([p for p, _ in chunk])

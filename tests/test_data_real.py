@@ -62,6 +62,35 @@ def test_hdf5_tiles(tmp_path):
     assert batches[0]["label"].dtype == np.int32
 
 
+def test_label_range_validation(png_folder, tmp_path):
+    """A dataset with more classes than the model fails LOUDLY: silent
+    out-of-range labels make cross_entropy's take_along_axis produce NaN
+    loss with finite logits (found via a stale-fixture 4-class folder
+    trained against num_classes=2)."""
+    import h5py
+    from PIL import Image
+
+    extra = os.path.join(png_folder, "zz_third_class")
+    os.makedirs(extra)
+    Image.fromarray(np.zeros((48, 48, 3), np.uint8)).save(
+        os.path.join(extra, "t.png"))
+    with pytest.raises(ValueError, match="num_classes=3"):
+        folder_lib.open_dataset(png_folder, 2, num_classes=2)
+    with pytest.raises(ValueError, match="num_classes=3"):
+        list(folder_lib.open_dataset_eval(png_folder, 2, num_classes=2))
+    # matching class count passes
+    next(folder_lib.open_dataset(png_folder, 2, num_classes=3))
+
+    h5 = str(tmp_path / "bad.h5")
+    with h5py.File(h5, "w") as f:
+        f["images"] = np.zeros((4, 32, 32, 3), np.uint8)
+        f["labels"] = np.array([0, 1, 5, 1], np.int64)
+    with pytest.raises(ValueError, match="num_classes=6"):
+        next(folder_lib.open_dataset(h5, 2, num_classes=2))
+    with pytest.raises(ValueError, match="num_classes=6"):
+        list(folder_lib.open_dataset_eval(h5, 2, num_classes=2))
+
+
 def test_open_dataset_dispatch(png_folder, tmp_path):
     import h5py
 

@@ -1,9 +1,13 @@
-"""Automatic train-memory policy (VERDICT r2 missing #3): the planner
-that picks save-hidden / gradient-accumulation / remat from variant token
-count, per-device batch, and HBM — calibrated against the measured v5e
-facts in docs/performance.md (2-scale B<=320 fits save-hidden, B=384
-OOMs; 3-scale B=128 needs 2 microbatches; the reference's own configs
-must train with zero flags)."""
+"""Automatic train-memory/speed policy (VERDICT r2 missing #3): the
+planner that picks save-hidden / gradient-accumulation / remat from
+variant token count, per-device batch, and HBM — calibrated against the
+measured v5e facts in docs/performance.md (2-scale B<=320 fits
+save-hidden, B=384 OOMs; 3-scale B=128 needs 2 microbatches for memory;
+the reference's own configs must train with zero flags). Round 3 added
+the SPEED rule: deeper accumulation at fixed effective batch measured
+455 -> 428 ms/step, optimal at ~9408 token rows per microbatch, so the
+planner targets the largest divisor that keeps the microbatch at or
+above that floor (and >= 8 images)."""
 
 import jax.numpy as jnp
 
@@ -20,29 +24,42 @@ def _plan(num_layers, batch, **kw):
     return train_lib.plan_train_memory(model, batch, hbm_bytes=HBM, **kw)
 
 
-def test_flagship_2scale_b256_save_hidden():
+def test_flagship_2scale_b256_speed_accum():
+    """B=256 2-scale: memory fits at accum 1, but microbatch 32 (x8) is
+    the measured throughput optimum (428 vs 455 ms/step)."""
     p = _plan(2, 256)
-    assert p == {**p, "accum_steps": 1, "save_hidden": True, "remat": False}
+    assert p == {**p, "accum_steps": 8, "save_hidden": True, "remat": False}
+    assert "9408" in p["reason"]
 
 
 def test_2scale_b384_microbatches():
     """B=384 OOMed HBM with save-hidden in round 2 (manual fix was
-    SAVE_HIDDEN=0); the planner instead halves the microbatch."""
+    SAVE_HIDDEN=0); the planner microbatches — to the same optimal
+    32-image microbatch the speed rule picks."""
     p = _plan(2, 384)
-    assert p["accum_steps"] == 2 and p["save_hidden"]
+    assert p["accum_steps"] == 12 and p["save_hidden"]
 
 
 def test_3scale_b128_microbatches():
     """The reference's 3-scale regime at B=128: round 2 required the user
-    to pass accum manually (docs/performance.md variant table)."""
+    to pass accum manually; memory needs x2, the speed floor allows
+    microbatch 16 (17248 rows)."""
     p = _plan(3, 128)
-    assert p["accum_steps"] == 2 and p["save_hidden"] and not p["remat"]
+    assert p["accum_steps"] == 8 and p["save_hidden"] and not p["remat"]
 
 
 def test_4scale_b16_reference_setting():
-    """main_toy.py:65's own 4-layer batch: must need no flags at all."""
+    """main_toy.py:65's own 4-layer batch: must need no flags at all.
+    The 8-image floor stops the speed rule at microbatch 8."""
     p = _plan(4, 16)
-    assert p == {**p, "accum_steps": 1, "save_hidden": True, "remat": False}
+    assert p == {**p, "accum_steps": 2, "save_hidden": True, "remat": False}
+
+
+def test_small_batch_no_accum():
+    """Below 16 images there is no divisor with microbatch >= 8 except
+    trivial splits; B=8 must stay accum 1."""
+    p = _plan(2, 8)
+    assert p["accum_steps"] == 1 and p["save_hidden"]
 
 
 def test_unfrozen_bn_disables_accum():
@@ -62,4 +79,4 @@ def test_data_parallel_divides_batch():
     """8-way DP at global B=1024 = per-device B=128: same plan as B=128
     single-chip."""
     p = _plan(3, 1024, data_parallel=8)
-    assert p["accum_steps"] == 2 and p["save_hidden"]
+    assert p["accum_steps"] == 8 and p["save_hidden"]

@@ -15,6 +15,7 @@ and logs structured per-step metrics (loss, accuracy, tiles/sec/chip).
 
 from __future__ import annotations
 
+import itertools
 import os
 import sys
 
@@ -55,6 +56,21 @@ def _build(cfg):
 
 
 def cmd_train(cfg, max_steps=None):
+    sh_before = os.environ.get("DUOFORMER_MLP_SAVE_HIDDEN")
+    try:
+        return _cmd_train(cfg, max_steps)
+    finally:
+        # the memory policy may set the save-hidden kernel knob below;
+        # restore it so the setting doesn't leak to unrelated later work
+        # and so subsequent cmd_train calls re-plan (the policy gate
+        # treats env presence as an explicit user setting)
+        if sh_before is None:
+            os.environ.pop("DUOFORMER_MLP_SAVE_HIDDEN", None)
+        else:
+            os.environ["DUOFORMER_MLP_SAVE_HIDDEN"] = sh_before
+
+
+def _cmd_train(cfg, max_steps=None):
     model, mesh, opt, steps_per_epoch, total_steps, frozen = _build(cfg)
     if max_steps is not None:
         total_steps = min(total_steps, max_steps)
@@ -110,6 +126,8 @@ def cmd_train(cfg, max_steps=None):
             cfg.model.remat = True
             model, mesh, opt, steps_per_epoch, total_steps, frozen = \
                 _build(cfg)
+            if max_steps is not None:     # re-apply the --steps clamp the
+                total_steps = min(total_steps, max_steps)  # rebuild reset
     step_fn = train_lib.make_train_step(model, opt, mesh=mesh,
                                         bn_stats=unfrozen,
                                         frozen_label_fn=frozen,
@@ -136,16 +154,22 @@ def cmd_train(cfg, max_steps=None):
 
     def quick_eval(params):
         """Held-out eval (epoch-end gate, mirroring main_toy.py:131-138's
-        per-epoch test accuracy). Walks the ENTIRE eval split — short
-        final batches are padded and masked, so the best-accuracy gate
-        sees every sample including the dataset tail (VERDICT r2 weak #5);
-        synthetic streams evaluate a fixed 4 batches."""
+        per-epoch test accuracy). With --train.eval_dataset it walks the
+        ENTIRE eval split — short final batches are padded and masked, so
+        the best-accuracy gate sees every sample including the dataset
+        tail (VERDICT r2 weak #5). Without one it falls back to the
+        TRAINING set capped at 4 batches (a full-train-set inference pass
+        per epoch would dwarf the epoch itself on real corpora);
+        synthetic streams evaluate a fixed 4 batches either way."""
         src = cfg.train.eval_dataset or cfg.train.dataset
+        it = folder_lib.open_dataset_eval(
+            src, cfg.train.batch_size,
+            num_classes=cfg.model.num_classes,
+            seed=cfg.train.seed + 7)
+        if not cfg.train.eval_dataset:
+            it = itertools.islice(it, 4)
         correct = total = 0
-        for raw in folder_lib.open_dataset_eval(
-                src, cfg.train.batch_size,
-                num_classes=cfg.model.num_classes,
-                seed=cfg.train.seed + 7):
+        for raw in it:
             b = {"image": preprocess(jnp.asarray(raw["image"])),
                  "label": jax.device_put(
                      jnp.asarray(raw["label"], jnp.int32), bsh)}

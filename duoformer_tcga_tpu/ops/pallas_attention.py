@@ -61,8 +61,6 @@ def _i32c(v: int) -> int:
 
 _K_ROW = _i32c(0x9E3779B1)    # golden-ratio odd constants: distinct odd
 _K_COL = _i32c(0x85EBCA77)    # multipliers decorrelate the counter axes
-_K_PID = _i32c(0xC2B2AE3D)
-_K_SALT = _i32c(0x27D4EB2F)
 _FMIX1 = _i32c(0x85EBCA6B)    # murmur3 fmix32 constants
 _FMIX2 = _i32c(0xC2B2AE35)
 
@@ -1268,7 +1266,10 @@ def _fused_mlp_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps,
     for d in lead:
         n *= d
     flat = x.reshape(n, C)
-    rt = MLP_ROW_TILE
+    # drop>0 instantiates per-site mask vectors in VMEM; 256-row tiles
+    # with [rt, hidden] i32 hash temporaries exceed the 16MB scoped limit
+    # (same pressure the return_hidden branch documents) -> shrink
+    rt = MLP_ROW_TILE if drop == 0.0 else 128
     if return_hidden:
         # the z-emitting kernel sits at the scoped-VMEM edge at rt=256 /
         # C=768 (~16.0M): the chipless AOT compile path adopted by this
@@ -1901,7 +1902,7 @@ def _fmr_reg_bwd(ln_eps, use_residual, drop, res, g):
       dh     = (gm2*gamma) @ w2^T * mask1/keep ; dz = dh * gelu'(z)"""
     x, ln_scale, ln_bias, w1, b1, w2, b2, gamma, seed, z = res
     dseed = np.zeros(np.shape(seed), dtype=jax.dtypes.float0)
-    if z is None or not _use_pallas_bwd():
+    if not _use_pallas_bwd():
         _, vjp = jax.vjp(
             lambda *a: _fused_mlp_reg_xla(*a, seed, ln_eps, use_residual,
                                           drop),
@@ -1912,7 +1913,7 @@ def _fmr_reg_bwd(ln_eps, use_residual, drop, res, g):
     n = 1
     for d in lead:
         n *= d
-    rows = z.shape[0]
+    rows = z.shape[0] if z is not None else n
     x2 = x.reshape(n, C)
     g2 = g.reshape(n, C)
     if rows != n:
@@ -1921,6 +1922,15 @@ def _fmr_reg_bwd(ln_eps, use_residual, drop, res, g):
     xf = x2.astype(jnp.float32)
     lnf, xhat, inv = _ln_fwd_f32(xf, ln_scale, ln_bias, ln_eps)
     ln = lnf.astype(x.dtype)
+    if z is None:
+        # recompute-from-x (save-hidden off): re-run the fc1 GEMM and then
+        # take the SAME tiled-kernel mask path as saved-z — falling to the
+        # XLA twin's vjp would regenerate [rows, hidden] hash masks in
+        # XLA, which crashes the AOT compile helper at training scale
+        # (see _drop_ew_kernel)
+        z = (jax.lax.dot_general(ln, w1, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+             + b1.astype(jnp.float32)).astype(x.dtype)
     gamma_f = gamma.astype(jnp.float32)
     if drop > 0.0:
         # mask applications run as tiled Pallas elementwise kernels — the

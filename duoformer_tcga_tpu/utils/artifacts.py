@@ -103,9 +103,18 @@ ARTIFACTS: Dict[str, Dict] = {
 }
 
 
+def _lookup(name: str) -> Dict:
+    """Registry lookup with an actionable error (a raw KeyError from a
+    CLI typo like --artifact=checkpoint3 helps nobody)."""
+    if name not in ARTIFACTS:
+        raise ValueError(f"unknown artifact '{name}'; known artifacts: "
+                         f"{', '.join(sorted(ARTIFACTS))}")
+    return ARTIFACTS[name]
+
+
 def artifact_path(name: str, cache_dir: Optional[str] = None) -> str:
     return os.path.join(cache_dir or DEFAULT_CACHE,
-                        ARTIFACTS[name]["filename"])
+                        _lookup(name)["filename"])
 
 
 def _sha256(path: str) -> str:
@@ -118,7 +127,7 @@ def _sha256(path: str) -> str:
 
 def plan(name: str, cache_dir: Optional[str] = None) -> Dict:
     """The exact fetch a connected environment would run."""
-    a = ARTIFACTS[name]
+    a = _lookup(name)
     dest = artifact_path(name, cache_dir)
     if a["kind"] == "gdrive":
         src = _gdrive_url(a["file_id"])
@@ -185,37 +194,54 @@ def _default_fetcher(url: str, dest: str) -> bool:
 def fetch(name: str, cache_dir: Optional[str] = None,
           fetcher: Optional[Callable[[str, str], bool]] = None) -> Optional[str]:
     """Fetch one artifact into the cache. Returns the local path, or None
-    when offline (after printing the exact plan). A sidecar .sha256 is
-    written on first success and checked on re-fetch."""
-    a = ARTIFACTS[name]
+    when offline (after printing the exact plan). Downloads stream to a
+    .part temp and rename only on success, so an interrupted transfer can
+    never masquerade as a cached artifact. A sidecar .sha256 is written
+    on first success and checked on re-fetch AND on cache hits."""
+    a = _lookup(name)
     dest = artifact_path(name, cache_dir)
     p = plan(name, cache_dir)
+    side = dest + ".sha256"
     if os.path.exists(dest):
+        if os.path.exists(side):
+            pinned = open(side).read().split()[0]
+            digest = _sha256(dest)
+            if pinned != digest:
+                raise RuntimeError(
+                    f"{name}: cached {dest} does not match its pinned "
+                    f"sha256 ({pinned[:12]}… vs {digest[:12]}…) — "
+                    f"truncated download or re-released artifact; delete "
+                    f"BOTH the file and {side} to re-fetch and re-pin")
         print(f"[{name}] cached: {dest}", flush=True)
         return dest
     os.makedirs(os.path.dirname(dest), exist_ok=True)
     print(f"[{name}] {a['desc']}\n  source: {p['source']}\n"
           f"  dest:   {dest}", flush=True)
+    tmp = dest + ".part"
     if a["kind"] == "timm":
-        ok = _fetch_timm(a["model"], dest) if fetcher is None \
-            else fetcher(p["source"], dest)
+        ok = _fetch_timm(a["model"], tmp) if fetcher is None \
+            else fetcher(p["source"], tmp)
     else:
-        ok = (fetcher or _default_fetcher)(p["source"], dest)
-    if not ok or not os.path.exists(dest):
+        ok = (fetcher or _default_fetcher)(p["source"], tmp)
+    if not ok or not os.path.exists(tmp):
+        if os.path.exists(tmp):
+            os.remove(tmp)
         print(f"  OFFLINE — run in a connected environment:\n"
               f"    {p['how']}\n  then: {p['verify_cmd']}", flush=True)
         return None
-    digest = _sha256(dest)
-    side = dest + ".sha256"
+    digest = _sha256(tmp)
     if os.path.exists(side):
         pinned = open(side).read().split()[0]
         if pinned != digest:
+            os.remove(tmp)
             raise RuntimeError(
                 f"{name}: sha256 mismatch (pinned {pinned[:12]}…, "
-                f"got {digest[:12]}…) — delete {dest} to re-pin")
+                f"got {digest[:12]}…) — if the artifact was legitimately "
+                f"re-released, delete {side} to re-pin")
     else:
         with open(side, "w") as f:
             f.write(f"{digest}  {os.path.basename(dest)}\n")
+    os.replace(tmp, dest)
     print(f"  fetched, sha256={digest[:16]}…", flush=True)
     return dest
 
@@ -370,7 +396,7 @@ def verify(name: str, cache_dir: Optional[str] = None,
     """Verify one artifact (by registry name, or an explicit local file).
     Returns the report dict, or None when the file is absent (prints the
     fetch plan)."""
-    a = ARTIFACTS[name]
+    a = _lookup(name)
     f = path or artifact_path(name, cache_dir)
     if not os.path.exists(f):
         p = plan(name, cache_dir)

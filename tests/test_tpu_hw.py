@@ -185,6 +185,50 @@ def test_hidden_split_mlp_on_hw():
     np.testing.assert_allclose(a, b, atol=0.08, rtol=0.08)
 
 
+@pytest.mark.parametrize("emit_h", [False, True])
+def test_mlp_dz_kernel_on_hw(emit_h):
+    """The opt-in fused dz kernel (_mlp_dz_kernel: dh GEMM + GELU' + db1
+    accumulation, DUOFORMER_MLP_DZ) lowers and executes on real silicon;
+    dz/db1/h match the XLA composition to bf16 rounding."""
+    C, hid = 768, 3072
+    ks = jax.random.split(jax.random.PRNGKey(4), 3)
+    dt = jnp.bfloat16
+    rows = 588
+    g2 = (jax.random.normal(ks[0], (rows, C))).astype(dt)
+    z = (jax.random.normal(ks[1], (rows, hid))).astype(dt)
+    w2 = (jax.random.normal(ks[2], (hid, C)) * 0.05).astype(dt)
+
+    @jax.jit
+    def kern(g2, z, w2):
+        return pa._mlp_dz_impl(g2, z, w2, emit_h)
+
+    @jax.jit
+    def xla(g2, z, w2):
+        zf = z.astype(jnp.float32)
+        phi = 0.5 * (1.0 + jax.lax.erf(zf * pa._SQRT1_2))
+        dh = jax.lax.dot_general(g2, w2.T, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dgelu = phi + zf * (pa._INV_SQRT_2PI * jnp.exp(-0.5 * zf * zf))
+        dz = (dh * dgelu).astype(z.dtype)
+        return dz, jnp.sum(dz.astype(jnp.float32), axis=0), (zf * phi)
+
+    dz_k, db1_k, h_k = kern(g2, z, w2)
+    dz_x, db1_x, h_x = xla(g2, z, w2)
+    a = np.asarray(dz_k, np.float32)
+    b = np.asarray(dz_x, np.float32)
+    assert np.isfinite(a).all()
+    np.testing.assert_allclose(a, b, atol=0.08, rtol=0.08)
+    db1_a = np.asarray(db1_k, np.float32)
+    db1_b = np.asarray(db1_x, np.float32)
+    assert np.isfinite(db1_a).all()
+    assert float(np.abs(db1_a - db1_b).max()) / \
+        max(float(np.abs(db1_b).max()), 1.0) < 0.05
+    if emit_h:
+        np.testing.assert_allclose(np.asarray(h_k, np.float32),
+                                   np.asarray(h_x, np.float32),
+                                   atol=0.08, rtol=0.08)
+
+
 def test_reg_kernels_on_hw():
     """The dropout+LayerScale (reg) kernels — hash-counter RNG and all —
     compile and run on real silicon; forward matches the XLA oracle to

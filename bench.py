@@ -42,20 +42,90 @@ def measure_torch_cpu(batch=32, iters=3):
     return batch / dt   # tiles/sec
 
 
+def measure_torch_cpu_train(batch=8, iters=2):
+    """Torch-CPU TRAIN-step denominator: the same recipe as measure_train
+    below — frozen backbone (eval-mode BN, no backbone grads), Adam with
+    L2 weight decay + OneCycleLR, cross-entropy — full-size model."""
+    import torch
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "tests"))
+    from torch_oracle import OracleDuoFormer
+
+    torch.manual_seed(0)
+    model = OracleDuoFormer(depth=12, embed_dim=768, num_heads=12,
+                            num_classes=2, num_layers=2, proj_dim=768)
+    model.train()
+    model.resnet_projector.eval()           # frozen backbone: running-stat BN
+    for p in model.resnet_projector.parameters():
+        p.requires_grad_(False)
+    opt = torch.optim.Adam(
+        (p for p in model.parameters() if p.requires_grad),
+        lr=1e-4, weight_decay=1e-4)
+    sched = torch.optim.lr_scheduler.OneCycleLR(opt, max_lr=1e-4,
+                                                total_steps=1000)
+    lossf = torch.nn.CrossEntropyLoss()
+    x = torch.randn(batch, 3, 224, 224)
+    y = torch.zeros(batch, dtype=torch.long)
+
+    def step():
+        opt.zero_grad(set_to_none=True)
+        loss = lossf(model(x), y)
+        loss.backward()
+        opt.step()
+        sched.step()
+
+    step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        step()
+    dt = (time.perf_counter() - t0) / iters
+    return batch / dt   # tiles/sec
+
+
+def _load_baseline():
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            return json.load(f)
+    return {}
+
+
 def torch_baseline(rebuild=False):
     """The committed PINNED denominator (round-1 quiet-host measurement).
     Never regenerated implicitly: round 2 accidentally re-measured on a
     loaded host (0.958 -> 0.715 tiles/s) which made vs_baseline
     incomparable across rounds. Absolute tiles/sec/chip is the headline;
     --rebaseline overwrites the pinned file deliberately."""
-    if not rebuild and os.path.exists(BASELINE_FILE):
-        with open(BASELINE_FILE) as f:
-            return json.load(f)["tiles_per_sec"]
+    data = _load_baseline()
+    if not rebuild and "tiles_per_sec" in data:
+        return data["tiles_per_sec"]
     tps = measure_torch_cpu()
+    data.update({"tiles_per_sec": tps,
+                 "config": "DuoFormer 2-scale 768/12/12, torch CPU fp32, "
+                           "forward-only", "pinned": False})
     with open(BASELINE_FILE, "w") as f:
-        json.dump({"tiles_per_sec": tps,
-                   "config": "DuoFormer 2-scale 768/12/12, torch CPU fp32, "
-                             "forward-only", "pinned": False}, f)
+        json.dump(data, f, indent=1)
+    return tps
+
+
+def torch_train_baseline(rebuild=False):
+    """Pinned torch-CPU TRAIN-step denominator (same pin-once discipline
+    as torch_baseline; VERDICT r2 weak #4). Returns None when the pinned
+    file has no train entry and rebuild=False — the caller reports
+    vs_baseline 0.0 rather than measuring on an unknown-load host."""
+    data = _load_baseline()
+    if not rebuild:
+        return data.get("train_tiles_per_sec")
+    tps = measure_torch_cpu_train()
+    data.update({
+        "train_tiles_per_sec": tps,
+        "train_config": "DuoFormer 2-scale 768/12/12, torch CPU fp32 "
+                        "train step (frozen backbone, Adam+OneCycleLR, "
+                        "CE), batch 8",
+        "train_pinned": False,
+    })
+    with open(BASELINE_FILE, "w") as f:
+        json.dump(data, f, indent=1)
     return tps
 
 
@@ -165,19 +235,23 @@ def main():
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--rebaseline", action="store_true")
+    ap.add_argument("--rebaseline-train", action="store_true",
+                    help="re-measure the pinned torch-CPU train denominator "
+                         "(only do this on a quiet host)")
     ap.add_argument("--mode", default=os.environ.get("DUOFORMER_BENCH",
                                                      "forward"),
                     choices=["forward", "train"])
     args = ap.parse_args()
 
     if args.mode == "train":
+        tbl = torch_train_baseline(rebuild=args.rebaseline_train)
         tps = measure_train(batch=args.batch, iters=args.iters)
         print(json.dumps({
             "metric": "224^2 tiles/sec/chip (DuoFormer 2-scale TRAIN step, "
                       f"bf16, frozen backbone, batch {args.batch})",
             "value": round(tps, 2),
             "unit": "tiles/sec/chip",
-            "vs_baseline": 0.0,   # no torch-CPU train baseline measured
+            "vs_baseline": round(tps / tbl, 2) if tbl else 0.0,
         }))
         return
 

@@ -107,10 +107,7 @@ def _cmd_train(cfg, max_steps=None):
         # per-device batch and HBM, so e.g. release-3scale at B=128 and
         # release-4scale at B=16 train with zero flags. Any explicit
         # setting (accum flag, remat flag, env knob) wins.
-        axes = mesh_lib.batch_axes(mesh)
-        dp = 1
-        for ax in ((axes,) if isinstance(axes, str) else axes):
-            dp *= mesh.shape[ax]
+        dp = mesh_lib.data_parallel_size(mesh)
         plan = train_lib.plan_train_memory(
             model, cfg.train.batch_size, data_parallel=dp,
             allow_accum=not unfrozen)
@@ -179,7 +176,10 @@ def _cmd_train(cfg, max_steps=None):
         return correct / max(total, 1)
 
     import time as _time
-    best_acc = 0.0
+    # resumed runs must not overwrite a better historical best (sidecar
+    # written by save_best)
+    bm = ckpt.best_metrics()
+    best_acc = float(bm.get("eval_accuracy", 0.0)) if bm else 0.0
     last_saved = -1
     last_log_t, last_log_step = None, start
     for i, raw in zip(range(start, total_steps), loader):
@@ -191,13 +191,13 @@ def _cmd_train(cfg, max_steps=None):
             acc = quick_eval(state["params"])
             extra["eval_accuracy"] = acc
             # best-accuracy checkpoint (reference gates at >=0.75,
-            # main_toy.py:138; we always keep the best)
+            # main_toy.py:138; we always keep the best). Saved into the
+            # companion <dir>/best manager: the rolling resume saves below
+            # prune by recency and would delete an early best.
             if acc > best_acc:
                 best_acc = acc
-                if step != last_saved:
-                    ckpt.save(step, jax.device_get(state),
-                              metrics={"eval_accuracy": acc})
-                    last_saved = step
+                ckpt.save_best(step, jax.device_get(state),
+                               metrics={"eval_accuracy": acc})
         if step % cfg.train.log_every == 0 or step == total_steps or extra:
             # device_get blocks on step completion -> honest wall-clock
             m = jax.device_get(metrics)
@@ -229,11 +229,25 @@ def cmd_eval(cfg, num_batches=None):
     state = train_lib.init_train_state(
         model, jax.random.PRNGKey(cfg.train.seed), opt)
     ckpt = CheckpointManager(cfg.train.checkpoint_dir)
-    restored = ckpt.restore(state)
+    # prefer the best-accuracy checkpoint (the reference's semantics:
+    # main_toy.py only ever saves best); fall back to the latest resume save
+    restored = ckpt.restore_best(state)
+    which = "best"
+    if restored is None:
+        restored = ckpt.restore(state)
+        which = "latest"
     if restored is not None:
         state = restored
-        print(f"evaluating checkpoint step {int(state['step'])}", flush=True)
-    params = mesh_lib.replicate(mesh, state["params"])
+        print(f"evaluating {which} checkpoint step {int(state['step'])}",
+              flush=True)
+    if cfg.train.model_parallel > 1:
+        # same placement as cmd_train: TP layouts live on the params
+        # (replicating would forfeit TP memory savings and reshard
+        # every batch)
+        from .parallel import tp as tp_lib
+        params = tp_lib.shard_params_tp(mesh, state["params"])
+    else:
+        params = mesh_lib.replicate(mesh, state["params"])
 
     ncls = cfg.model.num_classes
     eval_fn = train_lib.make_eval_full_step(model, ncls, mesh=mesh)
@@ -293,11 +307,15 @@ def cmd_predict(cfg, inputs, output="predictions.csv"):
     state = train_lib.init_train_state(
         model, jax.random.PRNGKey(cfg.train.seed), opt)
     ckpt = CheckpointManager(cfg.train.checkpoint_dir)
-    restored = ckpt.restore(state)
+    restored = ckpt.restore_best(state)
+    which = "best"
+    if restored is None:
+        restored = ckpt.restore(state)
+        which = "latest"
     if restored is not None:
         state = restored
-        print(f"predicting with checkpoint step {int(state['step'])}",
-              flush=True)
+        print(f"predicting with {which} checkpoint step "
+              f"{int(state['step'])}", flush=True)
     else:
         print("warning: no checkpoint found — predicting from random init",
               flush=True)
@@ -321,10 +339,7 @@ def cmd_predict(cfg, inputs, output="predictions.csv"):
         raise FileNotFoundError(f"no images under {inputs}")
 
     B = cfg.train.batch_size
-    axes = mesh_lib.batch_axes(mesh)
-    dp = 1
-    for ax in ((axes,) if isinstance(axes, str) else axes):
-        dp *= mesh.shape[ax]
+    dp = mesh_lib.data_parallel_size(mesh)
     use_mesh = mesh if (mesh.devices.size > 1 and B % dp == 0) else None
     pred = Predictor(model, state["params"], mesh=use_mesh,
                      dtype=getattr(jnp, cfg.model.dtype))

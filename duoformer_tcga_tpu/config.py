@@ -131,11 +131,22 @@ PRESETS = {
 }
 
 
-def _coerce(val: str, typ):
+def _coerce(val, typ):
     # `from __future__ import annotations` stringifies field types;
     # resolve via typing.get_type_hints at the call site.
     if typ is bool:
-        return val.lower() in ("1", "true", "yes")
+        if val is None:            # bare flag: --model.remat means True
+            return True
+        if val.lower() in ("1", "true", "yes"):
+            return True
+        if val.lower() in ("0", "false", "no"):
+            return False
+        # '' (from --flag=) or a typo must not silently mean False
+        raise ValueError(f"boolean flag needs true/false/1/0/yes/no "
+                         f"(or no '=value' for true), got {val!r}")
+    if val is None:
+        raise ValueError(f"non-boolean config field requires =value "
+                         f"(type {typ})")
     if typ in (Optional[float], Optional[int], Optional[str]):
         if val.lower() == "none":
             return None
@@ -150,7 +161,9 @@ def apply_overrides(cfg: Config, overrides) -> Config:
     train.lr=3e-4)."""
     for ov in overrides:
         ov = ov.lstrip("-")
-        key, _, val = ov.partition("=")
+        key, eq, val = ov.partition("=")
+        if not eq:
+            val = None             # bare flag (bool fields -> True)
         section, _, name = key.partition(".")
         target = getattr(cfg, section)
         if not hasattr(target, name):

@@ -61,7 +61,7 @@ def preprocess_tiles(raw_uint8, size: int = 224, dtype=jnp.bfloat16,
     """Fused device-side pipeline: uint8 tiles -> normalized, resized
     batch. jit this together with the model step for zero host round-trips."""
     x = normalize(raw_uint8, mean, std, dtype=jnp.float32)
-    if raw_uint8.shape[-2] != size:
+    if raw_uint8.shape[-3:-1] != (size, size):
         x = resize(x, size)
     return x.astype(dtype)
 
@@ -76,6 +76,7 @@ class PrefetchLoader:
         self._sharding = sharding
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._done = object()
+        self._error = None
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
@@ -88,9 +89,16 @@ class PrefetchLoader:
         self._q.put(batch)
 
     def _worker(self):
+        # An iterator exception MUST NOT degrade into a short epoch: the
+        # underlying loaders validate lazily inside their generators
+        # (label range, batch-vs-dataset size), and swallowing those here
+        # would turn a data bug into a "successful" 0-step training run.
+        # Capture and re-raise on the consumer thread instead.
         try:
             for batch in self._it:
                 self._put(batch)
+        except BaseException as e:  # noqa: BLE001 — re-raised in __next__
+            self._error = e
         finally:
             self._q.put(self._done)
 
@@ -100,6 +108,8 @@ class PrefetchLoader:
     def __next__(self):
         item = self._q.get()
         if item is self._done:
+            if self._error is not None:
+                raise self._error
             raise StopIteration
         return item
 

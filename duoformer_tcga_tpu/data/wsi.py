@@ -71,9 +71,16 @@ def extract_tiles(plane: np.ndarray, coords: np.ndarray,
     """Gather [n, tile, tile, 3] uint8 tiles at (y, x) origins from a
     [H, W, 3] uint8 plane. Native C++ path when available."""
     assert plane.dtype == np.uint8 and plane.ndim == 3
-    coords = np.ascontiguousarray(coords, dtype=np.int64)
+    coords = np.ascontiguousarray(coords, dtype=np.int64).reshape(-1, 2)
     n = len(coords)
     H, W, C = plane.shape
+    if n and (coords.min() < 0 or (coords[:, 0] + tile > H).any()
+              or (coords[:, 1] + tile > W).any()):
+        # the native path would read out of bounds (no checks in C++ by
+        # design — this wrapper is the validation layer)
+        raise ValueError(
+            f"tile origins out of bounds for plane {H}x{W} with "
+            f"tile={tile}")
     lib = _load_native()
     if lib is not None and plane.flags["C_CONTIGUOUS"]:
         out = np.empty((n, tile, tile, C), np.uint8)
@@ -185,6 +192,11 @@ def open_slide(path: str, shape: Optional[Tuple[int, int, int]] = None,
         region = slide.read_region((0, 0), level, (w, h)).convert("RGB")
         return WSIReader(plane=np.asarray(region, np.uint8))
     except ImportError:
+        pass
+    except Exception:  # noqa: BLE001 — e.g. OpenSlideUnsupportedFormatError
+        # openslide is installed but cannot read this file (a .npy plane,
+        # plain image, raw memmap ...): fall through to the built-ins
+        # below rather than letting its error mask a working decoder
         pass
     if path.endswith(".npy"):
         plane = np.load(path, mmap_mode="r")

@@ -322,7 +322,9 @@ def mlp_init(key, dim, hidden, scheme="vit", dtype=jnp.float32):
 def mlp(params, x, drop=0.0, rng=None, train=False):
     x = linear(params["fc1"], x)
     x = gelu(x)
-    if drop > 0.0 and train:
+    if drop > 0.0 and train and rng is not None:
+        # rng=None skips dropout (same contract as nn.dropout) instead of
+        # crashing in jax.random.split
         r1, rng = jax.random.split(rng)
         x = dropout(x, drop, r1, train)
     x = linear(params["fc2"], x)

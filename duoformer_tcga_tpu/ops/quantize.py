@@ -48,11 +48,33 @@ def _quantize_stacked_linear(fp):
     return q
 
 
+def _check_quantizable(params):
+    """int8 serving covers the release DuoFormer family (MultiscaleFormer
+    core, no LayerScale): the int8 megakernels carry no gamma epilogue and
+    the XLA fallback cannot consume w_q trees, so refuse loudly here
+    instead of KeyError-ing mid-forward (models/transformer.py
+    _can_megafuse documents this contract)."""
+    tf = params.get("transformer", {})
+    if "scale_blocks" not in tf:
+        raise ValueError(
+            "int8 quantization supports the release DuoFormer family "
+            "(transformer.scale_blocks); this param tree has keys "
+            f"{sorted(tf)} — the legacy/ScaleFormer cores have no int8 "
+            "kernel instantiations")
+    for stack in ("scale_blocks", "patch_blocks"):
+        if "ls1" in tf.get(stack, {}):
+            raise ValueError(
+                f"int8 quantization does not support LayerScale blocks "
+                f"({stack}.ls1 present): the int8 kernels have no gamma "
+                f"epilogue — serve this model in bf16 (quantize=False)")
+
+
 def quantize_mlp_weights(params):
     """Quantize every scale-block MLP (fc1/fc2) in a DuoFormer param tree
     (the dominant GEMMs). Returns a new tree; non-MLP weights untouched."""
     import copy
 
+    _check_quantizable(params)
     out = copy.copy(params)
     tf = dict(params["transformer"])
     sb = dict(tf["scale_blocks"])
@@ -71,6 +93,7 @@ def quantize_attention_weights(params):
     (softmax over <=86-token segments) stays bf16."""
     import copy
 
+    _check_quantizable(params)
     out = copy.copy(params)
     tf = dict(params["transformer"])
     for stack in ("scale_blocks", "patch_blocks"):

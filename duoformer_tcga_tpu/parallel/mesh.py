@@ -86,6 +86,15 @@ def batch_axes(mesh: Mesh):
     return DATA_AXIS
 
 
+def data_parallel_size(mesh: Mesh) -> int:
+    """Number of ways the batch dim is sharded (product over batch_axes)."""
+    axes = batch_axes(mesh)
+    size = 1
+    for ax in ((axes,) if isinstance(axes, str) else axes):
+        size *= mesh.shape[ax]
+    return size
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) dim across the data (and dcn) axes."""
     return NamedSharding(mesh, P(batch_axes(mesh)))

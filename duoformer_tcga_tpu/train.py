@@ -14,7 +14,7 @@ cross-entropy loss, accuracy metric. Differences by design:
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import contextlib
 import warnings

@@ -24,10 +24,55 @@ class CheckpointManager:
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=keep, create=True, enable_async_checkpointing=True),
         )
+        self._best: Optional[ocp.CheckpointManager] = None
+
+    def _best_dir(self) -> str:
+        return os.path.join(self.directory, "best")
+
+    def _best_mgr(self, create: bool) -> Optional[ocp.CheckpointManager]:
+        """The companion best-metric manager (<dir>/best, max_to_keep=1).
+
+        Separate from the rolling resume checkpoints on purpose: orbax's
+        max_to_keep prunes by RECENCY regardless of the metrics= passed to
+        save() (best_fn ordering would also reorder the resume saves), so
+        a best checkpoint held in the main manager would be deleted by the
+        next `keep` periodic saves."""
+        if self._best is None and (create or os.path.isdir(self._best_dir())):
+            self._best = ocp.CheckpointManager(
+                self._best_dir(),
+                options=ocp.CheckpointManagerOptions(
+                    max_to_keep=1, create=True,
+                    enable_async_checkpointing=True),
+            )
+        return self._best
 
     def save(self, step: int, state: Dict[str, Any], metrics=None):
         self._mgr.save(step, args=ocp.args.StandardSave(state),
                        metrics=metrics)
+
+    def save_best(self, step: int, state: Dict[str, Any], metrics=None):
+        """Save into <dir>/best (kept forever — never pruned by the
+        rolling resume saves). Caller decides what 'best' means; the
+        metrics dict is persisted in a JSON sidecar so a RESUMED run can
+        recover the bar to beat (best_metrics)."""
+        self._best_mgr(create=True).save(
+            step, args=ocp.args.StandardSave(state), metrics=metrics)
+        if metrics is not None:
+            import json
+            with open(os.path.join(self._best_dir(),
+                                   "best_metrics.json"), "w") as f:
+                json.dump(dict(metrics, step=step), f)
+
+    def best_metrics(self) -> Optional[Dict[str, Any]]:
+        """The metrics recorded with the newest save_best; None if no
+        best checkpoint (or an older layout without the sidecar)."""
+        try:
+            import json
+            with open(os.path.join(self._best_dir(),
+                                   "best_metrics.json")) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
 
     def restore(self, state_like: Dict[str, Any],
                 step: Optional[int] = None) -> Optional[Dict[str, Any]]:
@@ -39,14 +84,33 @@ class CheckpointManager:
         return self._mgr.restore(
             step, args=ocp.args.StandardRestore(state_like))
 
+    def restore_best(self, state_like: Dict[str, Any]
+                     ) -> Optional[Dict[str, Any]]:
+        """Restore the best-metric checkpoint; None when none was saved."""
+        mgr = self._best_mgr(create=False)
+        if mgr is None:
+            return None
+        step = mgr.latest_step()
+        if step is None:
+            return None
+        return mgr.restore(step, args=ocp.args.StandardRestore(state_like))
+
+    def best_step(self) -> Optional[int]:
+        mgr = self._best_mgr(create=False)
+        return None if mgr is None else mgr.latest_step()
+
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
     def wait(self):
         self._mgr.wait_until_finished()
+        if self._best is not None:
+            self._best.wait_until_finished()
 
     def close(self):
         self._mgr.close()
+        if self._best is not None:
+            self._best.close()
 
 
 def save_params_npz(path: str, params) -> None:

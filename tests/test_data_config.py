@@ -50,6 +50,27 @@ class TestPipeline:
         assert batches[0]["image"].shape == (4, 224, 224, 3)
         assert batches[0]["label"].shape == (4,)
 
+    def test_prefetch_loader_reraises_iterator_errors(self):
+        """A data-pipeline exception must surface on the consumer thread,
+        not degrade into a short (0-step) 'successful' epoch — the loaders
+        validate lazily inside their generators (label range etc.)."""
+        def bad_iter():
+            yield {"image": np.zeros((2, 8, 8, 3), np.uint8),
+                   "label": np.zeros((2,), np.int32)}
+            raise ValueError("label 7 out of range")
+
+        loader = data_lib.PrefetchLoader(bad_iter())
+        next(loader)                       # first batch flows
+        with pytest.raises(ValueError, match="label 7 out of range"):
+            next(loader)
+
+    def test_preprocess_resizes_rectangular_tiles(self):
+        """The resize gate must look at BOTH spatial dims: [B, H!=size,
+        W==size] previously skipped the resize entirely."""
+        x = jnp.zeros((2, 300, 224, 3), jnp.uint8)
+        out = data_lib.preprocess_tiles(x, size=224, dtype=jnp.float32)
+        assert out.shape == (2, 224, 224, 3)
+
 
 class TestConfig:
     def test_defaults_build(self):
@@ -76,6 +97,22 @@ class TestConfig:
     def test_bad_override_raises(self):
         with pytest.raises(KeyError):
             config_lib.from_args(["--model.nonexistent=1"])
+
+    def test_bool_flag_spellings(self):
+        # bare flag means True (argparse store_true intuition) ...
+        cfg = config_lib.from_args(["--model.remat"])
+        assert cfg.model.remat is True
+        # ... explicit false still works ...
+        cfg = config_lib.from_args(["--model.remat=false"])
+        assert cfg.model.remat is False
+        # ... and '' / typos are loud instead of silently False
+        with pytest.raises(ValueError):
+            config_lib.from_args(["--model.remat="])
+        with pytest.raises(ValueError):
+            config_lib.from_args(["--model.remat=flase"])
+        # bare flag on a non-bool field is an error, not int(None)
+        with pytest.raises(ValueError):
+            config_lib.from_args(["--model.depth"])
 
 
 class TestCheckpoint:
@@ -104,6 +141,57 @@ class TestCheckpoint:
         np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
                                       np.ones((3,)))
         mgr.close()
+
+    def test_best_checkpoint_survives_recency_pruning(self, tmp_path):
+        """orbax max_to_keep prunes by RECENCY; the best-accuracy save
+        must live in the companion best/ manager so later periodic saves
+        cannot delete it."""
+        from duoformer_tcga_tpu.utils.checkpoint import CheckpointManager
+
+        def state(v):
+            return {"params": {"w": np.full((3,), float(v), np.float32)},
+                    "step": np.asarray(v, np.int32)}
+
+        mgr = CheckpointManager(str(tmp_path / "ckpt"), keep=2)
+        mgr.save_best(2, state(2), metrics={"eval_accuracy": 0.9})
+        for s in (3, 4, 5):                  # rolling saves prune to {4,5}
+            mgr.save(s, state(s))
+        mgr.wait()
+        assert mgr.latest_step() == 5
+        assert mgr.best_step() == 2
+        best = mgr.restore_best(state(0))
+        assert int(best["step"]) == 2
+        np.testing.assert_array_equal(np.asarray(best["params"]["w"]),
+                                      np.full((3,), 2.0))
+        mgr.close()
+
+        # a fresh manager (eval/predict process) still finds the best
+        mgr2 = CheckpointManager(str(tmp_path / "ckpt"), keep=2)
+        assert mgr2.best_step() == 2
+        assert int(mgr2.restore_best(state(0))["step"]) == 2
+        mgr2.close()
+
+        # and a directory without a best/ save reports None cleanly
+        mgr3 = CheckpointManager(str(tmp_path / "ckpt2"))
+        assert mgr3.best_step() is None
+        assert mgr3.restore_best(state(0)) is None
+        assert mgr3.best_metrics() is None
+        mgr3.close()
+
+    def test_best_metrics_survive_resume(self, tmp_path):
+        """A resumed run reads the historical best metric (the bar to
+        beat) instead of overwriting a better best with epoch-1 noise."""
+        from duoformer_tcga_tpu.utils.checkpoint import CheckpointManager
+
+        state = {"step": np.asarray(4, np.int32)}
+        mgr = CheckpointManager(str(tmp_path / "ck"))
+        mgr.save_best(4, state, metrics={"eval_accuracy": 0.87})
+        mgr.wait()
+        mgr.close()
+        mgr2 = CheckpointManager(str(tmp_path / "ck"))
+        bm = mgr2.best_metrics()
+        assert bm["eval_accuracy"] == 0.87 and bm["step"] == 4
+        mgr2.close()
 
 
 def test_cli_predict_writes_csv(tmp_path):

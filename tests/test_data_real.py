@@ -156,6 +156,13 @@ def test_cli_trains_on_png_folder(png_folder):
         f"--train.checkpoint_dir={ckdir}",
     ])
     assert os.path.exists(os.path.join(ckdir, "metrics.jsonl"))
+    # the end-of-train eval saved a best-accuracy checkpoint into the
+    # companion best/ manager (never pruned by the rolling resume saves)
+    from duoformer_tcga_tpu.utils.checkpoint import CheckpointManager
+    mgr = CheckpointManager(ckdir)
+    assert mgr.best_step() == 2
+    assert mgr.latest_step() == 2
+    mgr.close()
 
 
 def test_cli_trains_tp_sharded_params(png_folder):

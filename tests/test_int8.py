@@ -144,3 +144,33 @@ def test_predictor_int8_tp2_close(monkeypatch):
         (np.abs(tp - one).max(), spread)
     assert np.abs(tp - ref).max() < 0.2 * spread, \
         (np.abs(tp - ref).max(), spread)
+
+
+def test_quantize_rejects_unsupported_families():
+    """int8 serving must refuse loudly at quantize time: the int8 kernels
+    have no LayerScale epilogue and the XLA fallback cannot read w_q
+    trees, so silent acceptance would KeyError mid-forward."""
+    import pytest
+
+    import duoformer_tcga_tpu as dft
+
+    # LayerScale release model (init_values via the model class — the
+    # factory mirrors the reference signature, which lacks it)
+    from duoformer_tcga_tpu.models.duoformer import DuoFormer
+    model_ls = DuoFormer(
+        num_classes=2, num_layers=2, embed_dim=128, proj_dim=128,
+        num_heads=8, depth=1, init_values=1e-5, dtype=jnp.float32)
+    params_ls = model_ls.init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="LayerScale"):
+        q.quantize_mlp_weights(params_ls)
+    with pytest.raises(ValueError, match="LayerScale"):
+        q.quantize_attention_weights(params_ls)
+
+    # legacy family (MultiscaleTransformer core: "blocks", not
+    # "scale_blocks")
+    model_leg = dft.build_model(num_classes=2, embed_dim=128, proj_dim=128,
+                                num_heads=8, depth=1, pretrained=False,
+                                dtype=jnp.float32)
+    params_leg = model_leg.init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="release"):
+        q.quantize_mlp_weights(params_leg)

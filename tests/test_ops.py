@@ -183,3 +183,14 @@ class TestAttention:
         scale = 2 * C ** -0.5
         y = attn_ops.multihead_attention(params, t2j(x), H, scale=scale)
         assert_close(y, torch_mhsa(x, qkv, proj, H, scale), atol=1e-5)
+
+
+def test_mlp_train_without_rng_skips_dropout():
+    """rng=None in train mode must behave like nn.dropout (skip), not
+    crash in jax.random.split — the XLA block path passes rng=None when
+    the caller trains without a dropout key."""
+    params = nn.mlp_init(jax.random.PRNGKey(0), 16, 32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 16))
+    out = nn.mlp(params, x, drop=0.1, rng=None, train=True)
+    ref = nn.mlp(params, x, drop=0.0, rng=None, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)

@@ -72,3 +72,21 @@ class TestStreaming:
         batches = list(reader.iter_tile_batches(1, tile=224))
         assert len(batches) == 1
         np.testing.assert_array_equal(batches[0][0], plane[:224, :224])
+
+
+def test_extract_tiles_rejects_out_of_bounds():
+    """The Python wrapper is the bounds-check layer for the native
+    extractor (the C++ reads raw pointers)."""
+    import numpy as np
+    import pytest
+
+    from duoformer_tcga_tpu.data import wsi as wsi_lib
+
+    plane = np.zeros((64, 64, 3), np.uint8)
+    with pytest.raises(ValueError, match="out of bounds"):
+        wsi_lib.extract_tiles(plane, np.array([[48, 0]]), tile=32)
+    with pytest.raises(ValueError, match="out of bounds"):
+        wsi_lib.extract_tiles(plane, np.array([[0, -1]]), tile=32)
+    # boundary-exact is fine
+    out = wsi_lib.extract_tiles(plane, np.array([[32, 32]]), tile=32)
+    assert out.shape == (1, 32, 32, 3)

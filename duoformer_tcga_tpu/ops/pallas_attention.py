@@ -300,11 +300,20 @@ def _attn_subtiles() -> int:
 
 def _fused_block_kernel(*refs, num_heads, seg_len, groups, scale, ln_eps,
                         use_ln=True, use_residual=True, attn_drop=0.0,
-                        proj_drop=0.0, has_gamma=False, has_seed=False):
+                        proj_drop=0.0, has_gamma=False, has_seed=False,
+                        head_pack=1):
     """Extended ("reg") instantiation carries optional trailing inputs —
     gamma [1, C] (LayerScale) and seed [1, 1] int32 SMEM (dropout) — gated
     by static flags; the inert instantiation (flags off) generates exactly
-    the round-2 kernel."""
+    the round-2 kernel.
+
+    head_pack=P > 1 packs P heads' QK^T into ONE dot_general by stacking
+    heads on the contraction axis with zero-padded block-diagonal K/V
+    operands (built with lane/sublane concats only — no reshapes, which
+    Mosaic rejects in-kernel). Fills the MXU K dim (P*64 lanes vs the
+    per-head 64) and the PV N dim; the cross-head zero products are exact,
+    so results match head_pack=1 bit-for-bit up to f32 summation of
+    zeros. Env knob DUOFORMER_ATTN_HEADPACK (see _fused_block_impl)."""
     it = iter(refs)
     x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref = (
         next(it) for _ in range(7))
@@ -344,29 +353,65 @@ def _fused_block_kernel(*refs, num_heads, seg_len, groups, scale, ln_eps,
     mask = jnp.where(row_seg == col_seg, 0.0, jnp.float32(-1e30))
 
     # attention per sub-tile, writing the merged heads back over scratch cols [0, Co)
+    P = head_pack
     for sub in range(R // arows):
         lo = sub * arows
         qkv = qkv_scratch[lo:lo + arows, :]
-        for h in range(num_heads):
-            q = qkv[:, h * D:(h + 1) * D]
-            k = qkv[:, Co + h * D:Co + (h + 1) * D]
-            v = qkv[:, 2 * Co + h * D:2 * Co + (h + 1) * D]
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            s = s * scale + mask
-            s = s - jnp.max(s, axis=-1, keepdims=True)
-            e = jnp.exp(s)
-            p = e / jnp.sum(e, axis=-1, keepdims=True)
+        goff = pid * R + lo                  # global token index of row 0
+
+        def _softmax_block(sblk, h):
+            """scale + block-diag mask + softmax (+ dropout) over one
+            [arows, arows] score block of head h."""
+            sb = sblk * scale + mask
+            sb = sb - jnp.max(sb, axis=-1, keepdims=True)
+            e = jnp.exp(sb)
+            p_ = e / jnp.sum(e, axis=-1, keepdims=True)
             if attn_drop > 0.0:
-                goff = pid * R + lo          # global token index of row 0
                 km = _keep_mask_tile((arows, arows), seed,
                                      _SITE_ATTN + 4 * h, attn_drop,
                                      row_off=goff, col_off=goff)
-                p = _drop(p, km, attn_drop)
-            o = jnp.dot(p.astype(v.dtype), v,
-                        preferred_element_type=jnp.float32)
-            qkv_scratch[lo:lo + arows, h * D:(h + 1) * D] = o.astype(x.dtype)
+                p_ = _drop(p_, km, attn_drop)
+            return p_
+
+        if P == 1:
+            for h in range(num_heads):
+                q = qkv[:, h * D:(h + 1) * D]
+                k = qkv[:, Co + h * D:Co + (h + 1) * D]
+                v = qkv[:, 2 * Co + h * D:2 * Co + (h + 1) * D]
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                p = _softmax_block(s, h)
+                o = jnp.dot(p.astype(v.dtype), v,
+                            preferred_element_type=jnp.float32)
+                qkv_scratch[lo:lo + arows, h * D:(h + 1) * D] = (
+                    o.astype(x.dtype))
+        else:
+            zD = jnp.zeros((arows, D), qkv.dtype)
+            for h0 in range(0, num_heads, P):
+                q = qkv[:, h0 * D:(h0 + P) * D]          # [arows, P*D]
+                kv = []
+                for base in (Co, 2 * Co):                # k, then v
+                    blocks = []
+                    for p in range(P):
+                        col = qkv[:, base + (h0 + p) * D:
+                                  base + (h0 + p + 1) * D]
+                        blocks.append(jnp.concatenate(
+                            [col if j == p else zD for j in range(P)],
+                            axis=1))
+                    kv.append(jnp.concatenate(blocks, axis=0))
+                k2, v2 = kv                              # [P*arows, P*D]
+                s = jax.lax.dot_general(
+                    q, k2, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [arows, P*arows]
+                pp = jnp.concatenate(
+                    [_softmax_block(s[:, p * arows:(p + 1) * arows], h0 + p)
+                     for p in range(P)], axis=1)
+                o = jax.lax.dot_general(
+                    pp.astype(v2.dtype), v2, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [arows, P*D]
+                qkv_scratch[lo:lo + arows, h0 * D:(h0 + P) * D] = (
+                    o.astype(x.dtype))
 
     # output projection (+ dropout/LayerScale epilogue, + residual)
     attn = qkv_scratch[:, :Co]
@@ -540,11 +585,19 @@ def _fused_block_impl(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
     tiled = x.reshape(n_steps, R, C)
     has_gamma = gamma is not None
     has_seed = attn_drop > 0.0 or proj_drop > 0.0
+    hp = int(os.environ.get("DUOFORMER_ATTN_HEADPACK", "1"))
+    if arows % 8:
+        # Mosaic cannot lower the packed path's concats when sub-tile row
+        # starts are not sublane(8)-aligned ("result/input offset mismatch
+        # on non-concat dimension", seen at arows=100 patch attention)
+        hp = 1
+    while hp > 1 and num_heads % hp:
+        hp -= 1
     kern = functools.partial(
         _fused_block_kernel, num_heads=num_heads, seg_len=seg_len,
         groups=G, scale=scale, ln_eps=ln_eps, use_ln=use_ln,
         use_residual=use_residual, attn_drop=attn_drop, proj_drop=proj_drop,
-        has_gamma=has_gamma, has_seed=has_seed)
+        has_gamma=has_gamma, has_seed=has_seed, head_pack=hp)
     in_specs = [
         pl.BlockSpec((1, R, C), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),

@@ -128,7 +128,9 @@ def _cmd_train(cfg, max_steps=None):
     step_fn = train_lib.make_train_step(model, opt, mesh=mesh,
                                         bn_stats=unfrozen,
                                         frozen_label_fn=frozen,
-                                        accum_steps=accum)
+                                        accum_steps=accum,
+                                        augment=cfg.train.augment,
+                                        jitter=cfg.train.jitter)
     logger = MetricLogger(os.path.join(cfg.train.checkpoint_dir,
                                        "metrics.jsonl"))
     bsh = mesh_lib.batch_sharding(mesh)

@@ -98,6 +98,11 @@ class TrainConfig:
     model_parallel: int = 1
     dcn_slices: int = 1            # multi-slice DP: leading "dcn" mesh axis
     accum_steps: int = 1           # gradient accumulation (microbatches)
+    # device-side train-time augmentation (data.pipeline.augment_tiles):
+    # "none" (reference semantics) or "d4" (per-sample dihedral transform);
+    # jitter>0 adds per-sample brightness/contrast on normalized values
+    augment: str = "none"
+    jitter: float = 0.0
     # held-out eval source; None = a reshuffled pass over `dataset`
     eval_dataset: Optional[str] = None
     dataset: str = "synthetic"

@@ -45,6 +45,52 @@ def resize(x, size, method="bilinear", antialias=False):
                             antialias=antialias)
 
 
+def augment_tiles(rng, x, mode: str = "d4", jitter: float = 0.0):
+    """Device-side train-time augmentation over a [B, H, W, C] batch.
+
+    The reference repo ships no augmentation at all (its dataset module is
+    missing, quirk Q1) — this is new framework capability, applied INSIDE
+    the jitted train step so the host never re-touches pixels.
+
+    mode="d4": an independent uniform dihedral-group transform per sample
+    (the 8 exact symmetries of a square tile: rotations by 0/90/180/270
+    plus flips). Histopathology tiles have no canonical orientation, so
+    D4 is the standard label-preserving geometric augmentation; every
+    element is a pure pixel permutation (no resampling, no interpolation
+    — exact in any dtype). Implemented branch-free for TPU: one
+    transpose + two reverses, each gated per-sample by jnp.where, so the
+    jitted graph is static. Requires H == W.
+
+    jitter > 0: per-sample photometric jitter on normalized values —
+    contrast scale in [1-jitter, 1+jitter] and brightness shift in
+    [-jitter, +jitter] (applied after the geometric transform).
+
+    mode="none" with jitter=0 returns x unchanged.
+    """
+    if mode not in ("none", "d4"):
+        raise ValueError(f"augment mode {mode!r}: expected 'none' or 'd4'")
+    B, H, W, _ = x.shape
+    kd4, kc, kb = jax.random.split(rng, 3)
+    if mode == "d4":
+        if H != W:
+            raise ValueError(f"d4 augmentation needs square tiles, "
+                             f"got {H}x{W}")
+        code = jax.random.randint(kd4, (B,), 0, 8, jnp.int32)
+        t = ((code & 1) > 0)[:, None, None, None]
+        fh = ((code & 2) > 0)[:, None, None, None]
+        fw = ((code & 4) > 0)[:, None, None, None]
+        x = jnp.where(t, jnp.swapaxes(x, 1, 2), x)
+        x = jnp.where(fh, x[:, ::-1], x)
+        x = jnp.where(fw, x[:, :, ::-1], x)
+    if jitter > 0.0:
+        c = jax.random.uniform(kc, (B, 1, 1, 1), jnp.float32,
+                               1.0 - jitter, 1.0 + jitter)
+        b = jax.random.uniform(kb, (B, 1, 1, 1), jnp.float32,
+                               -jitter, jitter)
+        x = (x.astype(jnp.float32) * c + b).astype(x.dtype)
+    return x
+
+
 def patchify(region, tile: int = 224):
     """WSI region [H, W, 3] (H, W multiples of tile) -> [n_tiles, tile, tile, 3].
 

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from .data import pipeline
 from .ops import attention as attn_ops
 from .parallel import mesh as mesh_lib
 
@@ -148,7 +149,8 @@ def init_train_state(model, key, optimizer) -> Dict[str, Any]:
 
 
 def make_train_step(model, optimizer, mesh=None, donate=True,
-                    bn_stats=False, frozen_label_fn=None, accum_steps=1):
+                    bn_stats=False, frozen_label_fn=None, accum_steps=1,
+                    augment="none", jitter=0.0):
     """Returns jitted (state, batch, rng) -> (state, metrics).
 
     frozen_label_fn: the SAME label fn handed to make_optimizer (e.g.
@@ -184,14 +186,25 @@ def make_train_step(model, optimizer, mesh=None, donate=True,
     activation memory: the save-hidden residuals (~5.5GB at B=256) are
     per-microbatch, so effective batches past the B~256 HBM ceiling
     train without remat. Incompatible with bn_stats (running-stat updates
-    would need per-microbatch sequencing)."""
+    would need per-microbatch sequencing).
+
+    augment/jitter: device-side train-time augmentation
+    (data.pipeline.augment_tiles — per-sample D4 dihedral transform and/or
+    photometric jitter), applied inside the jitted step before the model;
+    per-microbatch rngs under accumulation. Eval paths never augment."""
     tp = _tp_active(mesh)
     if accum_steps > 1 and bn_stats:
         raise ValueError("accum_steps>1 with bn_stats=True is not "
                          "supported: BN running-stat updates need "
                          "per-microbatch sequencing")
+    augmenting = augment != "none" or jitter > 0.0
 
     def loss_fn(params, batch, rng):
+        if augmenting:
+            # constant fold decorrelates from the model's dropout stream
+            arng = jax.random.fold_in(rng, 0x41554731)
+            batch = dict(batch, image=pipeline.augment_tiles(
+                arng, batch["image"], mode=augment, jitter=jitter))
         if frozen_label_fn is not None:
             labels = frozen_label_fn(params)
             params = jax.tree.map(

@@ -7,7 +7,10 @@ Usage:
         --train.batch_size=64 --train.epochs=2 [--steps=N]
     python -m duoformer_tcga_tpu.cli eval --preset=release-2scale
     python -m duoformer_tcga_tpu.cli predict --preset=release-2scale \
-        --input=/path/to/tiles [--output=predictions.csv]
+        --input=/path/to/tiles [--output=predictions.csv] \
+        [--params=model.npz]
+    python -m duoformer_tcga_tpu.cli export --preset=release-2scale \
+        [--output=model.npz] [--quantize]
 
 Runs SPMD data-parallel over every visible chip, checkpoints with resume,
 and logs structured per-step metrics (loss, accuracy, tiles/sec/chip).
@@ -228,18 +231,10 @@ def cmd_eval(cfg, num_batches=None):
     import numpy as np
 
     model, mesh, opt, _, _, _ = _build(cfg)
-    state = train_lib.init_train_state(
-        model, jax.random.PRNGKey(cfg.train.seed), opt)
-    ckpt = CheckpointManager(cfg.train.checkpoint_dir)
     # prefer the best-accuracy checkpoint (the reference's semantics:
     # main_toy.py only ever saves best); fall back to the latest resume save
-    restored = ckpt.restore_best(state)
-    which = "best"
-    if restored is None:
-        restored = ckpt.restore(state)
-        which = "latest"
-    if restored is not None:
-        state = restored
+    state, which = _restore_best_or_latest(cfg, model, opt)
+    if which is not None:
         print(f"evaluating {which} checkpoint step {int(state['step'])}",
               flush=True)
     if cfg.train.model_parallel > 1:
@@ -292,11 +287,55 @@ def cmd_eval(cfg, num_batches=None):
     return correct / total
 
 
-def cmd_predict(cfg, inputs, output="predictions.csv"):
+def _restore_best_or_latest(cfg, model, opt):
+    """(state, which) from the checkpoint dir — best if one was saved,
+    else latest resume save, else (init-state, None)."""
+    state = train_lib.init_train_state(
+        model, jax.random.PRNGKey(cfg.train.seed), opt)
+    ckpt = CheckpointManager(cfg.train.checkpoint_dir)
+    restored = ckpt.restore_best(state)
+    which = "best"
+    if restored is None:
+        restored = ckpt.restore(state)
+        which = "latest"
+    if restored is None:
+        return state, None
+    return restored, which
+
+
+def cmd_export(cfg, output="model.npz", quantize=False):
+    """Export the trained checkpoint as a standalone serving artifact:
+    BN-folded (optionally int8-quantized) params in one npz with a JSON
+    meta entry. `predict --params=<npz>` serves it with no orbax
+    checkpoint, no optimizer state, and no re-folding — the deployment
+    hand-off the reference lacks (it re-pickles whole torch modules,
+    quirk Q14 main_toy.py:139-149)."""
+    from dataclasses import asdict
+
+    from .inference import export_serving_artifact
+
+    model, _mesh, opt, _, _, _ = _build(cfg)
+    state, which = _restore_best_or_latest(cfg, model, opt)
+    if which is None:
+        raise FileNotFoundError(
+            f"no checkpoint under {cfg.train.checkpoint_dir} — train "
+            f"first, or convert a torch checkpoint")
+    meta = {"model": asdict(cfg.model), "checkpoint": which,
+            "step": int(state["step"])}
+    m = export_serving_artifact(output, jax.device_get(state["params"]),
+                                meta, quantize=quantize)
+    print(f"exported {which} checkpoint (step {int(state['step'])}) -> "
+          f"{output} folded={m['folded']} quantized={m['quantized']}",
+          flush=True)
+    return output
+
+
+def cmd_predict(cfg, inputs, output="predictions.csv", params_path=None):
     """Serve a checkpoint on a folder (or single file) of image tiles and
     write per-tile class probabilities as CSV — the deployable twin of
     the reference's evaluation() loop (main_toy.py:39-54) for unlabeled
-    data. Restores the orbax checkpoint from --train.checkpoint_dir; for
+    data. Restores the orbax checkpoint from --train.checkpoint_dir, or
+    serves an exported artifact via --params=<npz> (cmd_export); for
     reference torch checkpoints use inference.from_torch_checkpoint."""
     import os
 
@@ -306,21 +345,29 @@ def cmd_predict(cfg, inputs, output="predictions.csv"):
     from .inference import Predictor
 
     model, mesh, opt, _, _, _ = _build(cfg)
-    state = train_lib.init_train_state(
-        model, jax.random.PRNGKey(cfg.train.seed), opt)
-    ckpt = CheckpointManager(cfg.train.checkpoint_dir)
-    restored = ckpt.restore_best(state)
-    which = "best"
-    if restored is None:
-        restored = ckpt.restore(state)
-        which = "latest"
-    if restored is not None:
-        state = restored
-        print(f"predicting with {which} checkpoint step "
-              f"{int(state['step'])}", flush=True)
+    artifact = None
+    if params_path:
+        from .inference import load_serving_artifact
+        artifact, ameta = load_serving_artifact(params_path)
+        mm = ameta.get("model", {})
+        for k in ("num_classes", "embed_dim", "num_layers", "family"):
+            if k in mm and getattr(cfg.model, k, mm[k]) != mm[k]:
+                raise ValueError(
+                    f"artifact was exported with model.{k}={mm[k]} but the "
+                    f"current config has {getattr(cfg.model, k)} — pass "
+                    f"the matching --preset/overrides")
+        print(f"predicting with exported artifact {params_path} "
+              f"(step {ameta.get('step', '?')}, "
+              f"quantized={ameta.get('quantized', False)})", flush=True)
+        state = None
     else:
-        print("warning: no checkpoint found — predicting from random init",
-              flush=True)
+        state, which = _restore_best_or_latest(cfg, model, opt)
+        if which is not None:
+            print(f"predicting with {which} checkpoint step "
+                  f"{int(state['step'])}", flush=True)
+        else:
+            print("warning: no checkpoint found — predicting from random "
+                  "init", flush=True)
 
     def _images_in(d):
         return sorted(
@@ -343,8 +390,13 @@ def cmd_predict(cfg, inputs, output="predictions.csv"):
     B = cfg.train.batch_size
     dp = mesh_lib.data_parallel_size(mesh)
     use_mesh = mesh if (mesh.devices.size > 1 and B % dp == 0) else None
-    pred = Predictor(model, state["params"], mesh=use_mesh,
-                     dtype=getattr(jnp, cfg.model.dtype))
+    if artifact is not None:
+        pred = Predictor(model, artifact, mesh=use_mesh,
+                         dtype=getattr(jnp, cfg.model.dtype),
+                         fold=False, quantize=False)
+    else:
+        pred = Predictor(model, state["params"], mesh=use_mesh,
+                         dtype=getattr(jnp, cfg.model.dtype))
     rows = []
     for lo in range(0, len(paths), B):
         chunk = paths[lo:lo + B]
@@ -426,7 +478,7 @@ def cmd_verify_checkpoint(rest):
 
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
-    known = ("train", "eval", "predict", "fetch-weights",
+    known = ("train", "eval", "predict", "export", "fetch-weights",
              "verify-checkpoint")
     if not argv or argv[0] not in known:
         print(__doc__)
@@ -439,6 +491,8 @@ def main(argv=None):
     max_steps = None
     trace_dir = None
     pred_input, pred_output = None, "predictions.csv"
+    pred_params = None
+    export_output, export_quant = "model.npz", False
     filtered = []
     for a in rest:
         key = a.lstrip("-")
@@ -450,6 +504,12 @@ def main(argv=None):
             pred_input = a.split("=", 1)[1]
         elif cmd == "predict" and key.startswith("output="):
             pred_output = a.split("=", 1)[1]
+        elif cmd == "predict" and key.startswith("params="):
+            pred_params = a.split("=", 1)[1]
+        elif cmd == "export" and key.startswith("output="):
+            export_output = a.split("=", 1)[1]
+        elif cmd == "export" and key == "quantize":
+            export_quant = True
         elif key == "debug_nans":
             from .utils import profiling
             profiling.enable_nan_checks(True)
@@ -469,7 +529,10 @@ def main(argv=None):
             if not pred_input:
                 print("predict requires --input=<folder-or-image>")
                 return 1
-            cmd_predict(cfg, pred_input, pred_output)
+            cmd_predict(cfg, pred_input, pred_output,
+                        params_path=pred_params)
+        elif cmd == "export":
+            cmd_export(cfg, export_output, quantize=export_quant)
         else:
             cmd_eval(cfg)
     return 0

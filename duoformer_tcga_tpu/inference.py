@@ -88,6 +88,93 @@ class Predictor:
         return jax.nn.softmax(self(tiles).astype(jnp.float32), axis=-1)
 
 
+def export_serving_artifact(path: str, params, meta: dict,
+                            quantize: bool = False) -> dict:
+    """Write a standalone serving artifact: BN-folded (and optionally
+    int8-quantized) params as a flat npz plus a JSON `__meta__` entry
+    (model config + format flags). `cli predict --params=<npz>` serves it
+    without the training checkpoint or re-folding — the deployment
+    hand-off the reference lacks entirely (it re-pickles whole modules,
+    quirk Q14). Returns the meta actually written."""
+    import json
+
+    import numpy as np
+
+    from .utils.checkpoint import save_params_npz
+
+    try:
+        params = fold_for_inference(params)
+        folded = True
+    except (KeyError, TypeError):
+        folded = False      # non-DuoFormer tree: export as-is
+    if quantize:
+        from .ops.quantize import (quantize_attention_weights,
+                                   quantize_mlp_weights)
+        params = quantize_attention_weights(quantize_mlp_weights(params))
+
+    # record which tree levels are lists — the flat npz writes list
+    # indices and dict keys identically, and some models keep digit-keyed
+    # DICTS, so load-time reconstruction needs this explicitly
+    list_paths = []
+
+    def _walk(node, prefix=""):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                _walk(v, f"{prefix}{k}/")
+        elif isinstance(node, (list, tuple)):
+            list_paths.append(prefix[:-1])
+            for i, v in enumerate(node):
+                _walk(v, f"{prefix}{i}/")
+
+    _walk(params)
+    meta = dict(meta, folded=folded, quantized=bool(quantize),
+                lists=sorted(list_paths), format_version=1)
+    save_params_npz(path, params)
+    # append the meta entry to the zip (np.savez would need the whole
+    # tree re-passed; a second write keyed __meta__ is simpler)
+    data = dict(np.load(path))
+    data["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez(path, **data)
+    return meta
+
+
+def load_serving_artifact(path: str):
+    """-> (params, meta) from export_serving_artifact's npz."""
+    import json
+
+    import numpy as np
+
+    from .utils.checkpoint import load_params_npz_flat
+
+    raw = np.load(path)
+    meta = {}
+    if "__meta__" in raw.files:
+        meta = json.loads(bytes(raw["__meta__"].tobytes()).decode())
+    params = load_params_npz_flat(path)
+    params.pop("__meta__", None)
+
+    # restore levels that were lists at export time (deepest first, so
+    # nested lists convert bottom-up)
+    for path_ in sorted(meta.get("lists", []), key=len, reverse=True):
+        parts = path_.split("/")
+        node = params
+        for p in parts[:-1]:
+            node = node[p]
+        d = node[parts[-1]]
+        node[parts[-1]] = [d[str(i)] for i in range(len(d))]
+    return params, meta
+
+
+def from_serving_artifact(model, path: str, mesh=None,
+                          dtype=jnp.bfloat16) -> Predictor:
+    """Build a Predictor from an exported artifact (already folded /
+    quantized — no further transformation applied)."""
+    params, _meta = load_serving_artifact(path)
+    return Predictor(model, params, mesh=mesh, dtype=dtype, fold=False,
+                     quantize=False)
+
+
 def from_torch_checkpoint(model, path: str, mesh=None, dtype=jnp.bfloat16,
                           legacy: bool = False) -> Predictor:
     """Build a Predictor straight from a reference torch checkpoint

@@ -133,6 +133,28 @@ def save_params_npz(path: str, params) -> None:
     np.savez(path, **flat)
 
 
+def load_params_npz_flat(path: str):
+    """Template-free inverse of save_params_npz: rebuild the nested tree
+    from the flat slash-joined keys, as nested DICTS throughout (framework
+    param trees are nested dicts — digit keys like the resnet block
+    indices are dict keys, not list indices). Needed for serving artifacts
+    whose structure differs from model.init's (e.g. int8-quantized trees
+    with w_q/scale leaves)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    data = np.load(path)
+    tree: dict = {}
+    for key in data.files:
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(data[key])
+    return tree
+
+
 def load_params_npz(path: str, params_like):
     """Inverse of save_params_npz given a structure template."""
     import numpy as np

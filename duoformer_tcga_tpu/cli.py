@@ -264,6 +264,7 @@ def cmd_eval(cfg, num_batches=None):
     total, correct, loss_sum = 0, 0, 0.0
     pc_correct = np.zeros((ncls,), np.int64)
     pc_count = np.zeros((ncls,), np.int64)
+    all_probs, all_labels = [], []
     for raw in stream:
         batch = {
             "image": preprocess(jnp.asarray(raw["image"])),
@@ -276,9 +277,17 @@ def cmd_eval(cfg, num_batches=None):
         loss_sum += float(m["loss_sum"])
         pc_correct += np.asarray(m["per_class_correct"], np.int64)
         pc_count += np.asarray(m["per_class_count"], np.int64)
+        valid = np.asarray(m["labels"]) >= 0
+        all_probs.append(np.asarray(m["probs"], np.float32)[valid])
+        all_labels.append(np.asarray(m["labels"])[valid])
     total = max(total, 1)
+    from .utils.metrics import macro_f1, roc_auc_ovr
+    probs = np.concatenate(all_probs) if all_probs else np.zeros((0, ncls))
+    labels = np.concatenate(all_labels) if all_labels else np.zeros((0,))
+    auc = roc_auc_ovr(probs, labels, ncls)
+    f1 = macro_f1(probs.argmax(-1) if len(probs) else labels, labels, ncls)
     print(f"eval: acc={correct / total:.4f} loss={loss_sum / total:.4f} "
-          f"n={total}", flush=True)
+          f"auc={auc:.4f} macro_f1={f1:.4f} n={total}", flush=True)
     for c in range(ncls):
         n_c = int(pc_count[c])
         acc_c = pc_correct[c] / n_c if n_c else float("nan")

@@ -425,6 +425,10 @@ def make_eval_full_step(model, num_classes, mesh=None):
             "per_class_correct": jnp.sum(
                 onehot * correct[:, None].astype(jnp.int32), axis=0),
             "per_class_count": jnp.sum(onehot, axis=0),
+            # per-sample outputs for threshold-free metrics (ROC-AUC,
+            # macro-F1) on the host; padded rows carry label -1
+            "probs": jnp.exp(logp),
+            "labels": labels,
         }
 
     kwargs = {}

@@ -61,3 +61,50 @@ class MetricLogger:
     def close(self):
         if self._f:
             self._f.close()
+
+
+def roc_auc_ovr(probs, labels, num_classes: int) -> float:
+    """Macro one-vs-rest ROC-AUC from [N, C] class probabilities.
+
+    Rank (Mann-Whitney U) formulation with average ranks for ties —
+    dependency-free equivalent of sklearn's roc_auc_score(multi_class=
+    "ovr", average="macro"). Classes with no positives or no negatives in
+    `labels` are skipped; returns nan when no class is scoreable.
+    Binary (num_classes=2) reduces to the standard ROC-AUC."""
+    import numpy as np
+
+    probs = np.asarray(probs, np.float64)
+    labels = np.asarray(labels)
+    aucs = []
+    for c in range(num_classes):
+        pos = labels == c
+        n1 = int(pos.sum())
+        n0 = len(labels) - n1
+        if n1 == 0 or n0 == 0:
+            continue
+        s = probs[:, c]
+        _, inv, counts = np.unique(s, return_inverse=True,
+                                   return_counts=True)
+        # 1-based average rank of each tie group
+        avg_rank = np.cumsum(counts) - (counts - 1) / 2.0
+        ranks = avg_rank[inv]
+        aucs.append((ranks[pos].sum() - n1 * (n1 + 1) / 2.0) / (n1 * n0))
+    return float(np.mean(aucs)) if aucs else float("nan")
+
+
+def macro_f1(preds, labels, num_classes: int) -> float:
+    """Macro-averaged F1 over classes present in `labels` or `preds`
+    (classes absent from both are skipped, not counted as 0)."""
+    import numpy as np
+
+    preds = np.asarray(preds)
+    labels = np.asarray(labels)
+    f1s = []
+    for c in range(num_classes):
+        tp = int(((preds == c) & (labels == c)).sum())
+        fp = int(((preds == c) & (labels != c)).sum())
+        fn = int(((preds != c) & (labels == c)).sum())
+        if tp + fp + fn == 0:
+            continue
+        f1s.append(2.0 * tp / (2.0 * tp + fp + fn))
+    return float(np.mean(f1s)) if f1s else float("nan")

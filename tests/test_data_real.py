@@ -216,6 +216,7 @@ def test_eval_full_coverage_counts_all_samples(png_folder, capsys):
     out = capsys.readouterr().out
     assert "n=10" in out           # all 10 samples, not 8
     assert "class 0:" in out and "class 1:" in out
+    assert "auc=" in out and "macro_f1=" in out
 
 
 def test_eval_full_step_masks_padding():
@@ -246,3 +247,71 @@ def test_eval_full_step_masks_padding():
     np.testing.assert_allclose(float(masked["loss_sum"]),
                                float(prefix["loss_sum"]), rtol=1e-4)
     assert int(full["count"]) == 4
+
+
+class TestEvalMetrics:
+    """Threshold-free eval metrics (ROC-AUC, macro-F1) — dependency-free
+    rank formulations, hand-verified."""
+
+    def test_binary_auc_hand_case(self):
+        from duoformer_tcga_tpu.utils.metrics import roc_auc_ovr
+
+        # scores for class 1: pos {0.8, 0.4}, neg {0.6, 0.2}
+        # pairs: (0.8>0.6), (0.8>0.2), (0.4<0.6), (0.4>0.2) -> 3/4
+        probs = np.array([[0.2, 0.8], [0.6, 0.4], [0.4, 0.6], [0.8, 0.2]])
+        labels = np.array([1, 1, 0, 0])
+        # class 0 scores mirror class 1 here, so macro == binary AUC
+        assert abs(roc_auc_ovr(probs, labels, 2) - 0.75) < 1e-12
+
+    def test_auc_ties_average(self):
+        from duoformer_tcga_tpu.utils.metrics import roc_auc_ovr
+
+        # one pos and one neg share score 0.5 -> that pair counts 1/2
+        probs = np.array([[0.5, 0.5], [0.5, 0.5]])
+        labels = np.array([1, 0])
+        assert abs(roc_auc_ovr(probs, labels, 2) - 0.5) < 1e-12
+
+    def test_auc_perfect_and_inverted(self):
+        from duoformer_tcga_tpu.utils.metrics import roc_auc_ovr
+
+        p = np.array([[0.1, 0.9], [0.2, 0.8], [0.8, 0.2], [0.9, 0.1]])
+        y = np.array([1, 1, 0, 0])
+        assert roc_auc_ovr(p, y, 2) == 1.0
+        assert roc_auc_ovr(p, 1 - y, 2) == 0.0
+
+    def test_auc_single_class_is_nan(self):
+        from duoformer_tcga_tpu.utils.metrics import roc_auc_ovr
+
+        p = np.array([[0.3, 0.7], [0.4, 0.6]])
+        assert np.isnan(roc_auc_ovr(p, np.array([1, 1]), 2))
+
+    def test_macro_f1_hand_case(self):
+        from duoformer_tcga_tpu.utils.metrics import macro_f1
+
+        # class 0: tp=1 fp=1 fn=0 -> f1=2/3; class 1: tp=1 fp=0 fn=1 -> 2/3
+        preds = np.array([0, 0, 1])
+        labels = np.array([0, 1, 1])
+        assert abs(macro_f1(preds, labels, 2) - 2 / 3) < 1e-12
+        # absent class skipped, not scored 0
+        assert abs(macro_f1(preds, labels, 3) - 2 / 3) < 1e-12
+
+    def test_eval_step_emits_probs_and_labels(self):
+        import jax
+        import jax.numpy as jnp
+
+        import duoformer_tcga_tpu as dft
+        from duoformer_tcga_tpu import train as train_lib
+
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
+        model = dft.build_model_no_extra_params(
+            num_classes=3, num_layers=2, embed_dim=96, proj_dim=96,
+            num_heads=12, depth=1)
+        params = model.init(jax.random.PRNGKey(0))
+        fn = train_lib.make_eval_full_step(model, 3)
+        batch = {"image": jax.random.normal(jax.random.PRNGKey(1),
+                                            (4, 224, 224, 3)),
+                 "label": jnp.array([0, 2, -1, 1], jnp.int32)}
+        m = jax.device_get(fn(params, batch))
+        assert m["probs"].shape == (4, 3)
+        np.testing.assert_allclose(m["probs"].sum(-1), 1.0, atol=1e-5)
+        np.testing.assert_array_equal(m["labels"], [0, 2, -1, 1])

@@ -11,6 +11,9 @@ Usage:
         [--params=model.npz]
     python -m duoformer_tcga_tpu.cli export --preset=release-2scale \
         [--output=model.npz] [--quantize]
+    python -m duoformer_tcga_tpu.cli make-dataset --slides=/path/wsis \
+        [--output=tiles.h5] [--tile=224] [--labels=labels.csv] \
+        [--min-std=5]
 
 Runs SPMD data-parallel over every visible chip, checkpoints with resume,
 and logs structured per-step metrics (loss, accuracy, tiles/sec/chip).
@@ -429,6 +432,45 @@ def cmd_predict(cfg, inputs, output="predictions.csv", params_path=None):
     return output
 
 
+def cmd_make_dataset(rest):
+    """Tile whole-slide images into the packed HDF5 training format:
+    `make-dataset --slides=<dir-or-file> --output=tiles.h5 [--tile=224]
+    [--labels=labels.csv] [--min-std=5]`. Labels come from class subdirs
+    (sorted, the image-folder convention) or the CSV. The output feeds
+    --train.dataset / --train.eval_dataset directly."""
+    from .data import folder as folder_lib
+
+    slides_spec, output = None, "tiles.h5"
+    tile, min_std, labels_csv = 224, 0.0, None
+    for a in rest:
+        key = a.lstrip("-")
+        if key.startswith("slides="):
+            slides_spec = a.split("=", 1)[1]
+        elif key.startswith("output="):
+            output = a.split("=", 1)[1]
+        elif key.startswith("tile="):
+            tile = int(a.split("=", 1)[1])
+        elif key.startswith("min-std=") or key.startswith("min_std="):
+            min_std = float(a.split("=", 1)[1])
+        elif key.startswith("labels="):
+            labels_csv = a.split("=", 1)[1]
+        else:
+            print(f"make-dataset: unknown flag {a}")
+            return 1
+    if not slides_spec:
+        print("make-dataset requires --slides=<dir-or-file>")
+        return 1
+    pairs = folder_lib.discover_slides(slides_spec, labels_csv=labels_csv)
+    counts = folder_lib.build_hdf5_dataset(output, pairs, tile=tile,
+                                           min_std=min_std)
+    total = sum(n for _, n in counts)
+    for path, n in counts:
+        print(f"  {path}: {n} tiles", flush=True)
+    print(f"wrote {total} tiles from {len(counts)} slide(s) -> {output}",
+          flush=True)
+    return 0
+
+
 def cmd_fetch_weights(rest):
     """`cli fetch-weights [--only=NAME] [--cache_dir=DIR]`: download every
     pinned real artifact (Checkpoint1/2, lunit-io SSL trunks, timm hybrid
@@ -487,12 +529,14 @@ def cmd_verify_checkpoint(rest):
 
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
-    known = ("train", "eval", "predict", "export", "fetch-weights",
-             "verify-checkpoint")
+    known = ("train", "eval", "predict", "export", "make-dataset",
+             "fetch-weights", "verify-checkpoint")
     if not argv or argv[0] not in known:
         print(__doc__)
         return 1
     cmd, rest = argv[0], argv[1:]
+    if cmd == "make-dataset":
+        return cmd_make_dataset(rest)
     if cmd == "fetch-weights":
         return cmd_fetch_weights(rest)
     if cmd == "verify-checkpoint":

@@ -271,3 +271,105 @@ def open_dataset_eval(spec: str, batch_size: int, num_classes: int = 2,
         imgs = ds._decode_batch([p for p, _ in chunk])
         labels = np.asarray([c for _, c in chunk], np.int32)
         yield _pad_eval_batch(imgs, labels, batch_size)
+
+
+WSI_EXTENSIONS = (".npy", ".raw", ".svs", ".tif", ".tiff", ".png", ".jpg",
+                  ".jpeg")
+
+
+def build_hdf5_dataset(out_path: str, slides, tile: int = 224,
+                       min_std: float = 0.0, chunk: int = 64):
+    """Tile whole-slide planes into the packed HDF5 training format
+    (`images` [N, tile, tile, 3] uint8 + `labels` [N] int32 — the schema
+    hdf5_tiles streams). The missing step between raw slides and
+    `--train.dataset`: the reference has no data tooling at all (its
+    dataset module is absent, quirk Q1 /root/reference/main_toy.py:11).
+
+    slides: iterable of (path, label); every full grid tile is kept — the
+    streaming reader additionally drops ragged final BATCHES for static
+    jit shapes, which a dataset build must not.
+    min_std > 0 drops background tiles whose per-tile pixel std falls
+    below it (blank glass is near-constant white). Streams slide by slide
+    — peak memory is one decoded plane + one tile chunk.
+
+    Returns [(path, n_tiles_written)] per slide."""
+    import h5py
+
+    from . import wsi as wsi_lib
+
+    counts = []
+    with h5py.File(out_path, "w") as f:
+        images = f.create_dataset(
+            "images", shape=(0, tile, tile, 3),
+            maxshape=(None, tile, tile, 3), dtype="uint8",
+            chunks=(min(chunk, 64), tile, tile, 3))
+        labels = f.create_dataset("labels", shape=(0,), maxshape=(None,),
+                                  dtype="int32")
+        for path, label in slides:
+            reader = wsi_lib.open_slide(path)
+            plane = np.ascontiguousarray(reader.plane) if isinstance(
+                reader.plane, np.memmap) else reader.plane
+            coords = wsi_lib.grid_coords(plane.shape[0], plane.shape[1],
+                                         tile)
+            n_slide = 0
+            for lo in range(0, len(coords), chunk):
+                tiles = wsi_lib.extract_tiles(plane, coords[lo:lo + chunk],
+                                              tile)
+                if min_std > 0.0:
+                    std = tiles.reshape(len(tiles), -1).astype(
+                        np.float32).std(axis=1)
+                    tiles = tiles[std >= min_std]
+                if not len(tiles):
+                    continue
+                n0 = images.shape[0]
+                images.resize(n0 + len(tiles), axis=0)
+                images[n0:] = tiles
+                labels.resize(n0 + len(tiles), axis=0)
+                labels[n0:] = np.int32(label)
+                n_slide += len(tiles)
+            counts.append((path, n_slide))
+    return counts
+
+
+def discover_slides(spec: str, labels_csv: Optional[str] = None):
+    """-> sorted [(slide_path, label)] for build_hdf5_dataset.
+
+    spec: a single slide file (label 0), or a directory — class subdirs
+    give labels by sorted subdir name (the ImageFolderDataset convention);
+    loose files at the top level get label 0. labels_csv overrides: CSV
+    rows `filename,label` (filename relative to spec or absolute)."""
+    if os.path.isfile(spec):
+        pairs = [(spec, 0)]
+    else:
+        pairs = []
+        subdirs = sorted(
+            d for d in os.listdir(spec)
+            if os.path.isdir(os.path.join(spec, d)))
+        for ci, d in enumerate(subdirs):
+            sub = os.path.join(spec, d)
+            pairs.extend(
+                (os.path.join(sub, s), ci) for s in sorted(os.listdir(sub))
+                if s.lower().endswith(WSI_EXTENSIONS))
+        pairs.extend(
+            (os.path.join(spec, s), 0) for s in sorted(os.listdir(spec))
+            if s.lower().endswith(WSI_EXTENSIONS)
+            and os.path.isfile(os.path.join(spec, s)))
+    if labels_csv:
+        import csv
+
+        with open(labels_csv, newline="") as fh:
+            table = {row[0]: int(row[1]) for row in csv.reader(fh) if row}
+
+        def look(p):
+            for key in (p, os.path.relpath(p, spec if os.path.isdir(spec)
+                                           else os.path.dirname(spec)),
+                        os.path.basename(p)):
+                if key in table:
+                    return table[key]
+            raise KeyError(f"slide {p} not in {labels_csv}")
+
+        pairs = [(p, look(p)) for p, _ in pairs]
+    if not pairs:
+        raise FileNotFoundError(f"no slides under {spec} "
+                                f"(extensions: {WSI_EXTENSIONS})")
+    return pairs

@@ -442,6 +442,7 @@ def cmd_make_dataset(rest):
 
     slides_spec, output = None, "tiles.h5"
     tile, min_std, labels_csv = 224, 0.0, None
+    val_fraction, val_output, seed = 0.0, None, 0
     for a in rest:
         key = a.lstrip("-")
         if key.startswith("slides="):
@@ -454,6 +455,13 @@ def cmd_make_dataset(rest):
             min_std = float(a.split("=", 1)[1])
         elif key.startswith("labels="):
             labels_csv = a.split("=", 1)[1]
+        elif key.startswith("val-fraction=") or key.startswith(
+                "val_fraction="):
+            val_fraction = float(a.split("=", 1)[1])
+        elif key.startswith("val-output=") or key.startswith("val_output="):
+            val_output = a.split("=", 1)[1]
+        elif key.startswith("seed="):
+            seed = int(a.split("=", 1)[1])
         else:
             print(f"make-dataset: unknown flag {a}")
             return 1
@@ -461,13 +469,30 @@ def cmd_make_dataset(rest):
         print("make-dataset requires --slides=<dir-or-file>")
         return 1
     pairs = folder_lib.discover_slides(slides_spec, labels_csv=labels_csv)
-    counts = folder_lib.build_hdf5_dataset(output, pairs, tile=tile,
-                                           min_std=min_std)
-    total = sum(n for _, n in counts)
-    for path, n in counts:
-        print(f"  {path}: {n} tiles", flush=True)
-    print(f"wrote {total} tiles from {len(counts)} slide(s) -> {output}",
-          flush=True)
+    val_pairs = []
+    if val_fraction > 0.0:
+        # slide-level stratified split: tile-level splits leak (tiles
+        # from one slide are near-duplicates)
+        pairs, val_pairs = folder_lib.split_slides(pairs, val_fraction,
+                                                   seed=seed)
+        if val_output is None:
+            root, ext = os.path.splitext(output)
+            val_output = f"{root}_val{ext}"
+
+    def _write(path, prs, split):
+        counts = folder_lib.build_hdf5_dataset(path, prs, tile=tile,
+                                               min_std=min_std)
+        total = sum(n for _, n in counts)
+        for p, n in counts:
+            print(f"  [{split}] {p}: {n} tiles", flush=True)
+        print(f"wrote {total} tiles from {len(counts)} slide(s) -> {path}",
+              flush=True)
+
+    _write(output, pairs, "train")
+    if val_pairs:
+        _write(val_output, val_pairs, "val")
+        print(f"train: --train.dataset={output} "
+              f"--train.eval_dataset={val_output}", flush=True)
     return 0
 
 

@@ -373,3 +373,36 @@ def discover_slides(spec: str, labels_csv: Optional[str] = None):
         raise FileNotFoundError(f"no slides under {spec} "
                                 f"(extensions: {WSI_EXTENSIONS})")
     return pairs
+
+
+def split_slides(pairs, val_fraction: float, seed: int = 0):
+    """Stratified SLIDE-level train/val split -> (train_pairs, val_pairs).
+
+    Tiles from one slide are near-duplicates, so a tile-level split leaks
+    the validation set into training; the split must happen per slide,
+    stratified per class so small cohorts keep both labels represented.
+    Each class contributes round(n * val_fraction) slides to val, at
+    least 1 when the class has 2+ slides and val_fraction > 0."""
+    if not 0.0 <= val_fraction < 1.0:
+        raise ValueError(f"val_fraction must be in [0, 1), "
+                         f"got {val_fraction}")
+    if val_fraction == 0.0:
+        return list(pairs), []
+    rng = np.random.default_rng(seed)
+    by_class: Dict[int, list] = {}
+    for p, c in pairs:
+        by_class.setdefault(c, []).append((p, c))
+    train, val = [], []
+    for c in sorted(by_class):
+        group = sorted(by_class[c])
+        rng.shuffle(group)
+        n_val = int(round(len(group) * val_fraction))
+        if n_val == 0 and len(group) >= 2:
+            n_val = 1
+        val.extend(group[:n_val])
+        train.extend(group[n_val:])
+    if not train:
+        raise ValueError(
+            f"val_fraction={val_fraction} leaves no training slides "
+            f"({len(val)} of {len(val)} slides went to val)")
+    return sorted(train), sorted(val)

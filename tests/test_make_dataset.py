@@ -92,3 +92,60 @@ def test_cli_make_dataset_end_to_end(slide_dirs, tmp_path):
     import h5py
     with h5py.File(out, "r") as f:
         assert f["images"].shape[0] == 24
+
+
+class TestSlideSplit:
+    def _pairs(self, n_per_class=5):
+        return [(f"/s/c{c}/slide{i}.npy", c)
+                for c in (0, 1) for i in range(n_per_class)]
+
+    def test_split_is_stratified_and_disjoint(self):
+        train, val = folder_lib.split_slides(self._pairs(), 0.4, seed=1)
+        assert len(val) == 4 and len(train) == 6
+        for c in (0, 1):     # 2 val slides per class (stratified)
+            assert sum(1 for _, cc in val if cc == c) == 2
+        assert not set(train) & set(val)
+        assert sorted(train + val) == sorted(self._pairs())
+
+    def test_small_class_keeps_one_val_slide(self):
+        pairs = [("/a0", 0), ("/a1", 0), ("/b0", 1), ("/b1", 1)]
+        train, val = folder_lib.split_slides(pairs, 0.1, seed=0)
+        assert sum(1 for _, c in val if c == 0) == 1
+        assert sum(1 for _, c in val if c == 1) == 1
+
+    def test_zero_fraction_is_identity(self):
+        train, val = folder_lib.split_slides(self._pairs(), 0.0)
+        assert val == [] and len(train) == 10
+
+    def test_deterministic_in_seed(self):
+        a = folder_lib.split_slides(self._pairs(), 0.4, seed=7)
+        b = folder_lib.split_slides(self._pairs(), 0.4, seed=7)
+        assert a == b
+
+    def test_bad_fraction_rejected(self):
+        with pytest.raises(ValueError, match="val_fraction"):
+            folder_lib.split_slides(self._pairs(), 1.0)
+
+    def test_cli_split_writes_both_files(self, tmp_path):
+        import h5py
+
+        from duoformer_tcga_tpu import cli
+
+        rng = np.random.default_rng(2)
+        for cls in ("a", "b"):
+            d = tmp_path / "slides" / cls
+            d.mkdir(parents=True)
+            for i in range(2):
+                np.save(str(d / f"{cls}{i}.npy"), _plane(rng))
+        out = str(tmp_path / "t.h5")
+        rc = cli.main(["make-dataset", f"--slides={tmp_path}/slides",
+                       f"--output={out}", "--tile=32",
+                       "--val-fraction=0.5"])
+        assert rc == 0
+        val = str(tmp_path / "t_val.h5")
+        with h5py.File(out, "r") as f, h5py.File(val, "r") as g:
+            # 2 slides train + 2 val, 12 tiles each, both classes present
+            assert f["images"].shape[0] == 24
+            assert g["images"].shape[0] == 24
+            assert set(f["labels"][:]) == {0, 1}
+            assert set(g["labels"][:]) == {0, 1}

@@ -174,7 +174,8 @@ def measure_jax(batch=256, iters=20, dtype="bfloat16"):
     return batch / dt   # tiles/sec on this chip
 
 
-def measure_train(batch=256, iters=6, dtype="bfloat16"):
+def measure_train(batch=256, iters=6, dtype="bfloat16",
+                  augment="none", jitter=0.0):
     """Full train-step throughput (frozen backbone, Adam+OneCycle), same
     chained-jit methodology. Opt-in via --mode=train / DUOFORMER_BENCH=train
     — the driver contract (default invocation) stays the forward metric."""
@@ -203,7 +204,8 @@ def measure_train(batch=256, iters=6, dtype="bfloat16"):
     plan = train_lib.plan_train_memory(model, batch)
     step = train_lib.make_train_step(model, opt, donate=False,
                                      frozen_label_fn=train_lib.backbone_frozen_labels,
-                                     accum_steps=plan["accum_steps"])
+                                     accum_steps=plan["accum_steps"],
+                                     augment=augment, jitter=jitter)
 
     def run_n(state, b, rng, n):
         def body(i, carry):

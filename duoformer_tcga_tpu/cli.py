@@ -8,7 +8,7 @@ Usage:
     python -m duoformer_tcga_tpu.cli eval --preset=release-2scale
     python -m duoformer_tcga_tpu.cli predict --preset=release-2scale \
         --input=/path/to/tiles [--output=predictions.csv] \
-        [--params=model.npz]
+        [--params=model.npz | --torch=Checkpoint1.pt]
     python -m duoformer_tcga_tpu.cli export --preset=release-2scale \
         [--output=model.npz] [--quantize]
     python -m duoformer_tcga_tpu.cli make-dataset --slides=/path/wsis \
@@ -342,13 +342,15 @@ def cmd_export(cfg, output="model.npz", quantize=False):
     return output
 
 
-def cmd_predict(cfg, inputs, output="predictions.csv", params_path=None):
+def cmd_predict(cfg, inputs, output="predictions.csv", params_path=None,
+                torch_path=None):
     """Serve a checkpoint on a folder (or single file) of image tiles and
     write per-tile class probabilities as CSV — the deployable twin of
     the reference's evaluation() loop (main_toy.py:39-54) for unlabeled
-    data. Restores the orbax checkpoint from --train.checkpoint_dir, or
-    serves an exported artifact via --params=<npz> (cmd_export); for
-    reference torch checkpoints use inference.from_torch_checkpoint."""
+    data. Weights come from --train.checkpoint_dir (orbax), an exported
+    artifact (--params=<npz>, cmd_export), or a reference torch
+    checkpoint (--torch=<file>: state_dict or the whole-object Q14
+    pickle, converted on the fly)."""
     import os
 
     import numpy as np
@@ -356,9 +358,20 @@ def cmd_predict(cfg, inputs, output="predictions.csv", params_path=None):
     from .data import folder as folder_lib
     from .inference import Predictor
 
+    if params_path and torch_path:
+        raise ValueError("pass --params= or --torch=, not both")
     model, mesh, opt, _, _, _ = _build(cfg)
     artifact = None
-    if params_path:
+    if torch_path:
+        from .utils import torch_convert as tc
+        sd = tc.state_dict_from_reference_checkpoint(torch_path)
+        conv = (tc.convert_duoformer_legacy
+                if cfg.model.family == "duoformer_legacy"
+                else tc.convert_duoformer)
+        state = {"params": tc.to_jax(conv(sd, model))}
+        print(f"predicting with converted torch checkpoint {torch_path}",
+              flush=True)
+    elif params_path:
         from .inference import load_serving_artifact
         artifact, ameta = load_serving_artifact(params_path)
         mm = ameta.get("model", {})
@@ -569,7 +582,7 @@ def main(argv=None):
     max_steps = None
     trace_dir = None
     pred_input, pred_output = None, "predictions.csv"
-    pred_params = None
+    pred_params, pred_torch = None, None
     export_output, export_quant = "model.npz", False
     filtered = []
     for a in rest:
@@ -584,6 +597,8 @@ def main(argv=None):
             pred_output = a.split("=", 1)[1]
         elif cmd == "predict" and key.startswith("params="):
             pred_params = a.split("=", 1)[1]
+        elif cmd == "predict" and key.startswith("torch="):
+            pred_torch = a.split("=", 1)[1]
         elif cmd == "export" and key.startswith("output="):
             export_output = a.split("=", 1)[1]
         elif cmd == "export" and key == "quantize":
@@ -608,7 +623,7 @@ def main(argv=None):
                 print("predict requires --input=<folder-or-image>")
                 return 1
             cmd_predict(cfg, pred_input, pred_output,
-                        params_path=pred_params)
+                        params_path=pred_params, torch_path=pred_torch)
         elif cmd == "export":
             cmd_export(cfg, export_output, quantize=export_quant)
         else:

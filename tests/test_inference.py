@@ -74,3 +74,42 @@ def test_predictor_on_mesh():
         0, 256, (8, 224, 224, 3), dtype=np.uint8)
     out = np.asarray(pred(tiles))
     assert out.shape == (8, 3)
+
+
+def test_cli_predict_from_torch_checkpoint(tmp_path):
+    """`predict --torch=<ckpt.pt>`: a reference torch checkpoint serves
+    directly through the CLI, matching from_torch_checkpoint's logits."""
+    from PIL import Image
+
+    from duoformer_tcga_tpu import cli
+
+    oracle, model = _small_pair(seed=2)
+    ckpt = str(tmp_path / "ref.pt")
+    torch.save(oracle.state_dict(), ckpt)
+
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    rng = np.random.default_rng(3)
+    tiles = rng.integers(0, 256, (3, 224, 224, 3), dtype=np.uint8)
+    for i, t in enumerate(tiles):
+        Image.fromarray(t).save(str(imgs / f"t{i}.png"))
+
+    out = tmp_path / "p.csv"
+    rc = cli.main([
+        "predict", "--preset=release-2scale", "--model.depth=2",
+        "--model.embed_dim=96", "--model.proj_dim=96",
+        "--model.num_classes=3", "--model.dtype=float32",
+        "--train.platform=cpu", "--train.batch_size=8",
+        f"--train.checkpoint_dir={tmp_path}/unused",
+        f"--torch={ckpt}", f"--input={imgs}", f"--output={out}",
+    ])
+    assert rc == 0
+    lines = out.read_text().strip().split("\n")
+    assert len(lines) == 4
+
+    pred = from_torch_checkpoint(model, ckpt, dtype=jnp.float32)
+    # CSV rows are sorted by filename = tile order here
+    want = np.asarray(pred.predict_proba(tiles))
+    got = np.array([[float(x) for x in l.split(",")[2:]]
+                    for l in lines[1:]])
+    np.testing.assert_allclose(got, want, atol=1e-4)

@@ -8,7 +8,8 @@ Usage:
     python -m duoformer_tcga_tpu.cli eval --preset=release-2scale
     python -m duoformer_tcga_tpu.cli predict --preset=release-2scale \
         --input=/path/to/tiles [--output=predictions.csv] \
-        [--params=model.npz | --torch=Checkpoint1.pt]
+        [--params=model.npz | --torch=Checkpoint1.pt] \
+        [--embeddings=tiles.npz] [--by-slide=slides.csv]
     python -m duoformer_tcga_tpu.cli export --preset=release-2scale \
         [--output=model.npz] [--quantize]
     python -m duoformer_tcga_tpu.cli make-dataset --slides=/path/wsis \
@@ -343,14 +344,22 @@ def cmd_export(cfg, output="model.npz", quantize=False):
 
 
 def cmd_predict(cfg, inputs, output="predictions.csv", params_path=None,
-                torch_path=None):
+                torch_path=None, embeddings_path=None, by_slide=None):
     """Serve a checkpoint on a folder (or single file) of image tiles and
     write per-tile class probabilities as CSV — the deployable twin of
     the reference's evaluation() loop (main_toy.py:39-54) for unlabeled
     data. Weights come from --train.checkpoint_dir (orbax), an exported
     artifact (--params=<npz>, cmd_export), or a reference torch
     checkpoint (--torch=<file>: state_dict or the whole-object Q14
-    pickle, converted on the fly)."""
+    pickle, converted on the fly).
+
+    embeddings_path (--embeddings=<out.npz>): also write the pre-head CLS
+    tile embeddings (paths + [N, embed_dim] f32) from the SAME forward —
+    the per-tile representation for downstream MIL / retrieval.
+    by_slide (--by-slide=<out.csv>): aggregate tiles to slide level
+    (group = the tile's subdirectory under --input, i.e. the
+    one-slide-per-folder layout; flat folders aggregate to one row):
+    mean-probability prediction plus the majority-vote fraction."""
     import os
 
     import numpy as np
@@ -423,6 +432,7 @@ def cmd_predict(cfg, inputs, output="predictions.csv", params_path=None,
         pred = Predictor(model, state["params"], mesh=use_mesh,
                          dtype=getattr(jnp, cfg.model.dtype))
     rows = []
+    embs = [] if embeddings_path else None
     for lo in range(0, len(paths), B):
         chunk = paths[lo:lo + B]
         imgs = folder_lib.decode_paths(chunk, 224)   # native batch decoder
@@ -430,7 +440,13 @@ def cmd_predict(cfg, inputs, output="predictions.csv", params_path=None,
             imgs = np.concatenate(
                 [imgs, np.zeros((B - len(chunk), *imgs.shape[1:]),
                                 imgs.dtype)])
-        probs = np.asarray(pred.predict_proba(imgs))[:len(chunk)]
+        if embs is not None:
+            logits, emb = pred.embed(imgs)
+            probs = np.asarray(jax.nn.softmax(
+                logits.astype(jnp.float32), axis=-1))[:len(chunk)]
+            embs.append(np.asarray(emb, np.float32)[:len(chunk)])
+        else:
+            probs = np.asarray(pred.predict_proba(imgs))[:len(chunk)]
         for p, pr in zip(chunk, probs):
             rows.append((p, int(pr.argmax()), pr))
 
@@ -442,6 +458,36 @@ def cmd_predict(cfg, inputs, output="predictions.csv", params_path=None,
         for path, cls, pr in rows:
             w.writerow([path, cls] + [f"{x:.6f}" for x in pr])
     print(f"wrote {len(rows)} predictions to {output}", flush=True)
+
+    if embs is not None:
+        np.savez(embeddings_path,
+                 paths=np.array([r[0] for r in rows]),
+                 embeddings=np.concatenate(embs, axis=0))
+        print(f"wrote {len(rows)} tile embeddings "
+              f"({embs[0].shape[-1]}-d) to {embeddings_path}", flush=True)
+
+    if by_slide:
+        root = inputs if os.path.isdir(inputs) else os.path.dirname(inputs)
+        groups = {}
+        for path, cls, pr in rows:
+            rel = os.path.relpath(os.path.dirname(path), root)
+            key = os.path.basename(os.path.abspath(root)) if rel == "." \
+                else rel
+            groups.setdefault(key, []).append((cls, pr))
+        with open(by_slide, "w", newline="") as f:
+            w = csv.writer(f)
+            ncls = len(rows[0][2])
+            w.writerow(["slide", "n_tiles", "pred", "vote_fraction"]
+                       + [f"mean_prob_{i}" for i in range(ncls)])
+            for key in sorted(groups):
+                tiles = groups[key]
+                mean_pr = np.mean([pr for _, pr in tiles], axis=0)
+                slide_cls = int(mean_pr.argmax())
+                vote = sum(1 for c, _ in tiles if c == slide_cls) / len(tiles)
+                w.writerow([key, len(tiles), slide_cls, f"{vote:.4f}"]
+                           + [f"{x:.6f}" for x in mean_pr])
+        print(f"wrote {len(groups)} slide-level predictions to {by_slide}",
+              flush=True)
     return output
 
 
@@ -583,6 +629,7 @@ def main(argv=None):
     trace_dir = None
     pred_input, pred_output = None, "predictions.csv"
     pred_params, pred_torch = None, None
+    pred_embeddings, pred_by_slide = None, None
     export_output, export_quant = "model.npz", False
     filtered = []
     for a in rest:
@@ -599,6 +646,10 @@ def main(argv=None):
             pred_params = a.split("=", 1)[1]
         elif cmd == "predict" and key.startswith("torch="):
             pred_torch = a.split("=", 1)[1]
+        elif cmd == "predict" and key.startswith("embeddings="):
+            pred_embeddings = a.split("=", 1)[1]
+        elif cmd == "predict" and key.startswith("by-slide="):
+            pred_by_slide = a.split("=", 1)[1]
         elif cmd == "export" and key.startswith("output="):
             export_output = a.split("=", 1)[1]
         elif cmd == "export" and key == "quantize":
@@ -623,7 +674,9 @@ def main(argv=None):
                 print("predict requires --input=<folder-or-image>")
                 return 1
             cmd_predict(cfg, pred_input, pred_output,
-                        params_path=pred_params, torch_path=pred_torch)
+                        params_path=pred_params, torch_path=pred_torch,
+                        embeddings_path=pred_embeddings,
+                        by_slide=pred_by_slide)
         elif cmd == "export":
             cmd_export(cfg, export_output, quantize=export_quant)
         else:

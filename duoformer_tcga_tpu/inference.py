@@ -61,7 +61,7 @@ class Predictor:
         self.params = params
         self._bsh = mesh_lib.batch_sharding(mesh) if mesh is not None else None
 
-        def fwd(p, x):
+        def fwd(p, x, **apply_kwargs):
             if preprocess:
                 x = data_lib.preprocess_tiles(x, dtype=dtype)
             else:
@@ -69,13 +69,15 @@ class Predictor:
             if tp_active:
                 from .ops import attention as attn_ops
                 with attn_ops.tp_fused_path(mesh):
-                    return self.model.apply(p, x, train=False)
-            return self.model.apply(p, x, train=False)
+                    return self.model.apply(p, x, train=False, **apply_kwargs)
+            return self.model.apply(p, x, train=False, **apply_kwargs)
 
         kwargs = {}
         if mesh is not None:
             kwargs["out_shardings"] = mesh_lib.replicated(mesh)
         self._fwd = jax.jit(fwd, **kwargs)
+        self._raw_fwd, self._jit_kwargs = fwd, kwargs
+        self._fwd_embed = None
 
     def __call__(self, tiles):
         """tiles: [B, 224, 224, 3] uint8 (or float if preprocess=False) ->
@@ -86,6 +88,22 @@ class Predictor:
 
     def predict_proba(self, tiles):
         return jax.nn.softmax(self(tiles).astype(jnp.float32), axis=-1)
+
+    def embed(self, tiles):
+        """tiles -> (logits [B, num_classes], embeddings [B, embed_dim]) in
+        ONE forward. The embedding is the pre-head CLS — the standard
+        per-tile representation for slide-level MIL aggregation (reference
+        analog: get_features taps, model_wo_extra_params.py:214-224, which
+        stop at the backbone; here the full DuoFormer representation).
+        DuoFormer-family models only (apply must accept with_embedding)."""
+        if self._fwd_embed is None:
+            import functools
+            self._fwd_embed = jax.jit(
+                functools.partial(self._raw_fwd, with_embedding=True),
+                **self._jit_kwargs)
+        if self._bsh is not None:
+            tiles = jax.device_put(tiles, self._bsh)
+        return self._fwd_embed(self.params, tiles)
 
 
 def export_serving_artifact(path: str, params, meta: dict,

@@ -97,8 +97,14 @@ class DuoFormer:
             feats = jax.tree.map(jax.lax.stop_gradient, feats)
         return feats
 
-    def apply(self, params, x, rng=None, train=False, bn_stats=None):
+    def apply(self, params, x, rng=None, train=False, bn_stats=None,
+              with_embedding=False):
         """x: [B, 224, 224, 3] NHWC -> logits [B, num_classes].
+
+        with_embedding=True -> (logits, cls [B, embed_dim]): the pre-head
+        CLS tile embedding, the standard per-tile representation for
+        slide-level MIL aggregation (the serving analog of the reference's
+        get_features backbone taps, model_wo_extra_params.py:214-224).
 
         bn_stats: optional mutable dict. When passed with train=True, every
         BatchNorm runs on batch statistics and its momentum-updated running
@@ -130,7 +136,8 @@ class DuoFormer:
         tokens = regroup.regroup(proj, stages)                 # [B,49,S,C]
         tokens = jnp.concatenate([token, tokens], axis=2)      # [B,49,S+1,C]
         return self.transformer.apply(params["transformer"], tokens,
-                                      rng=rng, train=train)
+                                      rng=rng, train=train,
+                                      with_embedding=with_embedding)
 
 
 class DuoFormerLegacy:
@@ -174,7 +181,8 @@ class DuoFormerLegacy:
             "transformer": self.transformer.init(kt),
         }
 
-    def apply(self, params, x, rng=None, train=False, bn_stats=None):
+    def apply(self, params, x, rng=None, train=False, bn_stats=None,
+              with_embedding=False):
         B = x.shape[0]
         bb_stats = {} if bn_stats is not None and train else None
         bn_train = (train and not self.freeze_backbone) or bool(bb_stats)
@@ -195,7 +203,8 @@ class DuoFormerLegacy:
         tokens = regroup.regroup(proj, regroup.stages_for(self.num_layers))
         tokens = jnp.concatenate([token, tokens], axis=2)
         return self.transformer.apply(params["transformer"], tokens,
-                                      rng=rng, train=train)
+                                      rng=rng, train=train,
+                                      with_embedding=with_embedding)
 
 
 def fold_for_inference(params):

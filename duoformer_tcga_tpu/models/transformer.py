@@ -500,8 +500,11 @@ class MultiscaleFormer:
         }
         return p
 
-    def apply(self, params, x, rng=None, train=False):
-        """x: [B, 49, S+1, C] (scale token already prepended) -> logits [B, num_classes]."""
+    def apply(self, params, x, rng=None, train=False, with_embedding=False):
+        """x: [B, 49, S+1, C] (scale token already prepended) -> logits
+        [B, num_classes]; with_embedding=True additionally returns the
+        pre-head CLS [B, C] (the exact vector the classifier sees — Q7:
+        un-normalized, scale_attention.py:341-343) as (logits, cls)."""
         B = x.shape[0]
         nh = self.num_heads
         r_scale = r_patch = r_pos_scale = r_pos_patch = None
@@ -532,7 +535,8 @@ class MultiscaleFormer:
 
         if not self.patch_attn:
             cls = jnp.mean(x[:, :, 0, :], axis=1)
-            return nn.linear(params["head"], cls)
+            logits = nn.linear(params["head"], cls)
+            return (logits, cls) if with_embedding else logits
 
         # Patch pass: block 0 consumes the 4-D tokens + CLS + pos embed;
         # blocks 1..depth-1 chain over [B, 50, C] (scale_attention.py:335-340).
@@ -563,7 +567,8 @@ class MultiscaleFormer:
 
         cls = tokens[:, 0, :]
         _ = nn.layernorm(params["fc_norm"], cls, self.ln_eps)  # Q7: discarded
-        return nn.linear(params["head"], cls)
+        logits = nn.linear(params["head"], cls)
+        return (logits, cls) if with_embedding else logits
 
 
 # ---------------------------------------------------------------------------
@@ -707,8 +712,11 @@ class MultiscaleTransformer:
             attn_drop=self.drop_rate, proj_drop=0.0,
             rng=rng, train=train, apply_qk_norm=False)
 
-    def apply(self, params, x, rng=None, train=False):
-        """x: [B, 49, S+1, C] -> logits [B, num_classes] (squeezed, Q13)."""
+    def apply(self, params, x, rng=None, train=False, with_embedding=False):
+        """x: [B, 49, S+1, C] -> logits [B, num_classes] (squeezed, Q13).
+        with_embedding=True -> (logits, cls_out [B, C]) where cls_out is the
+        post-final-norm CLS the head consumes (the embedding is NOT
+        squeezed)."""
         B = x.shape[0]
         r_scale = r_region = None
         if train and rng is not None:
@@ -762,4 +770,5 @@ class MultiscaleTransformer:
 
         cls_out = nn.layernorm(params["norm"], cls_out, self.ln_eps)
         logits = nn.linear(params["head"], cls_out)
-        return jnp.squeeze(logits)   # Q13: batch dim squeezed when B == 1
+        logits = jnp.squeeze(logits)   # Q13: batch dim squeezed when B == 1
+        return (logits, cls_out) if with_embedding else logits

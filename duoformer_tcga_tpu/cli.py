@@ -8,10 +8,11 @@ Usage:
     python -m duoformer_tcga_tpu.cli eval --preset=release-2scale
     python -m duoformer_tcga_tpu.cli predict --preset=release-2scale \
         --input=/path/to/tiles [--output=predictions.csv] \
-        [--params=model.npz | --torch=Checkpoint1.pt] \
+        [--params=model.npz | --torch=Checkpoint1.pt | \
+         --stablehlo=model.dfz] \
         [--embeddings=tiles.npz] [--by-slide=slides.csv]
     python -m duoformer_tcga_tpu.cli export --preset=release-2scale \
-        [--output=model.npz] [--quantize]
+        [--output=model.npz] [--quantize] [--stablehlo=model.dfz]
     python -m duoformer_tcga_tpu.cli make-dataset --slides=/path/wsis \
         [--output=tiles.h5] [--tile=224] [--labels=labels.csv] \
         [--min-std=5]
@@ -47,7 +48,8 @@ def _build(cfg):
                               dcn_slices=cfg.train.dcn_slices)
     steps_per_epoch = cfg.train.steps_per_epoch or 100
     total_steps = steps_per_epoch * cfg.train.epochs
-    sched = train_lib.onecycle_schedule(cfg.train.lr, total_steps)
+    sched = train_lib.make_schedule(cfg.train.schedule, cfg.train.lr,
+                                    total_steps)
     if cfg.model.family.startswith("duoformer"):
         # frozen backbone -> whole subtree frozen; unfrozen fine-tune ->
         # only the BN running stats leave the optimizer (they update via
@@ -82,7 +84,8 @@ def _cmd_train(cfg, max_steps=None):
     if max_steps is not None:
         total_steps = min(total_steps, max_steps)
     state = train_lib.init_train_state(
-        model, jax.random.PRNGKey(cfg.train.seed), opt)
+        model, jax.random.PRNGKey(cfg.train.seed), opt,
+        ema=cfg.train.ema > 0.0)
 
     ckpt = CheckpointManager(cfg.train.checkpoint_dir,
                              keep=cfg.train.keep_checkpoints)
@@ -132,12 +135,12 @@ def _cmd_train(cfg, max_steps=None):
                 _build(cfg)
             if max_steps is not None:     # re-apply the --steps clamp the
                 total_steps = min(total_steps, max_steps)  # rebuild reset
-    step_fn = train_lib.make_train_step(model, opt, mesh=mesh,
-                                        bn_stats=unfrozen,
-                                        frozen_label_fn=frozen,
-                                        accum_steps=accum,
-                                        augment=cfg.train.augment,
-                                        jitter=cfg.train.jitter)
+    step_fn = train_lib.make_train_step(
+        model, opt, mesh=mesh, bn_stats=unfrozen, frozen_label_fn=frozen,
+        accum_steps=accum, augment=cfg.train.augment,
+        jitter=cfg.train.jitter,
+        label_smoothing=cfg.train.label_smoothing,
+        mixup=cfg.train.mixup, ema=cfg.train.ema)
     logger = MetricLogger(os.path.join(cfg.train.checkpoint_dir,
                                        "metrics.jsonl"))
     bsh = mesh_lib.batch_sharding(mesh)
@@ -197,7 +200,8 @@ def _cmd_train(cfg, max_steps=None):
         step = i + 1
         extra = {}
         if step % steps_per_epoch == 0 or step == total_steps:
-            acc = quick_eval(state["params"])
+            # EMA runs gate/serve on the averaged weights
+            acc = quick_eval(train_lib.serving_params(state))
             extra["eval_accuracy"] = acc
             # best-accuracy checkpoint (reference gates at >=0.75,
             # main_toy.py:138; we always keep the best). Saved into the
@@ -241,14 +245,15 @@ def cmd_eval(cfg, num_batches=None):
     if which is not None:
         print(f"evaluating {which} checkpoint step {int(state['step'])}",
               flush=True)
+    serve = train_lib.serving_params(state)   # EMA tree when trained
     if cfg.train.model_parallel > 1:
         # same placement as cmd_train: TP layouts live on the params
         # (replicating would forfeit TP memory savings and reshard
         # every batch)
         from .parallel import tp as tp_lib
-        params = tp_lib.shard_params_tp(mesh, state["params"])
+        params = tp_lib.shard_params_tp(mesh, serve)
     else:
-        params = mesh_lib.replicate(mesh, state["params"])
+        params = mesh_lib.replicate(mesh, serve)
 
     ncls = cfg.model.num_classes
     eval_fn = train_lib.make_eval_full_step(model, ncls, mesh=mesh)
@@ -302,31 +307,48 @@ def cmd_eval(cfg, num_batches=None):
 
 def _restore_best_or_latest(cfg, model, opt):
     """(state, which) from the checkpoint dir — best if one was saved,
-    else latest resume save, else (init-state, None)."""
-    state = train_lib.init_train_state(
-        model, jax.random.PRNGKey(cfg.train.seed), opt)
+    else latest resume save, else (init-state, None). Tolerates an
+    ema/no-ema mismatch between the checkpoint and the current
+    --train.ema flag (retries with the other template)."""
     ckpt = CheckpointManager(cfg.train.checkpoint_dir)
-    restored = ckpt.restore_best(state)
-    which = "best"
-    if restored is None:
+
+    def _try(ema):
+        state = train_lib.init_train_state(
+            model, jax.random.PRNGKey(cfg.train.seed), opt, ema=ema)
+        restored = ckpt.restore_best(state)
+        if restored is not None:
+            return restored, "best"
         restored = ckpt.restore(state)
-        which = "latest"
-    if restored is None:
-        return state, None
-    return restored, which
+        return (restored, "latest") if restored is not None else (state, None)
+
+    want_ema = cfg.train.ema > 0.0
+    try:
+        return _try(want_ema)
+    except (ValueError, KeyError, TypeError):
+        return _try(not want_ema)
 
 
-def cmd_export(cfg, output="model.npz", quantize=False):
+def cmd_export(cfg, output="model.npz", quantize=False, stablehlo=None):
     """Export the trained checkpoint as a standalone serving artifact:
     BN-folded (optionally int8-quantized) params in one npz with a JSON
     meta entry. `predict --params=<npz>` serves it with no orbax
     checkpoint, no optimizer state, and no re-folding — the deployment
     hand-off the reference lacks (it re-pickles whole torch modules,
-    quirk Q14 main_toy.py:139-149)."""
+    quirk Q14 main_toy.py:139-149).
+
+    --stablehlo=<path.zip> additionally writes a hermetic compiled
+    artifact: serialized StableHLO (cpu+tpu lowering, preprocessing
+    fused) + folded params in one zip — servable by `predict
+    --stablehlo=` or any matching JAX runtime WITHOUT this package's
+    model code (utils/stablehlo.py)."""
     from dataclasses import asdict
 
     from .inference import export_serving_artifact
 
+    if stablehlo and quantize:
+        raise ValueError("--stablehlo exports the pure-XLA bf16 path; "
+                         "int8 weights only run on the fused Pallas "
+                         "kernels — drop --quantize")
     model, _mesh, opt, _, _, _ = _build(cfg)
     state, which = _restore_best_or_latest(cfg, model, opt)
     if which is None:
@@ -335,16 +357,27 @@ def cmd_export(cfg, output="model.npz", quantize=False):
             f"first, or convert a torch checkpoint")
     meta = {"model": asdict(cfg.model), "checkpoint": which,
             "step": int(state["step"])}
-    m = export_serving_artifact(output, jax.device_get(state["params"]),
-                                meta, quantize=quantize)
+    m = export_serving_artifact(
+        output, jax.device_get(train_lib.serving_params(state)),
+        meta, quantize=quantize)
     print(f"exported {which} checkpoint (step {int(state['step'])}) -> "
           f"{output} folded={m['folded']} quantized={m['quantized']}",
           flush=True)
+    if stablehlo:
+        from .utils.stablehlo import export_stablehlo
+        sm = export_stablehlo(model,
+                              jax.device_get(train_lib.serving_params(state)),
+                              stablehlo, batch_size=cfg.train.batch_size,
+                              dtype=getattr(jnp, cfg.model.dtype),
+                              meta=meta)
+        print(f"exported StableHLO (batch {sm['batch']}, platforms "
+              f"{sm['platforms']}) -> {stablehlo}", flush=True)
     return output
 
 
 def cmd_predict(cfg, inputs, output="predictions.csv", params_path=None,
-                torch_path=None, embeddings_path=None, by_slide=None):
+                torch_path=None, embeddings_path=None, by_slide=None,
+                stablehlo_path=None):
     """Serve a checkpoint on a folder (or single file) of image tiles and
     write per-tile class probabilities as CSV — the deployable twin of
     the reference's evaluation() loop (main_toy.py:39-54) for unlabeled
@@ -367,8 +400,22 @@ def cmd_predict(cfg, inputs, output="predictions.csv", params_path=None,
     from .data import folder as folder_lib
     from .inference import Predictor
 
-    if params_path and torch_path:
-        raise ValueError("pass --params= or --torch=, not both")
+    if sum(map(bool, (params_path, torch_path, stablehlo_path))) > 1:
+        raise ValueError("pass at most one of --params= / --torch= / "
+                         "--stablehlo=")
+    if stablehlo_path:
+        # hermetic serving: the artifact carries the compiled module and
+        # the folded params — no model build, no checkpoint dir
+        if embeddings_path:
+            raise ValueError("--embeddings needs the in-process model "
+                             "(the StableHLO module exports logits only)")
+        from .utils.stablehlo import load_stablehlo
+        pred = load_stablehlo(stablehlo_path)
+        print(f"predicting with StableHLO artifact {stablehlo_path} "
+              f"(batch {pred.batch}, platforms "
+              f"{pred.meta.get('platforms')})", flush=True)
+        return _predict_loop(cfg, inputs, output, pred, pred.batch,
+                             embeddings=None, by_slide=by_slide)
     model, mesh, opt, _, _, _ = _build(cfg)
     artifact = None
     if torch_path:
@@ -403,6 +450,34 @@ def cmd_predict(cfg, inputs, output="predictions.csv", params_path=None,
             print("warning: no checkpoint found — predicting from random "
                   "init", flush=True)
 
+    B = cfg.train.batch_size
+    dp = mesh_lib.data_parallel_size(mesh)
+    use_mesh = mesh if (mesh.devices.size > 1 and B % dp == 0) else None
+    if artifact is not None:
+        pred = Predictor(model, artifact, mesh=use_mesh,
+                         dtype=getattr(jnp, cfg.model.dtype),
+                         fold=False, quantize=False)
+    else:
+        pred = Predictor(model, train_lib.serving_params(state),
+                         mesh=use_mesh,
+                         dtype=getattr(jnp, cfg.model.dtype))
+    return _predict_loop(cfg, inputs, output, pred, B,
+                         embeddings=embeddings_path, by_slide=by_slide)
+
+
+def _predict_loop(cfg, inputs, output, pred, B, embeddings=None,
+                  by_slide=None):
+    """Shared serving loop: walk `inputs`, batch-decode, predict through
+    `pred` (Predictor or StableHLOPredictor — anything with
+    predict_proba), write the CSV(s)."""
+    import os
+
+    import numpy as np
+
+    from .data import folder as folder_lib
+
+    embeddings_path = embeddings
+
     def _images_in(d):
         return sorted(
             p for f in os.listdir(d)
@@ -421,16 +496,6 @@ def cmd_predict(cfg, inputs, output="predictions.csv", params_path=None,
     if not paths:
         raise FileNotFoundError(f"no images under {inputs}")
 
-    B = cfg.train.batch_size
-    dp = mesh_lib.data_parallel_size(mesh)
-    use_mesh = mesh if (mesh.devices.size > 1 and B % dp == 0) else None
-    if artifact is not None:
-        pred = Predictor(model, artifact, mesh=use_mesh,
-                         dtype=getattr(jnp, cfg.model.dtype),
-                         fold=False, quantize=False)
-    else:
-        pred = Predictor(model, state["params"], mesh=use_mesh,
-                         dtype=getattr(jnp, cfg.model.dtype))
     rows = []
     embs = [] if embeddings_path else None
     for lo in range(0, len(paths), B):
@@ -630,6 +695,7 @@ def main(argv=None):
     pred_input, pred_output = None, "predictions.csv"
     pred_params, pred_torch = None, None
     pred_embeddings, pred_by_slide = None, None
+    pred_stablehlo, export_stablehlo_path = None, None
     export_output, export_quant = "model.npz", False
     filtered = []
     for a in rest:
@@ -650,10 +716,14 @@ def main(argv=None):
             pred_embeddings = a.split("=", 1)[1]
         elif cmd == "predict" and key.startswith("by-slide="):
             pred_by_slide = a.split("=", 1)[1]
+        elif cmd == "predict" and key.startswith("stablehlo="):
+            pred_stablehlo = a.split("=", 1)[1]
         elif cmd == "export" and key.startswith("output="):
             export_output = a.split("=", 1)[1]
         elif cmd == "export" and key == "quantize":
             export_quant = True
+        elif cmd == "export" and key.startswith("stablehlo="):
+            export_stablehlo_path = a.split("=", 1)[1]
         elif key == "debug_nans":
             from .utils import profiling
             profiling.enable_nan_checks(True)
@@ -676,9 +746,11 @@ def main(argv=None):
             cmd_predict(cfg, pred_input, pred_output,
                         params_path=pred_params, torch_path=pred_torch,
                         embeddings_path=pred_embeddings,
-                        by_slide=pred_by_slide)
+                        by_slide=pred_by_slide,
+                        stablehlo_path=pred_stablehlo)
         elif cmd == "export":
-            cmd_export(cfg, export_output, quantize=export_quant)
+            cmd_export(cfg, export_output, quantize=export_quant,
+                       stablehlo=export_stablehlo_path)
         else:
             cmd_eval(cfg)
     return 0

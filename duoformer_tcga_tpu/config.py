@@ -88,7 +88,17 @@ class TrainConfig:
     batch_size: int = 128          # main_toy.py:59 (2-scale setting)
     epochs: int = 50
     lr: float = 1e-4               # main_toy.py:66: 1e-4 for 2-scale
+    # LR schedule: "onecycle" (reference, main_toy.py:112) | "cosine"
+    # (5% linear warmup then cosine to 0) | "constant"
+    schedule: str = "onecycle"
     weight_decay: float = 1e-4
+    # training regularizers beyond the reference (all off by default =
+    # reference semantics): smoothed-target CE, Beta(alpha,alpha) batch
+    # mixup, and parameter EMA (decay per step; eval/export prefer the
+    # EMA weights when enabled)
+    label_smoothing: float = 0.0
+    mixup: float = 0.0
+    ema: float = 0.0
     seed: int = 0
     steps_per_epoch: Optional[int] = None
     checkpoint_dir: str = "./checkpoints"

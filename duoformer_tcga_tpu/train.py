@@ -57,6 +57,23 @@ def _tp_kernel_ctx(mesh, where: str):
     return attn_ops.force_xla_path()
 
 
+def make_schedule(kind: str, peak_lr: float, total_steps: int):
+    """Named LR schedules: "onecycle" (the reference's, main_toy.py:112),
+    "cosine" (linear warmup 5% then cosine to 0 — the standard ViT
+    fine-tune recipe), "constant"."""
+    if kind == "onecycle":
+        return onecycle_schedule(peak_lr, total_steps)
+    if kind == "cosine":
+        total = max(total_steps, 4)
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=peak_lr,
+            warmup_steps=max(total // 20, 1), decay_steps=total)
+    if kind == "constant":
+        return optax.constant_schedule(peak_lr)
+    raise ValueError(f"unknown --train.schedule={kind!r} "
+                     f"(onecycle | cosine | constant)")
+
+
 def onecycle_schedule(peak_lr: float, total_steps: int, pct_start: float = 0.3,
                       div_factor: float = 25.0, final_div_factor: float = 1e4):
     """torch OneCycleLR defaults (cos anneal) — main_toy.py:112-114.
@@ -128,29 +145,59 @@ def merge_bn_stats(params, stats):
     return stats
 
 
-def cross_entropy(logits, labels):
+def cross_entropy(logits, labels, smoothing: float = 0.0):
+    """Mean CE; smoothing>0 mixes the one-hot target with uniform —
+    loss = (1-s)·NLL + s·mean_k(-log p_k) (the standard label-smoothing
+    identity, exactly equal to CE against the smoothed distribution)."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32))
-    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=1))
+    nll = -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=1))
+    if smoothing == 0.0:
+        return nll
+    return (1.0 - smoothing) * nll + smoothing * jnp.mean(-logp)
+
+
+def mixup_batch(rng, images, labels, alpha: float):
+    """Batch mixup (Zhang et al. 2018): one lam ~ Beta(alpha, alpha) per
+    batch, partner = a random permutation. Returns (mixed_images,
+    partner_labels, lam); the caller forms
+    lam·CE(logits, labels) + (1-lam)·CE(logits, partner_labels).
+    lam is folded toward 1 (lam = max(lam, 1-lam)) so the ORIGINAL label
+    is always the dominant target — keeps the accuracy metric (measured
+    vs the original labels) meaningful."""
+    lrng, prng = jax.random.split(rng)
+    lam = jax.random.beta(lrng, alpha, alpha, dtype=jnp.float32)
+    lam = jnp.maximum(lam, 1.0 - lam)
+    perm = jax.random.permutation(prng, images.shape[0])
+    mixed = (lam.astype(images.dtype) * images
+             + (1.0 - lam).astype(images.dtype) * images[perm])
+    return mixed, labels[perm], lam
 
 
 def accuracy(logits, labels):
     return jnp.mean((jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32))
 
 
-def init_train_state(model, key, optimizer) -> Dict[str, Any]:
+def init_train_state(model, key, optimizer, ema: bool = False
+                     ) -> Dict[str, Any]:
     params = model.init(key)
-    return {
+    state = {
         "params": params,
         # jitted: eager optax init dispatches one tiny op per param leaf,
         # which is minutes over a high-latency device transport
         "opt_state": jax.jit(optimizer.init)(params),
         "step": jnp.zeros((), jnp.int32),
     }
+    if ema:
+        # ema starts AT the init params (no zero-init debias needed);
+        # make_train_step(ema=decay) updates it after every optimizer step
+        state["ema_params"] = jax.tree.map(jnp.copy, params)
+    return state
 
 
 def make_train_step(model, optimizer, mesh=None, donate=True,
                     bn_stats=False, frozen_label_fn=None, accum_steps=1,
-                    augment="none", jitter=0.0):
+                    augment="none", jitter=0.0, label_smoothing=0.0,
+                    mixup=0.0, ema=0.0):
     """Returns jitted (state, batch, rng) -> (state, metrics).
 
     frozen_label_fn: the SAME label fn handed to make_optimizer (e.g.
@@ -191,7 +238,17 @@ def make_train_step(model, optimizer, mesh=None, donate=True,
     augment/jitter: device-side train-time augmentation
     (data.pipeline.augment_tiles — per-sample D4 dihedral transform and/or
     photometric jitter), applied inside the jitted step before the model;
-    per-microbatch rngs under accumulation. Eval paths never augment."""
+    per-microbatch rngs under accumulation. Eval paths never augment.
+
+    label_smoothing: smoothed-target CE (see cross_entropy).
+    mixup: Beta(alpha, alpha) batch mixup (see mixup_batch), applied on
+    the normalized images inside the step; the logged accuracy is
+    measured against the ORIGINAL (dominant, lam >= 0.5) labels.
+    ema: exponential moving average of the params — state gains an
+    "ema_params" tree (init_train_state(ema=True)) updated as
+    ema = decay·ema + (1-decay)·params after every optimizer step; eval/
+    export prefer it (the standard ViT-training stabilizer, absent
+    upstream)."""
     tp = _tp_active(mesh)
     if accum_steps > 1 and bn_stats:
         raise ValueError("accum_steps>1 with bn_stats=True is not "
@@ -205,6 +262,12 @@ def make_train_step(model, optimizer, mesh=None, donate=True,
             arng = jax.random.fold_in(rng, 0x41554731)
             batch = dict(batch, image=pipeline.augment_tiles(
                 arng, batch["image"], mode=augment, jitter=jitter))
+        mix_labels, lam = None, None
+        if mixup > 0.0:
+            mrng = jax.random.fold_in(rng, 0x4D495855)
+            mixed, mix_labels, lam = mixup_batch(
+                mrng, batch["image"], batch["label"], mixup)
+            batch = dict(batch, image=mixed)
         if frozen_label_fn is not None:
             labels = frozen_label_fn(params)
             params = jax.tree.map(
@@ -216,7 +279,11 @@ def make_train_step(model, optimizer, mesh=None, donate=True,
         with ctx:
             logits = model.apply(params, batch["image"], rng=rng,
                                  train=True, **kwargs)
-        loss = cross_entropy(logits, batch["label"])
+        loss = cross_entropy(logits, batch["label"], label_smoothing)
+        if mixup > 0.0:
+            loss = (lam * loss
+                    + (1.0 - lam) * cross_entropy(logits, mix_labels,
+                                                  label_smoothing))
         return loss, (logits, stats)
 
     def _grads_and_metrics(params, batch, rng):
@@ -270,8 +337,16 @@ def make_train_step(model, optimizer, mesh=None, donate=True,
         if bn_stats and stats:
             params = merge_bn_stats(params, stats)
         metrics = {"loss": loss, "accuracy": acc}
-        return {"params": params, "opt_state": opt_state,
-                "step": state["step"] + 1}, metrics
+        out = {"params": params, "opt_state": opt_state,
+               "step": state["step"] + 1}
+        if ema > 0.0:
+            d = jnp.float32(ema)
+            out["ema_params"] = jax.tree.map(
+                lambda e, p: (d * e.astype(jnp.float32)
+                              + (1.0 - d) * p.astype(jnp.float32)
+                              ).astype(e.dtype),
+                state["ema_params"], params)
+        return out, metrics
 
     kwargs = {}
     if donate:
@@ -287,6 +362,8 @@ def make_train_step(model, optimizer, mesh=None, donate=True,
             kwargs["out_shardings"] = (None, repl)
         else:
             state_sh = {"params": repl, "opt_state": repl, "step": repl}
+            if ema > 0.0:
+                state_sh["ema_params"] = repl
             kwargs["in_shardings"] = (state_sh, {"image": bsh, "label": bsh},
                                       repl)
             kwargs["out_shardings"] = (state_sh, repl)
@@ -394,6 +471,12 @@ def plan_train_memory(model, batch_size: int,
     return {"accum_steps": 1, "save_hidden": False, "remat": True,
             "reason": "activation residuals exceed HBM even without "
                       "save-hidden; rematerializing blocks"}
+
+
+def serving_params(state: Dict[str, Any]) -> Dict:
+    """The weights eval/serving/export should use: the EMA tree when the
+    run maintained one (train.ema > 0), else the raw params."""
+    return state.get("ema_params", state["params"])
 
 
 def make_eval_full_step(model, num_classes, mesh=None):

@@ -93,6 +93,23 @@ def _cmd_train(cfg, max_steps=None):
     if restored is not None:
         state = restored
         print(f"resumed from step {int(state['step'])}", flush=True)
+    elif cfg.train.init_from or cfg.train.init_backbone:
+        # warm start (fresh runs only — resume wins): fine-tune a
+        # reference torch checkpoint and/or graft pretrained trunk
+        # weights, the reference's pretrained=True path
+        state["params"] = train_lib.warm_start_params(
+            model, state["params"],
+            init_from=cfg.train.init_from,
+            init_backbone=cfg.train.init_backbone,
+            reinit_head=cfg.train.reinit_head,
+            family=cfg.model.family)
+        if "ema_params" in state:
+            state["ema_params"] = jax.tree.map(jnp.copy, state["params"])
+        src = " + ".join(filter(None, (cfg.train.init_from,
+                                       cfg.train.init_backbone)))
+        print(f"warm start from {src}"
+              + (" (head reinitialized)" if cfg.train.reinit_head else ""),
+              flush=True)
     if cfg.train.model_parallel > 1:
         # TP layouts live on the state arguments (make_train_step's TP
         # branch jits with in_shardings=None): place params with the

@@ -116,6 +116,18 @@ class TrainConfig:
     # held-out eval source; None = a reshuffled pass over `dataset`
     eval_dataset: Optional[str] = None
     dataset: str = "synthetic"
+    # warm start (fresh runs only — a resume checkpoint in checkpoint_dir
+    # always wins): init_from = a reference torch checkpoint (state_dict
+    # or the Q14 whole-object pickle, main_toy.py:139-149) converted to
+    # the full param tree — the fine-tune-Checkpoint1/2 workflow;
+    # reinit_head replaces the loaded classifier head with the fresh
+    # init (class-count transfer). init_backbone = lunit-io SSL registry
+    # key (BT/MoCoV2/SwAV; cached file required, no egress here) or a
+    # local torch weights path grafted into the backbone subtree — the
+    # reference's pretrained=True path (resnet50ssl.py:48-79).
+    init_from: Optional[str] = None
+    reinit_head: bool = False
+    init_backbone: Optional[str] = None
     # backend override ("cpu"/"tpu"); None = process default. Needed where
     # a TPU plugin is registered but the CPU backend should run the job.
     platform: Optional[str] = None

@@ -194,6 +194,84 @@ def init_train_state(model, key, optimizer, ema: bool = False
     return state
 
 
+def _tree_spec(tree) -> Dict[str, tuple]:
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    return {jax.tree_util.keystr(p): jnp.shape(v) for p, v in flat}
+
+
+def warm_start_params(model, fresh, *, init_from=None, init_backbone=None,
+                      reinit_head=False, family="duoformer"):
+    """Warm-start a freshly initialized param tree.
+
+    init_from: path to a reference torch checkpoint — a plain state_dict
+    or the whole-object pickle the reference's epoch loop writes (Q14,
+    main_toy.py:139-149) — converted to the full model tree. This is the
+    fine-tune-Checkpoint1/2 workflow. With reinit_head=True the loaded
+    classifier head is replaced by the fresh init (transfer to a new
+    class count); otherwise any head-shape mismatch is an error.
+
+    init_backbone: lunit-io SSL registry key (BT/MoCoV2/SwAV) or a local
+    torch weights file, grafted into params["backbone"] — the
+    reference's pretrained trunk path (resnet50ssl.py:48-79). Applied
+    after init_from, so both can combine (checkpoint transformer +
+    different trunk) though the usual use is one or the other.
+
+    Loaded leaves are cast to the fresh leaf dtypes so optimizer state
+    initialized from the fresh tree stays valid."""
+    from .utils import torch_convert as tc
+
+    params = fresh
+    if init_from:
+        conv = {"duoformer": tc.convert_duoformer,
+                "duoformer_legacy": tc.convert_duoformer_legacy}.get(family)
+        if conv is None:
+            raise ValueError(
+                f"--train.init_from supports the duoformer families, not "
+                f"family={family!r} (for baselines use the converters in "
+                f"utils.torch_convert directly)")
+        sd = tc.state_dict_from_reference_checkpoint(init_from)
+        loaded = tc.to_jax(conv(sd, model))
+        sa, sb = _tree_spec(loaded), _tree_spec(fresh)
+        mism = sorted(k for k in (sa.keys() | sb.keys())
+                      if sa.get(k) != sb.get(k))
+        if mism and all("head" in k for k in mism):
+            if not reinit_head:
+                raise ValueError(
+                    f"checkpoint classifier head does not match "
+                    f"model.num_classes ({mism}) — pass "
+                    f"--train.reinit_head to reinitialize the head for "
+                    f"class-count transfer")
+            loaded = dict(loaded, transformer=dict(
+                loaded["transformer"], head=fresh["transformer"]["head"]))
+        elif mism:
+            raise ValueError(
+                f"checkpoint does not match the model tree "
+                f"(first mismatches: {mism[:8]}) — check "
+                f"--preset/--model.* against the checkpoint's "
+                f"architecture")
+        params = loaded
+    if init_backbone:
+        from .utils import pretrained
+        if not (isinstance(params, dict) and "backbone" in params):
+            raise ValueError(
+                "--train.init_backbone needs a model with a backbone "
+                "subtree (the duoformer families)")
+        depth = 18 if getattr(model, "backbone_name", "r50") == "r18" else 50
+        bb = pretrained.load_backbone(init_backbone, depth=depth)
+        sa, sb = _tree_spec(bb), _tree_spec(fresh["backbone"])
+        mism = sorted(k for k in (sa.keys() | sb.keys())
+                      if sa.get(k) != sb.get(k))
+        if mism:
+            raise ValueError(
+                f"pretrained backbone does not match the model trunk "
+                f"(first mismatches: {mism[:8]}) — r18 weights on an r50 "
+                f"config, or vice versa?")
+        params = dict(params, backbone=bb)
+    # match fresh dtypes leaf-for-leaf (torch exports are float32; the
+    # model may init some leaves in its compute dtype)
+    return jax.tree.map(lambda l, f: jnp.asarray(l, f.dtype), params, fresh)
+
+
 def make_train_step(model, optimizer, mesh=None, donate=True,
                     bn_stats=False, frozen_label_fn=None, accum_steps=1,
                     augment="none", jitter=0.0, label_smoothing=0.0,

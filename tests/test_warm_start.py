@@ -14,7 +14,8 @@ import pytest
 import torch
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from torch_oracle import OracleDuoFormer, OracleResNetTrunk  # noqa: E402
+from torch_oracle import (OracleDuoFormer, OracleDuoFormerLegacy,  # noqa: E402
+                          OracleResNetTrunk)
 
 from duoformer_tcga_tpu import config as config_lib  # noqa: E402
 from duoformer_tcga_tpu import train as train_lib  # noqa: E402
@@ -52,6 +53,27 @@ def test_init_from_matches_converter(tmp_path):
     om, path = _oracle_ckpt(tmp_path)
     got = train_lib.warm_start_params(model, fresh, init_from=path)
     want = tc.to_jax(tc.convert_duoformer(om.state_dict(), model))
+    assert _leaves_equal(got, want)
+
+
+def test_init_from_legacy_family(tmp_path):
+    # the legacy-channel preset's regularization: attn_drop 0.1 creates
+    # the Q9 qk-norm params the oracle checkpoint carries
+    mc = config_lib.ModelConfig(family="duoformer_legacy", depth=1,
+                                embed_dim=96, proj_dim=96, num_classes=2,
+                                init_values=1e-5, attn_drop_rate=0.1,
+                                proj_drop_rate=0.1, dtype="float32")
+    model = mc.build()
+    fresh = model.init(jax.random.PRNGKey(0))
+    torch.manual_seed(7)
+    om = OracleDuoFormerLegacy(depth=1, embed_dim=96, num_classes=2,
+                               proj_dim=96)
+    om.eval()
+    path = str(tmp_path / "legacy.pth")
+    torch.save({"model": om.state_dict()}, path)
+    got = train_lib.warm_start_params(model, fresh, init_from=path,
+                                      family="duoformer_legacy")
+    want = tc.to_jax(tc.convert_duoformer_legacy(om.state_dict(), model))
     assert _leaves_equal(got, want)
 
 

@@ -298,8 +298,9 @@ def cmd_eval(cfg, num_batches=None, params_path=None, torch_path=None,
     total, correct, loss_sum = 0, 0, 0.0
     pc_correct = np.zeros((ncls,), np.int64)
     pc_count = np.zeros((ncls,), np.int64)
-    all_probs, all_labels = [], []
+    all_probs, all_labels, all_groups = [], [], []
     for raw in stream:
+        all_groups.extend(raw.get("group", ()))
         batch = {
             "image": preprocess(jnp.asarray(raw["image"])),
             "label": jax.device_put(
@@ -336,6 +337,27 @@ def cmd_eval(cfg, num_batches=None, params_path=None, torch_path=None,
         print("confusion matrix (rows=true, cols=pred):", flush=True)
         for c in range(ncls):
             print("  " + " ".join(f"{int(v):6d}" for v in cm[c]), flush=True)
+    # slide-level aggregation: for the nested class/slide/tiles layout,
+    # mean tile probabilities per slide -> one prediction per slide (the
+    # clinical deployment metric; the reference evaluates per-tile only).
+    # Class-only groups (flat layout) are skipped — aggregating a whole
+    # class directory into one "slide" is meaningless.
+    slides = None
+    if (len(all_groups) == len(labels)
+            and any("/" in g for g in all_groups)):
+        import collections
+        by = collections.defaultdict(list)
+        for i, g in enumerate(all_groups):
+            if "/" in g:
+                by[g].append(i)
+        s_correct = sum(
+            int(probs[idx].mean(0).argmax() == labels[idx[0]])
+            for idx in by.values())
+        slides = {"n": len(by), "correct": s_correct,
+                  "accuracy": s_correct / len(by)}
+        print(f"slides: {s_correct}/{len(by)} "
+              f"acc={slides['accuracy']:.4f} (mean tile probability)",
+              flush=True)
     if report_path:
         import json
         with open(report_path, "w") as f:
@@ -346,6 +368,7 @@ def cmd_eval(cfg, num_batches=None, params_path=None, torch_path=None,
                 "per_class_correct": pc_correct.tolist(),
                 "per_class_count": pc_count.tolist(),
                 "confusion_matrix": cm.tolist(),
+                "slides": slides,
             }, f, indent=1)
         print(f"wrote {report_path}", flush=True)
     return correct / total

@@ -50,7 +50,11 @@ def _decode(path: str, size: Optional[int]) -> np.ndarray:
 
 
 class ImageFolderDataset:
-    """root/<class_name>/*.ext -> shuffled uint8 batches.
+    """root/<class_name>/*.ext -> shuffled uint8 batches. One extra
+    nesting level is also scanned — root/<class>/<slide>/*.ext, the
+    natural one-directory-per-WSI export layout — and each tile remembers
+    its group ("<class>" or "<class>/<slide>") so evaluation can
+    aggregate to slide level.
 
     Class names map to indices in sorted order (torchvision ImageFolder
     convention). Images are decoded on demand; pass size to resize on host
@@ -61,25 +65,45 @@ class ImageFolderDataset:
             raise FileNotFoundError(f"dataset root not found: {root}")
         self.root = root
         self.size = size
-        # only directories that actually CONTAIN images count as classes:
-        # a checkpoint/metrics dir placed inside the dataset root would
+
+        def _images_in(d):
+            return [fn for fn in sorted(os.listdir(d))
+                    if fn.lower().endswith(IMAGE_EXTENSIONS)
+                    and os.path.isfile(os.path.join(d, fn))]
+
+        def _subdirs_in(d):
+            return [fn for fn in sorted(os.listdir(d))
+                    if os.path.isdir(os.path.join(d, fn))]
+
+        # only directories that actually CONTAIN images (directly, or in
+        # an immediate slide subdirectory) count as classes: a
+        # checkpoint/metrics dir placed inside the dataset root would
         # otherwise silently shift the sorted class->index mapping (and
         # push real labels out of the model's num_classes range)
+        def _is_class(d):
+            return bool(_images_in(d)) or any(
+                _images_in(os.path.join(d, s)) for s in _subdirs_in(d))
+
         classes = sorted(
             d for d in os.listdir(root)
             if os.path.isdir(os.path.join(root, d))
-            and any(fn.lower().endswith(IMAGE_EXTENSIONS)
-                    for fn in os.listdir(os.path.join(root, d))))
+            and _is_class(os.path.join(root, d)))
         if not classes:
             raise ValueError(f"no class subdirectories under {root}")
         self.class_to_idx: Dict[str, int] = {c: i for i, c in enumerate(classes)}
         self.samples: List[Tuple[str, int]] = []
+        self.groups: List[str] = []   # parallel to samples
         for c in classes:
             cdir = os.path.join(root, c)
-            for fn in sorted(os.listdir(cdir)):
-                if fn.lower().endswith(IMAGE_EXTENSIONS):
-                    self.samples.append((os.path.join(cdir, fn),
+            for fn in _images_in(cdir):
+                self.samples.append((os.path.join(cdir, fn),
+                                     self.class_to_idx[c]))
+                self.groups.append(c)
+            for sd in _subdirs_in(cdir):
+                for fn in _images_in(os.path.join(cdir, sd)):
+                    self.samples.append((os.path.join(cdir, sd, fn),
                                          self.class_to_idx[c]))
+                    self.groups.append(f"{c}/{sd}")
         if not self.samples:
             raise ValueError(f"no images with {IMAGE_EXTENSIONS} under {root}")
         self.num_classes = len(classes)
@@ -270,7 +294,10 @@ def open_dataset_eval(spec: str, batch_size: int, num_classes: int = 2,
         chunk = ds.samples[lo:lo + batch_size]
         imgs = ds._decode_batch([p for p, _ in chunk])
         labels = np.asarray([c for _, c in chunk], np.int32)
-        yield _pad_eval_batch(imgs, labels, batch_size)
+        # host-side slide/group ids (class or class/slide per tile) ride
+        # along for slide-level aggregation; the jitted step ignores them
+        yield dict(_pad_eval_batch(imgs, labels, batch_size),
+                   group=ds.groups[lo:lo + batch_size])
 
 
 WSI_EXTENSIONS = (".npy", ".raw", ".svs", ".tif", ".tiff", ".png", ".jpg",

@@ -271,6 +271,8 @@ def open_dataset_eval(spec: str, batch_size: int, num_classes: int = 2,
             yield dict(b, valid=len(b["label"]))
         return
     if spec.endswith((".h5", ".hdf5")):
+        import json
+
         import h5py
 
         with h5py.File(spec, "r") as f:
@@ -280,11 +282,23 @@ def open_dataset_eval(spec: str, batch_size: int, num_classes: int = 2,
             if len(labels):
                 _check_labels_fit(int(np.max(labels)), num_classes,
                                   f"HDF5 dataset {spec}")
+            groups = None
+            if "slide_ids" in f:   # make-dataset records tile provenance
+                names = json.loads(f.attrs.get("slide_names", "[]"))
+                sids = f["slide_ids"][:].astype(np.int64)
+                # class-prefixed "<label>/<slide>" matches the nested
+                # image-folder group convention the eval aggregator keys on
+                groups = [
+                    f"{int(l)}/{names[s] if s < len(names) else f'slide{s}'}"
+                    for l, s in zip(labels, sids)]
             n = images.shape[0]
             for lo in range(0, n, batch_size):
                 hi = min(lo + batch_size, n)
-                yield _pad_eval_batch(images[lo:hi].astype(np.uint8),
-                                      labels[lo:hi], batch_size)
+                b = _pad_eval_batch(images[lo:hi].astype(np.uint8),
+                                    labels[lo:hi], batch_size)
+                if groups is not None:
+                    b["group"] = groups[lo:hi]
+                yield b
         return
     ds = ImageFolderDataset(spec, size=size)
     _check_labels_fit(ds.num_classes - 1, num_classes,
@@ -319,12 +333,20 @@ def build_hdf5_dataset(out_path: str, slides, tile: int = 224,
     below it (blank glass is near-constant white). Streams slide by slide
     — peak memory is one decoded plane + one tile chunk.
 
+    Each tile also records its source slide (`slide_ids` int32 dataset +
+    `slide_names` JSON attr) so evaluation can aggregate tile
+    predictions to labeled slide-level accuracy, mirroring the nested
+    image-folder layout.
+
     Returns [(path, n_tiles_written)] per slide."""
+    import json
+
     import h5py
 
     from . import wsi as wsi_lib
 
     counts = []
+    slide_names = []
     with h5py.File(out_path, "w") as f:
         images = f.create_dataset(
             "images", shape=(0, tile, tile, 3),
@@ -332,7 +354,10 @@ def build_hdf5_dataset(out_path: str, slides, tile: int = 224,
             chunks=(min(chunk, 64), tile, tile, 3))
         labels = f.create_dataset("labels", shape=(0,), maxshape=(None,),
                                   dtype="int32")
-        for path, label in slides:
+        slide_ids = f.create_dataset("slide_ids", shape=(0,),
+                                     maxshape=(None,), dtype="int32")
+        for si, (path, label) in enumerate(slides):
+            slide_names.append(os.path.splitext(os.path.basename(path))[0])
             reader = wsi_lib.open_slide(path)
             plane = np.ascontiguousarray(reader.plane) if isinstance(
                 reader.plane, np.memmap) else reader.plane
@@ -353,8 +378,11 @@ def build_hdf5_dataset(out_path: str, slides, tile: int = 224,
                 images[n0:] = tiles
                 labels.resize(n0 + len(tiles), axis=0)
                 labels[n0:] = np.int32(label)
+                slide_ids.resize(n0 + len(tiles), axis=0)
+                slide_ids[n0:] = np.int32(si)
                 n_slide += len(tiles)
             counts.append((path, n_slide))
+        f.attrs["slide_names"] = json.dumps(slide_names)
     return counts
 
 

@@ -71,6 +71,28 @@ def test_build_writes_streamable_h5(slide_dirs, tmp_path):
     assert got[0]["image"].shape == (8, 32, 32, 3)
 
 
+def test_build_records_slide_provenance(slide_dirs, tmp_path):
+    import json
+
+    import h5py
+
+    out = str(tmp_path / "tiles.h5")
+    folder_lib.build_hdf5_dataset(
+        out, folder_lib.discover_slides(slide_dirs), tile=32)
+    with h5py.File(out, "r") as f:
+        sids = f["slide_ids"][:]
+        names = json.loads(f.attrs["slide_names"])
+    assert names == ["benign_a", "tumor_a"]
+    assert list(sids[:12]) == [0] * 12 and list(sids[12:]) == [1] * 12
+
+    # the eval stream turns provenance into class-prefixed groups the
+    # slide-level aggregator keys on
+    batches = list(folder_lib.open_dataset_eval(out, 8, num_classes=2))
+    flat = [g for b in batches for g in b["group"]]
+    assert flat == ["0/benign_a"] * 12 + ["1/tumor_a"] * 12
+    assert sum(b["valid"] for b in batches) == 24
+
+
 def test_min_std_drops_background(tmp_path):
     rng = np.random.default_rng(1)
     slide = tmp_path / "s.npy"

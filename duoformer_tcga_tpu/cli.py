@@ -350,13 +350,18 @@ def cmd_eval(cfg, num_batches=None, params_path=None, torch_path=None,
         for i, g in enumerate(all_groups):
             if "/" in g:
                 by[g].append(i)
-        s_correct = sum(
-            int(probs[idx].mean(0).argmax() == labels[idx[0]])
-            for idx in by.values())
+        s_probs = np.stack([probs[idx].mean(0) for idx in by.values()])
+        s_labels = np.asarray([labels[idx[0]] for idx in by.values()])
+        s_correct = int((s_probs.argmax(-1) == s_labels).sum())
         slides = {"n": len(by), "correct": s_correct,
-                  "accuracy": s_correct / len(by)}
+                  "accuracy": s_correct / len(by),
+                  "roc_auc_ovr": float(roc_auc_ovr(s_probs, s_labels, ncls)),
+                  "macro_f1": float(macro_f1(s_probs.argmax(-1), s_labels,
+                                             ncls))}
         print(f"slides: {s_correct}/{len(by)} "
-              f"acc={slides['accuracy']:.4f} (mean tile probability)",
+              f"acc={slides['accuracy']:.4f} "
+              f"auc={slides['roc_auc_ovr']:.4f} "
+              f"macro_f1={slides['macro_f1']:.4f} (mean tile probability)",
               flush=True)
     if report_path:
         import json

@@ -84,3 +84,5 @@ def test_cli_eval_reports_slide_accuracy(tmp_path, capsys):
     assert rep["slides"]["n"] == 3            # every slide counted
     assert 0.0 <= rep["slides"]["accuracy"] <= 1.0
     assert rep["slides"]["correct"] <= 3
+    assert 0.0 <= rep["slides"]["roc_auc_ovr"] <= 1.0
+    assert 0.0 <= rep["slides"]["macro_f1"] <= 1.0

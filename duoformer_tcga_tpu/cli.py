@@ -357,7 +357,14 @@ def cmd_eval(cfg, num_batches=None, params_path=None, torch_path=None,
                   "accuracy": s_correct / len(by),
                   "roc_auc_ovr": float(roc_auc_ovr(s_probs, s_labels, ncls)),
                   "macro_f1": float(macro_f1(s_probs.argmax(-1), s_labels,
-                                             ncls))}
+                                             ncls)),
+                  "per_slide": {
+                      g: {"label": int(labels[idx[0]]),
+                          "pred": int(probs[idx].mean(0).argmax()),
+                          "n_tiles": len(idx),
+                          "mean_probs": [round(float(p), 6)
+                                         for p in probs[idx].mean(0)]}
+                      for g, idx in by.items()}}
         print(f"slides: {s_correct}/{len(by)} "
               f"acc={slides['accuracy']:.4f} "
               f"auc={slides['roc_auc_ovr']:.4f} "

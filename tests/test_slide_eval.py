@@ -86,3 +86,8 @@ def test_cli_eval_reports_slide_accuracy(tmp_path, capsys):
     assert rep["slides"]["correct"] <= 3
     assert 0.0 <= rep["slides"]["roc_auc_ovr"] <= 1.0
     assert 0.0 <= rep["slides"]["macro_f1"] <= 1.0
+    per = rep["slides"]["per_slide"]
+    assert set(per) == {"classA/slide1", "classA/slide2", "classB/slide3"}
+    assert per["classA/slide1"]["n_tiles"] == 3
+    assert per["classB/slide3"]["label"] == 1
+    assert abs(sum(per["classA/slide2"]["mean_probs"]) - 1.0) < 1e-3

@@ -158,7 +158,8 @@ def _cmd_train(cfg, max_steps=None):
         accum_steps=accum, augment=cfg.train.augment,
         jitter=cfg.train.jitter,
         label_smoothing=cfg.train.label_smoothing,
-        mixup=cfg.train.mixup, ema=cfg.train.ema)
+        mixup=cfg.train.mixup, ema=cfg.train.ema,
+        class_weights=_resolve_class_weights(cfg))
     logger = MetricLogger(os.path.join(cfg.train.checkpoint_dir,
                                        "metrics.jsonl"))
     bsh = mesh_lib.batch_sharding(mesh)
@@ -247,6 +248,39 @@ def _cmd_train(cfg, max_steps=None):
     ckpt.wait()
     print(f"training done (best eval acc {best_acc:.4f})", flush=True)
     return state
+
+
+def _resolve_class_weights(cfg):
+    """--train.class_weights -> [num_classes] float array or None.
+    "auto" = inverse-frequency over the training split, w_c =
+    N / (K * count_c) (sklearn's "balanced" convention; a class absent
+    from the split keeps weight 0 — it can't be learned anyway);
+    otherwise comma-separated floats, one per class."""
+    import numpy as np
+
+    spec = cfg.train.class_weights
+    if not spec:
+        return None
+    ncls = cfg.model.num_classes
+    if spec == "auto":
+        from .data import folder as folder_lib
+        counts = folder_lib.dataset_label_counts(cfg.train.dataset, ncls)
+        if counts is None:
+            raise ValueError(
+                "--train.class_weights=auto needs a real dataset "
+                "(--train.dataset=<folder|.h5>) to count class "
+                "frequencies; pass explicit weights for synthetic runs")
+        w = np.where(counts > 0, counts.sum() / (ncls * np.maximum(counts, 1)),
+                     0.0)
+        print(f"class weights (auto, counts={counts.tolist()}): "
+              f"{np.round(w, 4).tolist()}", flush=True)
+        return w.astype(np.float32)
+    w = np.asarray([float(x) for x in spec.split(",")], np.float32)
+    if len(w) != ncls:
+        raise ValueError(
+            f"--train.class_weights has {len(w)} entries but "
+            f"model.num_classes={ncls}")
+    return w
 
 
 def cmd_eval(cfg, num_batches=None, params_path=None, torch_path=None,

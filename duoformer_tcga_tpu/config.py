@@ -128,6 +128,10 @@ class TrainConfig:
     init_from: Optional[str] = None
     reinit_head: bool = False
     init_backbone: Optional[str] = None
+    # per-class loss weights for imbalanced datasets: "auto"
+    # (inverse-frequency from the training split) or comma floats
+    # ("1.0,2.5"); None = unweighted (reference semantics)
+    class_weights: Optional[str] = None
     # backend override ("cpu"/"tpu"); None = process default. Needed where
     # a TPU plugin is registered but the CPU backend should run the job.
     platform: Optional[str] = None

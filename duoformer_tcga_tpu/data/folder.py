@@ -237,6 +237,30 @@ def open_dataset(spec: str, batch_size: int, num_classes: int = 2,
     return ds.batches(batch_size, seed=seed)
 
 
+def dataset_label_counts(spec: str, num_classes: int):
+    """Per-class sample counts for a dataset spec, or None when counts
+    aren't knowable up front (synthetic streams). Used to resolve
+    --train.class_weights=auto (inverse-frequency weighting)."""
+    if spec in (None, "", "synthetic"):
+        return None
+    counts = np.zeros((num_classes,), np.int64)
+    if spec.endswith((".h5", ".hdf5")):
+        import h5py
+
+        with h5py.File(spec, "r") as f:
+            labels = (f["labels"][:].astype(np.int64) if "labels" in f
+                      else np.zeros((f["images"].shape[0],), np.int64))
+        _check_labels_fit(int(labels.max(initial=0)), num_classes,
+                          f"HDF5 dataset {spec}")
+        np.add.at(counts, labels, 1)
+        return counts
+    ds = ImageFolderDataset(spec, size=None)
+    _check_labels_fit(ds.num_classes - 1, num_classes,
+                      f"image folder {spec}")
+    np.add.at(counts, [c for _, c in ds.samples], 1)
+    return counts
+
+
 def _pad_eval_batch(imgs, labels, batch_size):
     """Pad a short final batch to the jitted static shape. Padded labels
     are -1: they never match an argmax (correct-count safe) and one-hot to

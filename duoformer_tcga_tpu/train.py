@@ -145,15 +145,30 @@ def merge_bn_stats(params, stats):
     return stats
 
 
-def cross_entropy(logits, labels, smoothing: float = 0.0):
+def cross_entropy(logits, labels, smoothing: float = 0.0, weights=None):
     """Mean CE; smoothing>0 mixes the one-hot target with uniform —
     loss = (1-s)·NLL + s·mean_k(-log p_k) (the standard label-smoothing
-    identity, exactly equal to CE against the smoothed distribution)."""
+    identity, exactly equal to CE against the smoothed distribution).
+
+    weights: optional [num_classes] per-class weights with torch
+    F.cross_entropy(weight=) semantics (parity-tested): the NLL term is
+    scaled by weights[label], the smoothing term weights each class k by
+    weights[k] (CE against the smoothed distribution with weighted class
+    terms), and the mean normalizes by the summed sample weights — class
+    balance, not batch composition, sets each class's influence."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32))
-    nll = -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=1))
-    if smoothing == 0.0:
-        return nll
-    return (1.0 - smoothing) * nll + smoothing * jnp.mean(-logp)
+    nll_i = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+    if weights is None:
+        if smoothing != 0.0:
+            nll_i = ((1.0 - smoothing) * nll_i
+                     + smoothing * jnp.mean(-logp, -1))
+        return jnp.mean(nll_i)
+    w = jnp.asarray(weights, jnp.float32)
+    loss_i = nll_i * w[labels]
+    if smoothing != 0.0:
+        loss_i = ((1.0 - smoothing) * loss_i
+                  + smoothing * jnp.mean(-logp * w[None, :], -1))
+    return jnp.sum(loss_i) / jnp.sum(w[labels])
 
 
 def mixup_batch(rng, images, labels, alpha: float):
@@ -275,7 +290,7 @@ def warm_start_params(model, fresh, *, init_from=None, init_backbone=None,
 def make_train_step(model, optimizer, mesh=None, donate=True,
                     bn_stats=False, frozen_label_fn=None, accum_steps=1,
                     augment="none", jitter=0.0, label_smoothing=0.0,
-                    mixup=0.0, ema=0.0):
+                    mixup=0.0, ema=0.0, class_weights=None):
     """Returns jitted (state, batch, rng) -> (state, metrics).
 
     frozen_label_fn: the SAME label fn handed to make_optimizer (e.g.
@@ -326,8 +341,18 @@ def make_train_step(model, optimizer, mesh=None, donate=True,
     "ema_params" tree (init_train_state(ema=True)) updated as
     ema = decay·ema + (1-decay)·params after every optimizer step; eval/
     export prefer it (the standard ViT-training stabilizer, absent
-    upstream)."""
+    upstream).
+    class_weights: optional [num_classes] per-class loss weights (torch
+    F.cross_entropy weight= semantics, see cross_entropy) for imbalanced
+    datasets; "auto" resolution (inverse-frequency) happens in
+    cmd_train. NOTE: weighted CE normalizes by the summed sample weights,
+    so under gradient accumulation microbatch means are averaged (exact
+    only when weights are uniform; the class-frequency-weighted average
+    differs from the full-batch value by the per-microbatch weight sums
+    — documented approximation, gradients stay unbiased in expectation)."""
     tp = _tp_active(mesh)
+    if class_weights is not None:
+        class_weights = jnp.asarray(class_weights, jnp.float32)
     if accum_steps > 1 and bn_stats:
         raise ValueError("accum_steps>1 with bn_stats=True is not "
                          "supported: BN running-stat updates need "
@@ -357,11 +382,13 @@ def make_train_step(model, optimizer, mesh=None, donate=True,
         with ctx:
             logits = model.apply(params, batch["image"], rng=rng,
                                  train=True, **kwargs)
-        loss = cross_entropy(logits, batch["label"], label_smoothing)
+        loss = cross_entropy(logits, batch["label"], label_smoothing,
+                             weights=class_weights)
         if mixup > 0.0:
             loss = (lam * loss
                     + (1.0 - lam) * cross_entropy(logits, mix_labels,
-                                                  label_smoothing))
+                                                  label_smoothing,
+                                                  weights=class_weights))
         return loss, (logits, stats)
 
     def _grads_and_metrics(params, batch, rng):

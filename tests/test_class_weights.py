@@ -1,0 +1,104 @@
+"""Class-weighted cross-entropy (--train.class_weights) for imbalanced
+datasets: torch F.cross_entropy(weight=) parity, inverse-frequency
+"auto" resolution, and the CLI wiring. Off (None) = reference
+semantics, covered by the existing parity/train tests."""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from duoformer_tcga_tpu import cli  # noqa: E402
+from duoformer_tcga_tpu import config as config_lib  # noqa: E402
+from duoformer_tcga_tpu import train as train_lib  # noqa: E402
+from duoformer_tcga_tpu.data import folder as folder_lib  # noqa: E402
+
+
+@pytest.mark.parametrize("smoothing", [0.0, 0.1])
+def test_weighted_ce_torch_parity(smoothing):
+    torch.manual_seed(0)
+    logits = torch.randn(16, 5)
+    labels = torch.randint(0, 5, (16,))
+    w = torch.tensor([1.0, 2.5, 0.5, 3.0, 1.5])
+    want = float(F.cross_entropy(logits, labels, weight=w,
+                                 label_smoothing=smoothing))
+    got = float(train_lib.cross_entropy(
+        jnp.asarray(logits.numpy()), jnp.asarray(labels.numpy()),
+        smoothing, weights=jnp.asarray(w.numpy())))
+    assert abs(got - want) < 1e-5
+
+
+def test_unweighted_matches_weights_of_ones():
+    torch.manual_seed(1)
+    logits = jnp.asarray(torch.randn(8, 3).numpy())
+    labels = jnp.asarray(torch.randint(0, 3, (8,)).numpy())
+    a = float(train_lib.cross_entropy(logits, labels, 0.1))
+    b = float(train_lib.cross_entropy(logits, labels, 0.1,
+                                      weights=jnp.ones((3,))))
+    assert abs(a - b) < 1e-6
+
+
+def _folder(tmp_path, counts):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    root = str(tmp_path / "ds")
+    for c, n in counts.items():
+        os.makedirs(os.path.join(root, c))
+        for i in range(n):
+            Image.fromarray(rng.integers(0, 255, (32, 32, 3),
+                                         dtype=np.uint8)).save(
+                os.path.join(root, c, f"t{i}.png"))
+    return root
+
+
+def test_auto_weights_inverse_frequency(tmp_path):
+    root = _folder(tmp_path, {"a": 6, "b": 2})
+    counts = folder_lib.dataset_label_counts(root, 2)
+    assert counts.tolist() == [6, 2]
+    cfg = config_lib.Config()
+    cfg.model.num_classes = 2
+    cfg.train.dataset = root
+    cfg.train.class_weights = "auto"
+    w = cli._resolve_class_weights(cfg)
+    # sklearn "balanced": N / (K * count_c) = 8/(2*6), 8/(2*2)
+    np.testing.assert_allclose(w, [8 / 12, 8 / 4], rtol=1e-6)
+
+
+def test_explicit_weights_validated():
+    cfg = config_lib.Config()
+    cfg.model.num_classes = 3
+    cfg.train.class_weights = "1.0,2.0"
+    with pytest.raises(ValueError, match="entries"):
+        cli._resolve_class_weights(cfg)
+    cfg.train.class_weights = "1.0,2.0,0.5"
+    np.testing.assert_allclose(cli._resolve_class_weights(cfg),
+                               [1.0, 2.0, 0.5])
+
+
+def test_auto_on_synthetic_is_loud():
+    cfg = config_lib.Config()
+    cfg.train.class_weights = "auto"
+    with pytest.raises(ValueError, match="synthetic"):
+        cli._resolve_class_weights(cfg)
+
+
+def test_cli_train_with_class_weights(tmp_path, capsys):
+    rc = cli.main([
+        "train", "--preset=release-2scale", "--model.depth=1",
+        "--model.embed_dim=96", "--model.proj_dim=96",
+        "--model.dtype=float32", "--train.platform=cpu",
+        "--train.batch_size=8", "--steps=2", "--train.dataset=synthetic",
+        f"--train.checkpoint_dir={tmp_path}/ck",
+        "--train.class_weights=1.0,3.0",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "training done" in out

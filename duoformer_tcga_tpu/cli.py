@@ -213,6 +213,8 @@ def _cmd_train(cfg, max_steps=None):
     best_acc = float(bm.get("eval_accuracy", 0.0)) if bm else 0.0
     last_saved = -1
     last_log_t, last_log_step = None, start
+    epochs_since_best = 0
+    stopped_early = False
     for i, raw in zip(range(start, total_steps), loader):
         batch = {"image": preprocess(raw["image"]), "label": raw["label"]}
         state, metrics = step_fn(state, batch, rng)
@@ -228,8 +230,11 @@ def _cmd_train(cfg, max_steps=None):
             # prune by recency and would delete an early best.
             if acc > best_acc:
                 best_acc = acc
+                epochs_since_best = 0
                 ckpt.save_best(step, jax.device_get(state),
                                metrics={"eval_accuracy": acc})
+            else:
+                epochs_since_best += 1
         if step % cfg.train.log_every == 0 or step == total_steps or extra:
             # device_get blocks on step completion -> honest wall-clock
             m = jax.device_get(metrics)
@@ -241,10 +246,19 @@ def _cmd_train(cfg, max_steps=None):
             last_log_t, last_log_step = now, step
             logger.log(step, m, tiles_per_sec=tps,
                        epoch=step // steps_per_epoch, **extra)
-        if (step % cfg.train.checkpoint_every == 0 or step == total_steps) \
-                and step != last_saved:
+        stopped_early = (cfg.train.patience > 0
+                         and epochs_since_best >= cfg.train.patience)
+        if (step % cfg.train.checkpoint_every == 0 or step == total_steps
+                or stopped_early) and step != last_saved:
             ckpt.save(step, jax.device_get(state))
             last_saved = step
+        if stopped_early:
+            print(f"early stop at step {step}: eval accuracy has not "
+                  f"improved for {epochs_since_best} epochs "
+                  f"(--train.patience={cfg.train.patience}); best "
+                  f"checkpoint is kept in <checkpoint_dir>/best",
+                  flush=True)
+            break
     ckpt.wait()
     print(f"training done (best eval acc {best_acc:.4f})", flush=True)
     return state

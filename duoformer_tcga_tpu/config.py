@@ -132,6 +132,11 @@ class TrainConfig:
     # (inverse-frequency from the training split) or comma floats
     # ("1.0,2.5"); None = unweighted (reference semantics)
     class_weights: Optional[str] = None
+    # early stopping: stop when the epoch-end eval accuracy hasn't
+    # improved for this many consecutive epochs (0 = off, the
+    # reference's fixed-epoch behavior); the best checkpoint is always
+    # kept in <checkpoint_dir>/best either way
+    patience: int = 0
     # backend override ("cpu"/"tpu"); None = process default. Needed where
     # a TPU plugin is registered but the CPU backend should run the job.
     platform: Optional[str] = None

@@ -169,7 +169,8 @@ def _cmd_train(cfg, max_steps=None):
     batches = folder_lib.open_dataset(cfg.train.dataset,
                                       cfg.train.batch_size,
                                       num_classes=cfg.model.num_classes,
-                                      seed=cfg.train.seed)
+                                      seed=cfg.train.seed,
+                                      sampler=cfg.train.sampler)
     loader = data_lib.PrefetchLoader(batches, sharding=bsh)
     rng = mesh_lib.replicate(mesh, jax.random.PRNGKey(cfg.train.seed + 1))
 

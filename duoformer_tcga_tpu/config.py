@@ -132,6 +132,10 @@ class TrainConfig:
     # (inverse-frequency from the training split) or comma floats
     # ("1.0,2.5"); None = unweighted (reference semantics)
     class_weights: Optional[str] = None
+    # training batch sampler: "shuffle" (uniform per-epoch permutation)
+    # or "balanced" (inverse-frequency draws with replacement — the
+    # oversampling counterpart to class_weights for imbalanced cohorts)
+    sampler: str = "shuffle"
     # early stopping: stop when the epoch-end eval accuracy hasn't
     # improved for this many consecutive epochs (0 = off, the
     # reference's fixed-epoch behavior); the best checkpoint is always

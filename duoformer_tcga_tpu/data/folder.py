@@ -112,10 +112,16 @@ class ImageFolderDataset:
         return len(self.samples)
 
     def batches(self, batch_size: int, seed: int = 0, shuffle: bool = True,
-                epochs: Optional[int] = None) -> Iterator[Dict]:
+                epochs: Optional[int] = None,
+                sampler: str = "shuffle") -> Iterator[Dict]:
         """Yields {"image": uint8 [B,H,W,3], "label": int32 [B]} forever
         (or for `epochs` passes). Short final batches are dropped so the
-        jitted step sees one static shape."""
+        jitted step sees one static shape.
+
+        sampler="balanced": draw each epoch's indices WITH replacement,
+        per-sample probability inversely proportional to its class
+        frequency — every class contributes ~equally per epoch (the
+        oversampling counterpart to --train.class_weights)."""
         if len(self.samples) < batch_size:
             raise ValueError(
                 f"dataset has {len(self.samples)} samples but "
@@ -123,11 +129,15 @@ class ImageFolderDataset:
                 f"static shapes, so no batch would ever be yielded — "
                 f"lower --train.batch_size")
         rng = np.random.default_rng(seed)
+        all_labels = np.asarray([c for _, c in self.samples], np.int64)
         epoch = 0
         while epochs is None or epoch < epochs:
-            order = np.arange(len(self.samples))
-            if shuffle:
-                rng.shuffle(order)
+            if sampler == "balanced":
+                order = _balanced_order(rng, all_labels)
+            else:
+                order = np.arange(len(self.samples))
+                if shuffle:
+                    rng.shuffle(order)
             for lo in range(0, len(order) - batch_size + 1, batch_size):
                 idx = order[lo:lo + batch_size]
                 paths = [self.samples[i][0] for i in idx]
@@ -180,13 +190,25 @@ def _check_labels_fit(max_label: int, num_classes: Optional[int], what: str):
             f"make the loss NaN)")
 
 
+def _balanced_order(rng, labels: np.ndarray) -> np.ndarray:
+    """One epoch's worth of indices drawn with replacement, per-sample
+    probability inversely proportional to its class frequency, so every
+    class contributes ~equally regardless of the dataset's imbalance."""
+    counts = np.bincount(labels).astype(np.float64)
+    p = 1.0 / counts[labels]
+    return rng.choice(len(labels), size=len(labels), replace=True,
+                      p=p / p.sum())
+
+
 def hdf5_tiles(path: str, batch_size: int, seed: int = 0,
                image_key: str = "images", label_key: str = "labels",
                epochs: Optional[int] = None,
-               num_classes: Optional[int] = None) -> Iterator[Dict]:
+               num_classes: Optional[int] = None,
+               sampler: str = "shuffle") -> Iterator[Dict]:
     """Stream uint8 tile batches from an HDF5 file (the common packed
     format for pre-extracted TCGA tiles). Reads are chunked per batch so
-    arbitrarily large files stream from disk."""
+    arbitrarily large files stream from disk. sampler="balanced" draws
+    inverse-frequency with replacement (see _balanced_order)."""
     import h5py
 
     rng = np.random.default_rng(seed)
@@ -196,6 +218,9 @@ def hdf5_tiles(path: str, batch_size: int, seed: int = 0,
         if labels is not None and len(labels):
             _check_labels_fit(int(np.max(labels)), num_classes,
                               f"HDF5 dataset {path}")
+        if sampler == "balanced" and labels is None:
+            raise ValueError(f"--train.sampler=balanced needs labels but "
+                             f"{path} has no '{label_key}' dataset")
         n = images.shape[0]
         if n < batch_size:
             raise ValueError(
@@ -204,12 +229,18 @@ def hdf5_tiles(path: str, batch_size: int, seed: int = 0,
                 f"--train.batch_size")
         epoch = 0
         while epochs is None or epoch < epochs:
-            order = np.arange(n)
-            rng.shuffle(order)
+            if sampler == "balanced":
+                order = _balanced_order(rng, labels.astype(np.int64))
+            else:
+                order = np.arange(n)
+                rng.shuffle(order)
             for lo in range(0, n - batch_size + 1, batch_size):
                 idx = np.sort(order[lo:lo + batch_size])  # h5py wants sorted
+                # h5py fancy indexing also rejects DUPLICATES (balanced
+                # sampling draws with replacement): read unique, re-expand
+                uniq, inv = np.unique(idx, return_inverse=True)
                 batch = {
-                    "image": images[idx].astype(np.uint8),
+                    "image": images[uniq].astype(np.uint8)[inv],
                     "label": (labels[idx].astype(np.int32)
                               if labels is not None
                               else np.zeros((batch_size,), np.int32)),
@@ -219,22 +250,28 @@ def hdf5_tiles(path: str, batch_size: int, seed: int = 0,
 
 
 def open_dataset(spec: str, batch_size: int, num_classes: int = 2,
-                 seed: int = 0, size: int = 224) -> Iterator[Dict]:
+                 seed: int = 0, size: int = 224,
+                 sampler: str = "shuffle") -> Iterator[Dict]:
     """CLI dispatch: "synthetic" -> generator; *.h5/*.hdf5 -> hdf5_tiles;
-    a directory -> ImageFolderDataset.batches."""
+    a directory -> ImageFolderDataset.batches. sampler="balanced"
+    oversamples minority classes (inverse-frequency with replacement);
+    synthetic streams are uniform already and ignore it."""
     from . import pipeline
 
+    if sampler not in ("shuffle", "balanced"):
+        raise ValueError(f"unknown sampler {sampler!r}: expected "
+                         f"'shuffle' or 'balanced'")
     if spec in (None, "", "synthetic"):
         return pipeline.synthetic_tiles(batch_size, num_classes, seed=seed,
                                         size=size)
     if spec.endswith((".h5", ".hdf5")):
         return hdf5_tiles(spec, batch_size, seed=seed,
-                          num_classes=num_classes)
+                          num_classes=num_classes, sampler=sampler)
     ds = ImageFolderDataset(spec, size=size)
     _check_labels_fit(ds.num_classes - 1, num_classes,
                       f"image folder {spec} ({ds.num_classes} class "
                       f"directories)")
-    return ds.batches(batch_size, seed=seed)
+    return ds.batches(batch_size, seed=seed, sampler=sampler)
 
 
 def dataset_label_counts(spec: str, num_classes: int):

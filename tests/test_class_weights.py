@@ -90,6 +90,51 @@ def test_auto_on_synthetic_is_loud():
         cli._resolve_class_weights(cfg)
 
 
+def test_balanced_sampler_folder(tmp_path):
+    root = _folder(tmp_path, {"a": 14, "b": 2})
+    ds = folder_lib.ImageFolderDataset(root, size=32)
+    got = []
+    for b in ds.batches(8, seed=0, epochs=4, sampler="balanced"):
+        got.extend(b["label"].tolist())
+    # inverse-frequency draws: the 12.5%-minority class lands near 50%
+    frac_b = got.count(1) / len(got)
+    assert 0.3 < frac_b < 0.7
+    # plain shuffle keeps the dataset's own mix
+    got = []
+    for b in ds.batches(8, seed=0, epochs=4, sampler="shuffle"):
+        got.extend(b["label"].tolist())
+    assert got.count(1) / len(got) == 2 / 16
+
+
+def test_balanced_sampler_hdf5(tmp_path):
+    import h5py
+
+    rng = np.random.default_rng(0)
+    path = str(tmp_path / "t.h5")
+    with h5py.File(path, "w") as f:
+        f["images"] = rng.integers(0, 255, (16, 8, 8, 3), np.uint8)
+        f["labels"] = np.asarray([0] * 14 + [1] * 2, np.int32)
+    got, imgs = [], []
+    for b in folder_lib.hdf5_tiles(path, 8, epochs=4, num_classes=2,
+                                   sampler="balanced"):
+        got.extend(b["label"].tolist())
+        imgs.append(b["image"])
+        assert b["image"].shape == (8, 8, 8, 3)   # duplicates re-expanded
+    assert 0.3 < got.count(1) / len(got) < 0.7
+    # image/label pairing survives the unique/re-expand read: the two
+    # minority tiles are images[14:16]
+    with h5py.File(path, "r") as f:
+        minority = {a.tobytes() for a in f["images"][14:16]}
+    for batch_imgs, lo in zip(imgs, range(0, len(got), 8)):
+        for img, lbl in zip(batch_imgs, got[lo:lo + 8]):
+            assert (img.tobytes() in minority) == (lbl == 1)
+
+
+def test_balanced_sampler_unknown_is_loud():
+    with pytest.raises(ValueError, match="sampler"):
+        folder_lib.open_dataset("synthetic", 8, sampler="bogus")
+
+
 def test_cli_train_with_class_weights(tmp_path, capsys):
     rc = cli.main([
         "train", "--preset=release-2scale", "--model.depth=1",

@@ -17,6 +17,8 @@ Usage:
     python -m duoformer_tcga_tpu.cli make-dataset --slides=/path/wsis \
         [--output=tiles.h5] [--tile=224] [--labels=labels.csv] \
         [--min-std=5]
+    python -m duoformer_tcga_tpu.cli crossval --preset=release-2scale \
+        --train.dataset=tiles.h5 [--folds=5] [--report=cv.json]
 
 Runs SPMD data-parallel over every visible chip, checkpoints with resume,
 and logs structured per-step metrics (loss, accuracy, tiles/sec/chip).
@@ -166,11 +168,13 @@ def _cmd_train(cfg, max_steps=None):
     dtype = getattr(jnp, cfg.model.dtype)
 
     from .data import folder as folder_lib
+    fold = _parse_fold(cfg)
     batches = folder_lib.open_dataset(cfg.train.dataset,
                                       cfg.train.batch_size,
                                       num_classes=cfg.model.num_classes,
                                       seed=cfg.train.seed,
-                                      sampler=cfg.train.sampler)
+                                      sampler=cfg.train.sampler,
+                                      fold=fold)
     loader = data_lib.PrefetchLoader(batches, sharding=bsh)
     rng = mesh_lib.replicate(mesh, jax.random.PRNGKey(cfg.train.seed + 1))
 
@@ -186,16 +190,19 @@ def _cmd_train(cfg, max_steps=None):
         per-epoch test accuracy). With --train.eval_dataset it walks the
         ENTIRE eval split — short final batches are padded and masked, so
         the best-accuracy gate sees every sample including the dataset
-        tail (VERDICT r2 weak #5). Without one it falls back to the
-        TRAINING set capped at 4 batches (a full-train-set inference pass
-        per epoch would dwarf the epoch itself on real corpora);
-        synthetic streams evaluate a fixed 4 batches either way."""
-        src = cfg.train.eval_dataset or cfg.train.dataset
+        tail (VERDICT r2 weak #5). With --train.fold it walks the ENTIRE
+        held-out fold of the training dataset. Without either it falls
+        back to the TRAINING set capped at 4 batches (a full-train-set
+        inference pass per epoch would dwarf the epoch itself on real
+        corpora); synthetic streams evaluate a fixed 4 batches either
+        way."""
+        src = (cfg.train.dataset if fold is not None
+               else cfg.train.eval_dataset or cfg.train.dataset)
         it = folder_lib.open_dataset_eval(
             src, cfg.train.batch_size,
             num_classes=cfg.model.num_classes,
-            seed=cfg.train.seed + 7)
-        if not cfg.train.eval_dataset:
+            seed=cfg.train.seed + 7, fold=fold)
+        if not cfg.train.eval_dataset and fold is None:
             it = itertools.islice(it, 4)
         correct = total = 0
         for raw in it:
@@ -263,6 +270,22 @@ def _cmd_train(cfg, max_steps=None):
     ckpt.wait()
     print(f"training done (best eval acc {best_acc:.4f})", flush=True)
     return state
+
+
+def _parse_fold(cfg):
+    """--train.fold="k/K" -> (k, K) or None."""
+    spec = cfg.train.fold
+    if not spec:
+        return None
+    try:
+        k, num = spec.split("/")
+        k, num = int(k), int(num)
+    except ValueError:
+        raise ValueError(f"--train.fold={spec!r}: expected k/K, e.g. 0/5")
+    if not (0 <= k < num):
+        raise ValueError(f"--train.fold={spec}: fold index must be in "
+                         f"[0, {num})")
+    return k, num
 
 
 def _resolve_class_weights(cfg):
@@ -338,9 +361,12 @@ def cmd_eval(cfg, num_batches=None, params_path=None, torch_path=None,
         out_shardings=bsh)
 
     from .data import folder as folder_lib
+    fold = _parse_fold(cfg)
     stream = folder_lib.open_dataset_eval(
-        cfg.train.eval_dataset or cfg.train.dataset, cfg.train.batch_size,
-        num_classes=ncls, seed=cfg.train.seed + 7)
+        cfg.train.dataset if fold is not None
+        else cfg.train.eval_dataset or cfg.train.dataset,
+        cfg.train.batch_size,
+        num_classes=ncls, seed=cfg.train.seed + 7, fold=fold)
     if num_batches is not None:
         import itertools
         stream = itertools.islice(stream, num_batches)
@@ -763,6 +789,44 @@ def cmd_make_dataset(rest):
     return 0
 
 
+def cmd_crossval(cfg, max_steps=None, folds=5, report_path=None):
+    """K-fold cross-validation: train once per fold on the deterministic
+    slide-level stratified split of --train.dataset (tiles from one
+    slide never straddle the split), each fold gated on its held-out
+    fold, then report per-fold best accuracies and mean ± std — the
+    evaluation protocol of the DuoFormer paper, which the reference repo
+    has no driver for. Checkpoints land in <checkpoint_dir>/fold<k>;
+    --report= writes the summary JSON."""
+    import copy
+
+    import numpy as np
+
+    accs = []
+    base_dir = cfg.train.checkpoint_dir
+    for k in range(folds):
+        fcfg = copy.deepcopy(cfg)
+        fcfg.train.fold = f"{k}/{folds}"
+        fcfg.train.eval_dataset = None
+        fcfg.train.checkpoint_dir = os.path.join(base_dir, f"fold{k}")
+        print(f"=== fold {k}/{folds} ===", flush=True)
+        cmd_train(fcfg, max_steps=max_steps)
+        from .utils.checkpoint import CheckpointManager as _CM
+        bm = _CM(fcfg.train.checkpoint_dir).best_metrics() or {}
+        accs.append(float(bm.get("eval_accuracy", 0.0)))
+        print(f"fold {k}: best eval acc {accs[-1]:.4f}", flush=True)
+    mean, std = float(np.mean(accs)), float(np.std(accs))
+    print(f"crossval ({folds} folds): acc {mean:.4f} ± {std:.4f} "
+          f"(per-fold: {[round(a, 4) for a in accs]})", flush=True)
+    if report_path:
+        import json
+        with open(report_path, "w") as f:
+            json.dump({"folds": folds, "per_fold_accuracy": accs,
+                       "mean_accuracy": mean, "std_accuracy": std}, f,
+                      indent=1)
+        print(f"wrote {report_path}", flush=True)
+    return mean
+
+
 def cmd_fetch_weights(rest):
     """`cli fetch-weights [--only=NAME] [--cache_dir=DIR]`: download every
     pinned real artifact (Checkpoint1/2, lunit-io SSL trunks, timm hybrid
@@ -822,7 +886,7 @@ def cmd_verify_checkpoint(rest):
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     known = ("train", "eval", "predict", "export", "make-dataset",
-             "fetch-weights", "verify-checkpoint")
+             "fetch-weights", "verify-checkpoint", "crossval")
     if not argv or argv[0] not in known:
         print(__doc__)
         return 1
@@ -837,6 +901,7 @@ def main(argv=None):
     trace_dir = None
     pred_input, pred_output = None, "predictions.csv"
     pred_params, pred_torch, eval_report = None, None, None
+    crossval_folds = 5
     pred_embeddings, pred_by_slide = None, None
     pred_stablehlo, export_stablehlo_path = None, None
     export_output, export_quant = "model.npz", False
@@ -855,8 +920,10 @@ def main(argv=None):
             pred_params = a.split("=", 1)[1]
         elif cmd in ("predict", "eval") and key.startswith("torch="):
             pred_torch = a.split("=", 1)[1]
-        elif cmd == "eval" and key.startswith("report="):
+        elif cmd in ("eval", "crossval") and key.startswith("report="):
             eval_report = a.split("=", 1)[1]
+        elif cmd == "crossval" and key.startswith("folds="):
+            crossval_folds = int(a.split("=", 1)[1])
         elif cmd == "predict" and key.startswith("embeddings="):
             pred_embeddings = a.split("=", 1)[1]
         elif cmd == "predict" and key.startswith("by-slide="):
@@ -896,6 +963,9 @@ def main(argv=None):
         elif cmd == "export":
             cmd_export(cfg, export_output, quantize=export_quant,
                        stablehlo=export_stablehlo_path)
+        elif cmd == "crossval":
+            cmd_crossval(cfg, max_steps=max_steps, folds=crossval_folds,
+                         report_path=eval_report)
         else:
             cmd_eval(cfg, params_path=pred_params, torch_path=pred_torch,
                      report_path=eval_report)

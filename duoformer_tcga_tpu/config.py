@@ -132,6 +132,11 @@ class TrainConfig:
     # (inverse-frequency from the training split) or comma floats
     # ("1.0,2.5"); None = unweighted (reference semantics)
     class_weights: Optional[str] = None
+    # cross-validation fold "k/K" (e.g. "0/5"): train on the K-1 train
+    # folds of the deterministic slide-level stratified split of
+    # `dataset`, eval/gate on the held-out fold (ignores eval_dataset).
+    # `cli crossval --folds=K` loops this over every k.
+    fold: Optional[str] = None
     # training batch sampler: "shuffle" (uniform per-epoch permutation)
     # or "balanced" (inverse-frequency draws with replacement — the
     # oversampling counterpart to class_weights for imbalanced cohorts)

@@ -111,6 +111,17 @@ class ImageFolderDataset:
     def __len__(self):
         return len(self.samples)
 
+    def select(self, indices) -> "ImageFolderDataset":
+        """Shallow copy restricted to the given sample indices (fold
+        splits); class_to_idx / num_classes keep the FULL dataset's
+        mapping so labels stay comparable across folds."""
+        import copy
+
+        sub = copy.copy(self)
+        sub.samples = [self.samples[i] for i in indices]
+        sub.groups = [self.groups[i] for i in indices]
+        return sub
+
     def batches(self, batch_size: int, seed: int = 0, shuffle: bool = True,
                 epochs: Optional[int] = None,
                 sampler: str = "shuffle") -> Iterator[Dict]:
@@ -204,11 +215,13 @@ def hdf5_tiles(path: str, batch_size: int, seed: int = 0,
                image_key: str = "images", label_key: str = "labels",
                epochs: Optional[int] = None,
                num_classes: Optional[int] = None,
-               sampler: str = "shuffle") -> Iterator[Dict]:
+               sampler: str = "shuffle",
+               subset=None) -> Iterator[Dict]:
     """Stream uint8 tile batches from an HDF5 file (the common packed
     format for pre-extracted TCGA tiles). Reads are chunked per batch so
     arbitrarily large files stream from disk. sampler="balanced" draws
-    inverse-frequency with replacement (see _balanced_order)."""
+    inverse-frequency with replacement (see _balanced_order). subset:
+    optional index array restricting the stream (fold splits)."""
     import h5py
 
     rng = np.random.default_rng(seed)
@@ -221,7 +234,9 @@ def hdf5_tiles(path: str, batch_size: int, seed: int = 0,
         if sampler == "balanced" and labels is None:
             raise ValueError(f"--train.sampler=balanced needs labels but "
                              f"{path} has no '{label_key}' dataset")
-        n = images.shape[0]
+        pool = (np.asarray(subset, np.int64) if subset is not None
+                else np.arange(images.shape[0]))
+        n = len(pool)
         if n < batch_size:
             raise ValueError(
                 f"HDF5 dataset has {n} tiles but batch_size={batch_size}: "
@@ -230,9 +245,10 @@ def hdf5_tiles(path: str, batch_size: int, seed: int = 0,
         epoch = 0
         while epochs is None or epoch < epochs:
             if sampler == "balanced":
-                order = _balanced_order(rng, labels.astype(np.int64))
+                order = pool[_balanced_order(
+                    rng, labels[pool].astype(np.int64))]
             else:
-                order = np.arange(n)
+                order = pool.copy()
                 rng.shuffle(order)
             for lo in range(0, n - batch_size + 1, batch_size):
                 idx = np.sort(order[lo:lo + batch_size])  # h5py wants sorted
@@ -251,26 +267,37 @@ def hdf5_tiles(path: str, batch_size: int, seed: int = 0,
 
 def open_dataset(spec: str, batch_size: int, num_classes: int = 2,
                  seed: int = 0, size: int = 224,
-                 sampler: str = "shuffle") -> Iterator[Dict]:
+                 sampler: str = "shuffle", fold=None) -> Iterator[Dict]:
     """CLI dispatch: "synthetic" -> generator; *.h5/*.hdf5 -> hdf5_tiles;
     a directory -> ImageFolderDataset.batches. sampler="balanced"
     oversamples minority classes (inverse-frequency with replacement);
-    synthetic streams are uniform already and ignore it."""
+    synthetic streams are uniform already and ignore it. fold=(k, K)
+    restricts to the TRAIN side of the deterministic slide-level
+    stratified K-fold split (fold_indices; the val side is
+    open_dataset_eval's job)."""
     from . import pipeline
 
     if sampler not in ("shuffle", "balanced"):
         raise ValueError(f"unknown sampler {sampler!r}: expected "
                          f"'shuffle' or 'balanced'")
     if spec in (None, "", "synthetic"):
+        if fold is not None:
+            raise ValueError("--train.fold needs a real dataset "
+                             "(--train.dataset=<folder|.h5>)")
         return pipeline.synthetic_tiles(batch_size, num_classes, seed=seed,
                                         size=size)
+    subset = (fold_indices(spec, fold[0], fold[1], num_classes)[0]
+              if fold is not None else None)
     if spec.endswith((".h5", ".hdf5")):
         return hdf5_tiles(spec, batch_size, seed=seed,
-                          num_classes=num_classes, sampler=sampler)
+                          num_classes=num_classes, sampler=sampler,
+                          subset=subset)
     ds = ImageFolderDataset(spec, size=size)
     _check_labels_fit(ds.num_classes - 1, num_classes,
                       f"image folder {spec} ({ds.num_classes} class "
                       f"directories)")
+    if subset is not None:
+        ds = ds.select(subset)
     return ds.batches(batch_size, seed=seed, sampler=sampler)
 
 
@@ -298,6 +325,69 @@ def dataset_label_counts(spec: str, num_classes: int):
     return counts
 
 
+def _sample_groups_labels(spec: str, num_classes: int):
+    """(groups, labels) per sample for a dataset spec — the metadata a
+    slide-level fold split needs. Folder: the class or class/slide group
+    each tile already carries. HDF5: slide provenance when make-dataset
+    recorded it, else every tile is its own group (tile-level split —
+    correlated tiles may straddle folds; make-dataset archives avoid
+    this)."""
+    if spec.endswith((".h5", ".hdf5")):
+        import h5py
+
+        with h5py.File(spec, "r") as f:
+            n = f["images"].shape[0]
+            labels = (f["labels"][:].astype(np.int64) if "labels" in f
+                      else np.zeros((n,), np.int64))
+            if "slide_ids" in f:
+                groups = [f"s{int(s)}" for s in f["slide_ids"][:]]
+            else:
+                groups = [f"t{i}" for i in range(n)]
+        return groups, labels
+    ds = ImageFolderDataset(spec, size=None)
+    return list(ds.groups), np.asarray([c for _, c in ds.samples], np.int64)
+
+
+def fold_indices(spec: str, fold: int, num_folds: int, num_classes: int,
+                 seed: int = 0):
+    """Deterministic stratified GROUP K-fold split -> (train_idx, val_idx)
+    sample-index arrays. Groups (slides) are assigned whole to folds —
+    tiles from one slide never straddle the split (they are
+    near-duplicates; a tile-level split leaks). Stratified: each class's
+    groups are dealt round-robin over the folds after a seeded shuffle,
+    so every fold sees every class that has >= num_folds groups."""
+    if not (0 <= fold < num_folds):
+        raise ValueError(f"fold {fold} out of range for {num_folds} folds")
+    groups, labels = _sample_groups_labels(spec, num_classes)
+    # group -> (majority label, sample indices)
+    order = {}
+    for i, g in enumerate(groups):
+        order.setdefault(g, []).append(i)
+    rng = np.random.default_rng(seed)
+    by_class: Dict[int, list] = {}
+    for g, idxs in sorted(order.items()):
+        lbl = int(np.bincount(labels[idxs]).argmax())
+        by_class.setdefault(lbl, []).append(g)
+    fold_of = {}
+    for lbl in sorted(by_class):
+        gs = by_class[lbl]
+        rng.shuffle(gs)
+        for pos, g in enumerate(gs):
+            fold_of[g] = pos % num_folds
+    val = np.asarray(sorted(
+        i for g, idxs in order.items() if fold_of[g] == fold for i in idxs),
+        np.int64)
+    train = np.asarray(sorted(
+        i for g, idxs in order.items() if fold_of[g] != fold for i in idxs),
+        np.int64)
+    if not len(val) or not len(train):
+        raise ValueError(
+            f"fold {fold}/{num_folds} of {spec} is degenerate "
+            f"({len(train)} train / {len(val)} val samples) — fewer "
+            f"groups than folds?")
+    return train, val
+
+
 def _pad_eval_batch(imgs, labels, batch_size):
     """Pad a short final batch to the jitted static shape. Padded labels
     are -1: they never match an argmax (correct-count safe) and one-hot to
@@ -314,7 +404,8 @@ def _pad_eval_batch(imgs, labels, batch_size):
 
 def open_dataset_eval(spec: str, batch_size: int, num_classes: int = 2,
                       seed: int = 0, size: int = 224,
-                      synthetic_batches: int = 4) -> Iterator[Dict]:
+                      synthetic_batches: int = 4,
+                      fold=None) -> Iterator[Dict]:
     """Full-coverage single pass for evaluation (VERDICT r2 weak #5: the
     train-path iterators drop short final batches for static shapes, so
     batch-drop-based eval never saw the dataset tail).
@@ -322,15 +413,22 @@ def open_dataset_eval(spec: str, batch_size: int, num_classes: int = 2,
     Yields {"image" [B,...], "label" [B] (pad = -1), "valid": int} covering
     EVERY sample exactly once, unshuffled; the final batch is zero-padded
     to the static shape. "synthetic" specs yield `synthetic_batches` fixed
-    batches (valid = B) — there is no finite split to cover."""
+    batches (valid = B) — there is no finite split to cover. fold=(k, K)
+    restricts to the held-out VAL side of the slide-level K-fold split
+    (the complement of open_dataset's train side)."""
     from . import pipeline
 
     if spec in (None, "", "synthetic"):
+        if fold is not None:
+            raise ValueError("--train.fold needs a real dataset "
+                             "(--train.dataset=<folder|.h5>)")
         for b in pipeline.synthetic_tiles(batch_size, num_classes,
                                           num_batches=synthetic_batches,
                                           seed=seed, size=size):
             yield dict(b, valid=len(b["label"]))
         return
+    val_subset = (fold_indices(spec, fold[0], fold[1], num_classes)[1]
+                  if fold is not None else None)
     if spec.endswith((".h5", ".hdf5")):
         import json
 
@@ -352,19 +450,22 @@ def open_dataset_eval(spec: str, batch_size: int, num_classes: int = 2,
                 groups = [
                     f"{int(l)}/{names[s] if s < len(names) else f'slide{s}'}"
                     for l, s in zip(labels, sids)]
-            n = images.shape[0]
-            for lo in range(0, n, batch_size):
-                hi = min(lo + batch_size, n)
-                b = _pad_eval_batch(images[lo:hi].astype(np.uint8),
-                                    labels[lo:hi], batch_size)
+            pool = (val_subset if val_subset is not None
+                    else np.arange(images.shape[0]))
+            for lo in range(0, len(pool), batch_size):
+                idx = pool[lo:lo + batch_size]   # sorted -> h5py-legal
+                b = _pad_eval_batch(images[idx].astype(np.uint8),
+                                    labels[idx], batch_size)
                 if groups is not None:
-                    b["group"] = groups[lo:hi]
+                    b["group"] = [groups[i] for i in idx]
                 yield b
         return
     ds = ImageFolderDataset(spec, size=size)
     _check_labels_fit(ds.num_classes - 1, num_classes,
                       f"image folder {spec} ({ds.num_classes} class "
                       f"directories)")
+    if val_subset is not None:
+        ds = ds.select(val_subset)
     for lo in range(0, len(ds.samples), batch_size):
         chunk = ds.samples[lo:lo + batch_size]
         imgs = ds._decode_batch([p for p, _ in chunk])

@@ -345,11 +345,12 @@ def make_train_step(model, optimizer, mesh=None, donate=True,
     class_weights: optional [num_classes] per-class loss weights (torch
     F.cross_entropy weight= semantics, see cross_entropy) for imbalanced
     datasets; "auto" resolution (inverse-frequency) happens in
-    cmd_train. NOTE: weighted CE normalizes by the summed sample weights,
-    so under gradient accumulation microbatch means are averaged (exact
-    only when weights are uniform; the class-frequency-weighted average
-    differs from the full-batch value by the per-microbatch weight sums
-    — documented approximation, gradients stay unbiased in expectation)."""
+    cmd_train. Exact under gradient accumulation: microbatch losses and
+    grads are recombined weighted by each microbatch's summed sample
+    weights, reproducing the full-batch weighted mean (uniform weights
+    reduce to the plain mean; under mixup the recombination stays
+    uniform — per-microbatch lam draws already make accumulation a
+    distinct-but-unbiased estimator there)."""
     tp = _tp_active(mesh)
     if class_weights is not None:
         class_weights = jnp.asarray(class_weights, jnp.float32)
@@ -389,11 +390,21 @@ def make_train_step(model, optimizer, mesh=None, donate=True,
                     + (1.0 - lam) * cross_entropy(logits, mix_labels,
                                                   label_smoothing,
                                                   weights=class_weights))
-        return loss, (logits, stats)
+        # microbatch weight mass: weighted CE normalizes by the summed
+        # sample weights, so exact accumulation must recombine microbatch
+        # losses/grads weighted by this (uniform 1.0 otherwise; mixup
+        # blends two differently-normalized means — keep uniform there,
+        # per-microbatch lam already makes accum a distinct-but-unbiased
+        # estimator under mixup)
+        if class_weights is not None and mixup == 0.0:
+            sw = jnp.sum(class_weights[batch["label"]])
+        else:
+            sw = jnp.float32(1.0)
+        return loss, (logits, stats, sw)
 
     def _grads_and_metrics(params, batch, rng):
         if accum_steps <= 1:
-            (loss, (logits, stats)), grads = jax.value_and_grad(
+            (loss, (logits, stats, _)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params, batch, rng)
             acc = accuracy(logits, batch["label"])
             return grads, loss, acc, stats
@@ -410,25 +421,30 @@ def make_train_step(model, optimizer, mesh=None, donate=True,
             batch)
 
         def body(carry, xs):
-            gsum, lsum, asum = carry
+            gsum, lsum, asum, wsum = carry
             mb, i = xs
-            (loss, (logits, _)), grads = jax.value_and_grad(
+            (loss, (logits, _, sw)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params, mb,
                                        None if rng is None
                                        else jax.random.fold_in(rng, i))
-            gsum = jax.tree.map(lambda a, b: a + b.astype(a.dtype),
+            # weight-mass scaling makes class-weighted CE EXACT across
+            # microbatches: sum_m(W_m * dL_m) / sum_m(W_m) is the grad of
+            # the full-batch weighted mean (uniform sw=1 reduces to the
+            # plain mean)
+            gsum = jax.tree.map(lambda a, b: a + sw * b.astype(a.dtype),
                                 gsum, grads)
-            return (gsum, lsum + loss, asum + accuracy(logits, mb["label"])), None
+            return (gsum, lsum + sw * loss,
+                    asum + accuracy(logits, mb["label"]), wsum + sw), None
 
         zeros = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32),
                              params)
-        (gsum, lsum, asum), _ = jax.lax.scan(
-            body, (zeros, jnp.float32(0.0), jnp.float32(0.0)),
+        (gsum, lsum, asum, wsum), _ = jax.lax.scan(
+            body, (zeros, jnp.float32(0.0), jnp.float32(0.0),
+                   jnp.float32(0.0)),
             (micro, jnp.arange(accum_steps)))
-        n = jnp.float32(accum_steps)
-        grads = jax.tree.map(lambda g, p: (g / n).astype(p.dtype),
+        grads = jax.tree.map(lambda g, p: (g / wsum).astype(p.dtype),
                              gsum, params)
-        return grads, lsum / n, asum / n, None
+        return grads, lsum / wsum, asum / jnp.float32(accum_steps), None
 
     def step(state, batch, rng):
         # fold the step counter in so dropout masks differ per step even

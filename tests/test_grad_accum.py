@@ -51,6 +51,35 @@ def test_accum_matches_full_batch():
             err_msg=jax.tree_util.keystr(path))
 
 
+def test_accum_matches_full_batch_with_class_weights():
+    """Weighted CE normalizes by the summed sample weights, so exactness
+    needs the weight-mass recombination (not a plain mean of microbatch
+    grads) — deliberately unbalanced labels across microbatches."""
+    model, opt, state, batch = _setup()
+    batch = dict(batch, label=jnp.array([0, 0, 0, 1, 1, 0, 0, 0],
+                                        jnp.int32))
+    rng = jax.random.PRNGKey(2)
+    w = jnp.array([1.0, 4.0], jnp.float32)
+
+    results = []
+    for accum in (1, 4):
+        step = train_lib.make_train_step(model, opt, donate=False,
+                                         accum_steps=accum,
+                                         class_weights=w)
+        st, metrics = step(state, batch, rng)
+        results.append((jax.tree.map(np.asarray, st["params"]),
+                        float(metrics["loss"])))
+
+    (p1, l1), (p4, l4) = results
+    assert abs(l1 - l4) < 1e-5
+    flat1, _ = jax.tree_util.tree_flatten_with_path(p1)
+    flat4, _ = jax.tree_util.tree_flatten_with_path(p4)
+    for (path, a), (_, b) in zip(flat1, flat4):
+        np.testing.assert_allclose(
+            a, b, atol=2e-6, rtol=2e-6,
+            err_msg=jax.tree_util.keystr(path))
+
+
 def test_accum_rejects_bn_stats():
     model, opt, state, batch = _setup()
     with pytest.raises(ValueError, match="accum_steps"):

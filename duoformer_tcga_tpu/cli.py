@@ -302,7 +302,18 @@ def _resolve_class_weights(cfg):
     ncls = cfg.model.num_classes
     if spec == "auto":
         from .data import folder as folder_lib
-        counts = folder_lib.dataset_label_counts(cfg.train.dataset, ncls)
+        fold = _parse_fold(cfg)
+        if fold is not None:
+            # count only the fold's TRAIN side — the held-out fold's mix
+            # must not leak into the training loss
+            tr, _ = folder_lib.fold_indices(cfg.train.dataset, fold[0],
+                                            fold[1], ncls)
+            _, labels = folder_lib._sample_groups_labels(cfg.train.dataset,
+                                                         ncls)
+            counts = np.zeros((ncls,), np.int64)
+            np.add.at(counts, labels[tr], 1)
+        else:
+            counts = folder_lib.dataset_label_counts(cfg.train.dataset, ncls)
         if counts is None:
             raise ValueError(
                 "--train.class_weights=auto needs a real dataset "

@@ -72,6 +72,37 @@ def test_auto_weights_inverse_frequency(tmp_path):
     np.testing.assert_allclose(w, [8 / 12, 8 / 4], rtol=1e-6)
 
 
+def test_auto_weights_respect_fold(tmp_path):
+    # nested slides so the fold split is well-defined; counts must come
+    # from the train side only
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    root = str(tmp_path / "ds")
+    for rel, n in {"a/s1": 4, "a/s2": 2, "b/s3": 3, "b/s4": 1}.items():
+        os.makedirs(os.path.join(root, rel))
+        for i in range(n):
+            Image.fromarray(rng.integers(0, 255, (32, 32, 3),
+                                         dtype=np.uint8)).save(
+                os.path.join(root, rel, f"t{i}.png"))
+    cfg = config_lib.Config()
+    cfg.model.num_classes = 2
+    cfg.train.dataset = root
+    cfg.train.class_weights = "auto"
+    cfg.train.fold = "0/2"
+    w_fold = cli._resolve_class_weights(cfg)
+    tr, _ = folder_lib.fold_indices(root, 0, 2, 2)
+    _, labels = folder_lib._sample_groups_labels(root, 2)
+    counts = np.bincount(labels[tr], minlength=2)
+    np.testing.assert_allclose(
+        w_fold, counts.sum() / (2 * np.maximum(counts, 1)), rtol=1e-6)
+    # and it differs from the whole-dataset weighting unless the split
+    # happens to preserve the exact mix
+    cfg.train.fold = None
+    w_all = cli._resolve_class_weights(cfg)
+    assert w_all.shape == w_fold.shape
+
+
 def test_explicit_weights_validated():
     cfg = config_lib.Config()
     cfg.model.num_classes = 3

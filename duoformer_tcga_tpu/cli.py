@@ -19,6 +19,9 @@ Usage:
         [--min-std=5]
     python -m duoformer_tcga_tpu.cli crossval --preset=release-2scale \
         --train.dataset=tiles.h5 [--folds=5] [--report=cv.json]
+    python -m duoformer_tcga_tpu.cli plot \
+        [--metrics=metrics.jsonl | --train.checkpoint_dir=./ck] \
+        [--output=accuracy.png]
 
 Runs SPMD data-parallel over every visible chip, checkpoints with resume,
 and logs structured per-step metrics (loss, accuracy, tiles/sec/chip).
@@ -800,6 +803,28 @@ def cmd_make_dataset(rest):
     return 0
 
 
+def cmd_plot(cfg, metrics_path=None, output=None):
+    """Render the training accuracy curves — the reference's inline
+    matplotlib plot (main_toy.py:151-191) as a standalone command over
+    the structured metrics JSONL. Defaults to
+    <checkpoint_dir>/metrics.jsonl; ASCII sparkline fallback when
+    matplotlib is unavailable."""
+    from .utils.plotting import plot_accuracy
+
+    path = metrics_path or os.path.join(cfg.train.checkpoint_dir,
+                                        "metrics.jsonl")
+    if not os.path.isfile(path):
+        raise FileNotFoundError(
+            f"no metrics file at {path} — pass --metrics=<jsonl> or the "
+            f"run's --train.checkpoint_dir")
+    res = plot_accuracy(path, out_path=output)
+    if isinstance(res, str) and os.path.isfile(res):
+        print(f"wrote {res}", flush=True)
+    else:
+        print(res, flush=True)   # ASCII fallback
+    return res
+
+
 def cmd_crossval(cfg, max_steps=None, folds=5, report_path=None):
     """K-fold cross-validation: train once per fold on the deterministic
     slide-level stratified split of --train.dataset (tiles from one
@@ -897,7 +922,7 @@ def cmd_verify_checkpoint(rest):
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     known = ("train", "eval", "predict", "export", "make-dataset",
-             "fetch-weights", "verify-checkpoint", "crossval")
+             "fetch-weights", "verify-checkpoint", "crossval", "plot")
     if not argv or argv[0] not in known:
         print(__doc__)
         return 1
@@ -913,6 +938,7 @@ def main(argv=None):
     pred_input, pred_output = None, "predictions.csv"
     pred_params, pred_torch, eval_report = None, None, None
     crossval_folds = 5
+    plot_metrics, plot_output = None, None
     pred_embeddings, pred_by_slide = None, None
     pred_stablehlo, export_stablehlo_path = None, None
     export_output, export_quant = "model.npz", False
@@ -935,6 +961,10 @@ def main(argv=None):
             eval_report = a.split("=", 1)[1]
         elif cmd == "crossval" and key.startswith("folds="):
             crossval_folds = int(a.split("=", 1)[1])
+        elif cmd == "plot" and key.startswith("metrics="):
+            plot_metrics = a.split("=", 1)[1]
+        elif cmd == "plot" and key.startswith("output="):
+            plot_output = a.split("=", 1)[1]
         elif cmd == "predict" and key.startswith("embeddings="):
             pred_embeddings = a.split("=", 1)[1]
         elif cmd == "predict" and key.startswith("by-slide="):
@@ -977,6 +1007,8 @@ def main(argv=None):
         elif cmd == "crossval":
             cmd_crossval(cfg, max_steps=max_steps, folds=crossval_folds,
                          report_path=eval_report)
+        elif cmd == "plot":
+            cmd_plot(cfg, metrics_path=plot_metrics, output=plot_output)
         else:
             cmd_eval(cfg, params_path=pred_params, torch_path=pred_torch,
                      report_path=eval_report)

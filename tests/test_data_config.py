@@ -237,3 +237,33 @@ def test_eval_dataset_config_parses():
     assert cfg.train.eval_dataset == "/data/val"
     cfg2 = config_lib.from_args(["--preset=release-2scale"])
     assert cfg2.train.eval_dataset is None
+
+
+def test_cli_plot_from_metrics(tmp_path, capsys):
+    """cli plot renders the accuracy curves from a metrics JSONL (the
+    reference's main_toy.py:151-191 plot as a standalone command)."""
+    import json
+
+    from duoformer_tcga_tpu import cli
+
+    path = str(tmp_path / "metrics.jsonl")
+    with open(path, "w") as f:
+        for step in (1, 2, 3, 4):
+            rec = {"step": step, "accuracy": 0.2 * step}
+            if step % 2 == 0:
+                rec["eval_accuracy"] = 0.25 * step
+            f.write(json.dumps(rec) + "\n")
+    out_png = str(tmp_path / "acc.png")
+    cli.main(["plot", f"--metrics={path}", f"--output={out_png}"])
+    out = capsys.readouterr().out
+    import os as _os
+    assert _os.path.isfile(out_png) or "eval" in out  # png or ASCII fallback
+
+
+def test_cli_plot_missing_metrics_is_loud(tmp_path):
+    import pytest
+
+    from duoformer_tcga_tpu import cli
+
+    with pytest.raises(FileNotFoundError, match="metrics"):
+        cli.main(["plot", f"--train.checkpoint_dir={tmp_path}/nope"])

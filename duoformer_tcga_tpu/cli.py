@@ -461,8 +461,21 @@ def cmd_eval(cfg, num_batches=None, params_path=None, torch_path=None,
               flush=True)
     if report_path:
         import json
+        import math
+
+        def _finite(x):
+            # NaN (e.g. single-class AUC) is not valid RFC-8259 JSON —
+            # strict parsers (jq, JSON.parse) would reject the report
+            if isinstance(x, float) and not math.isfinite(x):
+                return None
+            if isinstance(x, dict):
+                return {k: _finite(v) for k, v in x.items()}
+            if isinstance(x, list):
+                return [_finite(v) for v in x]
+            return x
+
         with open(report_path, "w") as f:
-            json.dump({
+            json.dump(_finite({
                 "n": int(total), "accuracy": correct / total,
                 "loss": loss_sum / total, "roc_auc_ovr": float(auc),
                 "macro_f1": float(f1),
@@ -470,7 +483,7 @@ def cmd_eval(cfg, num_batches=None, params_path=None, torch_path=None,
                 "per_class_count": pc_count.tolist(),
                 "confusion_matrix": cm.tolist(),
                 "slides": slides,
-            }, f, indent=1)
+            }), f, indent=1)
         print(f"wrote {report_path}", flush=True)
     return correct / total
 
@@ -510,10 +523,15 @@ def _weights_for_serving(cfg, model, opt, params_path=None, torch_path=None,
         raise ValueError("pass at most one of --params= / --torch=")
     if torch_path:
         from .utils import torch_convert as tc
+        conv = {"duoformer": tc.convert_duoformer,
+                "duoformer_legacy": tc.convert_duoformer_legacy}.get(
+                    cfg.model.family)
+        if conv is None:
+            raise ValueError(
+                f"--torch= supports the duoformer families, not "
+                f"family={cfg.model.family!r} (for baselines use the "
+                f"converters in utils.torch_convert directly)")
         sd = tc.state_dict_from_reference_checkpoint(torch_path)
-        conv = (tc.convert_duoformer_legacy
-                if cfg.model.family == "duoformer_legacy"
-                else tc.convert_duoformer)
         print(f"{verb} with converted torch checkpoint {torch_path}",
               flush=True)
         return tc.to_jax(conv(sd, model)), None
@@ -837,6 +855,9 @@ def cmd_crossval(cfg, max_steps=None, folds=5, report_path=None):
 
     import numpy as np
 
+    if folds < 2:
+        raise ValueError(f"--folds={folds}: cross-validation needs at "
+                         f"least 2 folds")
     accs = []
     base_dir = cfg.train.checkpoint_dir
     for k in range(folds):

@@ -18,6 +18,7 @@ compute); all numeric work (normalize/resize) stays on device
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Dict, Iterator, List, Optional, Tuple
 
@@ -95,15 +96,31 @@ class ImageFolderDataset:
         self.groups: List[str] = []   # parallel to samples
         for c in classes:
             cdir = os.path.join(root, c)
-            for fn in _images_in(cdir):
+            direct = _images_in(cdir)
+            for fn in direct:
                 self.samples.append((os.path.join(cdir, fn),
                                      self.class_to_idx[c]))
                 self.groups.append(c)
+            nested_dirs = []
             for sd in _subdirs_in(cdir):
-                for fn in _images_in(os.path.join(cdir, sd)):
+                sub = _images_in(os.path.join(cdir, sd))
+                if sub:
+                    nested_dirs.append(sd)
+                for fn in sub:
                     self.samples.append((os.path.join(cdir, sd, fn),
                                          self.class_to_idx[c]))
                     self.groups.append(f"{c}/{sd}")
+            if direct and nested_dirs:
+                # mixed layout is usually an accident (thumbnails/,
+                # rejected/, ... sitting inside a flat class dir would
+                # silently join the training set) — be loud about it
+                import warnings
+
+                warnings.warn(
+                    f"class dir {cdir!r} mixes direct tiles ({len(direct)})"
+                    f" with image subdirectories {nested_dirs} — ALL are "
+                    f"ingested as class {c!r}; remove auxiliary image "
+                    f"folders if that is not intended", stacklevel=2)
         if not self.samples:
             raise ValueError(f"no images with {IMAGE_EXTENSIONS} under {root}")
         self.num_classes = len(classes)
@@ -327,11 +344,21 @@ def dataset_label_counts(spec: str, num_classes: int):
 
 def _sample_groups_labels(spec: str, num_classes: int):
     """(groups, labels) per sample for a dataset spec — the metadata a
-    slide-level fold split needs. Folder: the class or class/slide group
-    each tile already carries. HDF5: slide provenance when make-dataset
-    recorded it, else every tile is its own group (tile-level split —
-    correlated tiles may straddle folds; make-dataset archives avoid
-    this)."""
+    slide-level fold split needs. Folder: the class/slide group each
+    nested tile carries; tiles sitting DIRECTLY in a class dir (the flat
+    layout, no provenance) each become their own group, so flat datasets
+    get a stratified tile-level split instead of one indivisible group
+    per class. HDF5: slide provenance when make-dataset recorded it,
+    else per-tile groups (same tile-level fallback).
+
+    Cached per (spec, num_classes): the full directory walk / HDF5 read
+    would otherwise repeat at every epoch-end fold eval. Datasets are
+    assumed static for the life of the process (training already
+    requires this)."""
+    return _sample_groups_labels_cached(spec, num_classes)
+
+
+def _sgl_uncached(spec: str, num_classes: int):
     if spec.endswith((".h5", ".hdf5")):
         import h5py
 
@@ -345,7 +372,12 @@ def _sample_groups_labels(spec: str, num_classes: int):
                 groups = [f"t{i}" for i in range(n)]
         return groups, labels
     ds = ImageFolderDataset(spec, size=None)
-    return list(ds.groups), np.asarray([c for _, c in ds.samples], np.int64)
+    groups = [g if "/" in g else f"{g}/t{i}"
+              for i, g in enumerate(ds.groups)]
+    return groups, np.asarray([c for _, c in ds.samples], np.int64)
+
+
+_sample_groups_labels_cached = functools.lru_cache(maxsize=8)(_sgl_uncached)
 
 
 def fold_indices(spec: str, fold: int, num_folds: int, num_classes: int,

@@ -168,7 +168,9 @@ def cross_entropy(logits, labels, smoothing: float = 0.0, weights=None):
     if smoothing != 0.0:
         loss_i = ((1.0 - smoothing) * loss_i
                   + smoothing * jnp.mean(-logp * w[None, :], -1))
-    return jnp.sum(loss_i) / jnp.sum(w[labels])
+    # a batch whose every sample has weight 0 (a zeroed-out class) must
+    # contribute loss 0 / grads 0, not 0/0 = NaN poisoning the optimizer
+    return jnp.sum(loss_i) / jnp.maximum(jnp.sum(w[labels]), 1e-8)
 
 
 def mixup_batch(rng, images, labels, alpha: float):
@@ -249,15 +251,18 @@ def warm_start_params(model, fresh, *, init_from=None, init_backbone=None,
         sa, sb = _tree_spec(loaded), _tree_spec(fresh)
         mism = sorted(k for k in (sa.keys() | sb.keys())
                       if sa.get(k) != sb.get(k))
-        if mism and all("head" in k for k in mism):
-            if not reinit_head:
-                raise ValueError(
-                    f"checkpoint classifier head does not match "
-                    f"model.num_classes ({mism}) — pass "
-                    f"--train.reinit_head to reinitialize the head for "
-                    f"class-count transfer")
+        if reinit_head:
+            # unconditional, as documented — also when shapes happen to
+            # match (same class COUNT, different task)
             loaded = dict(loaded, transformer=dict(
                 loaded["transformer"], head=fresh["transformer"]["head"]))
+            mism = [k for k in mism if "head" not in k]
+        if mism and all("head" in k for k in mism):
+            raise ValueError(
+                f"checkpoint classifier head does not match "
+                f"model.num_classes ({mism}) — pass "
+                f"--train.reinit_head to reinitialize the head for "
+                f"class-count transfer")
         elif mism:
             raise ValueError(
                 f"checkpoint does not match the model tree "
@@ -442,6 +447,7 @@ def make_train_step(model, optimizer, mesh=None, donate=True,
             body, (zeros, jnp.float32(0.0), jnp.float32(0.0),
                    jnp.float32(0.0)),
             (micro, jnp.arange(accum_steps)))
+        wsum = jnp.maximum(wsum, 1e-8)   # all-zero-weight batch: grads 0
         grads = jax.tree.map(lambda g, p: (g / wsum).astype(p.dtype),
                              gsum, params)
         return grads, lsum / wsum, asum / jnp.float32(accum_steps), None

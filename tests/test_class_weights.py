@@ -178,3 +178,20 @@ def test_cli_train_with_class_weights(tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "training done" in out
+
+
+def test_zero_weight_batch_is_finite():
+    """A batch whose every sample has weight 0 (a zeroed-out class) must
+    give loss 0 and zero grads, not 0/0 = NaN (review finding r3)."""
+    import jax
+
+    logits = jnp.asarray(np.random.default_rng(0).normal(size=(4, 2)),
+                         jnp.float32)
+    labels = jnp.zeros((4,), jnp.int32)
+    w = jnp.asarray([0.0, 1.0])
+    loss = train_lib.cross_entropy(logits, labels, weights=w)
+    assert float(loss) == 0.0
+    g = jax.grad(lambda lg: train_lib.cross_entropy(lg, labels,
+                                                    weights=w))(logits)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.abs(g).max()) == 0.0

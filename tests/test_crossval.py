@@ -125,3 +125,31 @@ def test_cli_crossval_end_to_end(tmp_path, capsys):
     # per-fold checkpoints exist
     assert os.path.isdir(f"{tmp_path}/cv/fold0")
     assert os.path.isdir(f"{tmp_path}/cv/fold1")
+
+
+def test_fold_split_flat_layout_tile_level(tmp_path):
+    """Flat class/tiles folders have no slide provenance: each tile is
+    its own group, so the split is stratified tile-level instead of one
+    indivisible group per class (which made every fold degenerate)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(3)
+    root = str(tmp_path / "flat")
+    for c, n in {"a": 6, "b": 4}.items():
+        os.makedirs(os.path.join(root, c))
+        for i in range(n):
+            Image.fromarray(rng.integers(0, 255, (32, 32, 3),
+                                         dtype=np.uint8)).save(
+                os.path.join(root, c, f"t{i}.png"))
+    for k in range(2):
+        train, val = folder_lib.fold_indices(root, k, 2, 2)
+        assert len(train) and len(val)
+        assert len(train) + len(val) == 10
+
+
+def test_crossval_rejects_single_fold(tmp_path):
+    from duoformer_tcga_tpu import config as config_lib
+
+    cfg = config_lib.Config()
+    with pytest.raises(ValueError, match="at least 2"):
+        cli.cmd_crossval(cfg, folds=1)

@@ -95,3 +95,15 @@ def test_eval_rejects_quantized_artifact(tmp_path):
     with pytest.raises(ValueError, match="int8"):
         cli.main(["eval"] + TINY + [f"--train.checkpoint_dir={ckdir}",
                                     f"--params={art}"])
+
+
+def test_eval_torch_rejects_baseline_families(tmp_path):
+    """--torch= conversion only exists for the duoformer families; a
+    vit/hybrid preset must fail loudly, not crash inside the converter."""
+    path = _oracle_ckpt(tmp_path)
+    with pytest.raises(ValueError, match="duoformer families"):
+        cli.main(["eval", "--preset=vit-baseline", "--model.dtype=float32",
+                  "--train.platform=cpu", "--train.batch_size=8",
+                  "--train.dataset=synthetic",
+                  f"--train.checkpoint_dir={tmp_path}/ck",
+                  f"--torch={path}"])

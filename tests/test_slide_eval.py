@@ -91,3 +91,16 @@ def test_cli_eval_reports_slide_accuracy(tmp_path, capsys):
     assert per["classA/slide1"]["n_tiles"] == 3
     assert per["classB/slide3"]["label"] == 1
     assert abs(sum(per["classA/slide2"]["mean_probs"]) - 1.0) < 1e-3
+
+
+def test_mixed_layout_warns(tmp_path):
+    """Direct tiles + image subdirs in one class dir is usually an
+    accident (thumbnails/ etc. silently joining the class) — warn."""
+    import warnings
+
+    root = str(tmp_path / "mix")
+    _write_tiles(root, {"classA": 2, "classA/thumbs": 1, "classB": 2})
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        folder_lib.ImageFolderDataset(root, size=32)
+    assert any("mixes direct tiles" in str(w.message) for w in rec)

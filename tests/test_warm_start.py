@@ -150,3 +150,17 @@ def test_cli_train_warm_start_and_resume_precedence(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "resumed from step 1" in out
     assert "warm start" not in out
+
+
+def test_reinit_head_applies_even_when_shapes_match(tmp_path):
+    """--train.reinit_head must replace the head unconditionally (same
+    class COUNT, different task), not only on a shape mismatch."""
+    model, fresh = _tiny_model(num_classes=2)
+    om, path = _oracle_ckpt(tmp_path, num_classes=2, seed=9)
+    got = train_lib.warm_start_params(model, fresh, init_from=path,
+                                      reinit_head=True)
+    assert _leaves_equal(got["transformer"]["head"],
+                         fresh["transformer"]["head"])
+    loaded = tc.to_jax(tc.convert_duoformer(om.state_dict(), model))
+    assert not _leaves_equal(got["transformer"]["head"],
+                             loaded["transformer"]["head"])

@@ -164,3 +164,27 @@ def test_reinit_head_applies_even_when_shapes_match(tmp_path):
     loaded = tc.to_jax(tc.convert_duoformer(om.state_dict(), model))
     assert not _leaves_equal(got["transformer"]["head"],
                              loaded["transformer"]["head"])
+
+
+def test_cli_unfrozen_finetune_from_pretrained_trunk(tmp_path, capsys):
+    """The reference's real pretrained=True workflow: graft SSL trunk
+    weights, then fine-tune the WHOLE network (unfrozen backbone =
+    bn_stats running-stat threading) — warm start and bn_stats compose."""
+    from duoformer_tcga_tpu import cli
+
+    torch.manual_seed(11)
+    trunk = OracleResNetTrunk(50)
+    path = str(tmp_path / "trunk.torch")
+    torch.save(trunk.state_dict(), path)
+    cli.main([
+        "train", "--preset=release-2scale", "--model.depth=1",
+        "--model.embed_dim=96", "--model.proj_dim=96",
+        "--model.dtype=float32", "--train.platform=cpu",
+        "--train.batch_size=8", "--steps=2", "--train.dataset=synthetic",
+        "--model.freeze_backbone=false",
+        f"--train.checkpoint_dir={tmp_path}/ck",
+        f"--train.init_backbone={path}",
+    ])
+    out = capsys.readouterr().out
+    assert "warm start from" in out
+    assert "training done" in out

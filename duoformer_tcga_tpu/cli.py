@@ -66,7 +66,9 @@ def _build(cfg):
     else:
         frozen = None
     opt = train_lib.make_optimizer(sched, cfg.train.weight_decay,
-                                   frozen_label_fn=frozen)
+                                   frozen_label_fn=frozen,
+                                   kind=cfg.train.optimizer,
+                                   momentum=cfg.train.momentum)
     return model, mesh, opt, steps_per_epoch, total_steps, frozen
 
 
@@ -172,16 +174,18 @@ def _cmd_train(cfg, max_steps=None):
 
     from .data import folder as folder_lib
     fold = _parse_fold(cfg)
+    start = int(jax.device_get(state["step"]))
+    # start_step: the streams are pure functions of (seed, epoch), so a
+    # resumed run consumes byte-identical batches to an uninterrupted one
+    # (exact-resume guarantee, tests/test_remat_resume.py)
     batches = folder_lib.open_dataset(cfg.train.dataset,
                                       cfg.train.batch_size,
                                       num_classes=cfg.model.num_classes,
                                       seed=cfg.train.seed,
                                       sampler=cfg.train.sampler,
-                                      fold=fold)
+                                      fold=fold, start_step=start)
     loader = data_lib.PrefetchLoader(batches, sharding=bsh)
     rng = mesh_lib.replicate(mesh, jax.random.PRNGKey(cfg.train.seed + 1))
-
-    start = int(jax.device_get(state["step"]))
     preprocess = jax.jit(
         lambda img: data_lib.preprocess_tiles(img, dtype=dtype),
         out_shardings=bsh)

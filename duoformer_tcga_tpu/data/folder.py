@@ -141,7 +141,8 @@ class ImageFolderDataset:
 
     def batches(self, batch_size: int, seed: int = 0, shuffle: bool = True,
                 epochs: Optional[int] = None,
-                sampler: str = "shuffle") -> Iterator[Dict]:
+                sampler: str = "shuffle",
+                start_step: int = 0) -> Iterator[Dict]:
         """Yields {"image": uint8 [B,H,W,3], "label": int32 [B]} forever
         (or for `epochs` passes). Short final batches are dropped so the
         jitted step sees one static shape.
@@ -149,31 +150,39 @@ class ImageFolderDataset:
         sampler="balanced": draw each epoch's indices WITH replacement,
         per-sample probability inversely proportional to its class
         frequency — every class contributes ~equally per epoch (the
-        oversampling counterpart to --train.class_weights)."""
+        oversampling counterpart to --train.class_weights).
+
+        Each epoch's order is a pure function of (seed, epoch) — no
+        stream state — so start_step (a global batch index) resumes the
+        exact sequence an uninterrupted run would have produced: a
+        resumed training run sees byte-identical batches (exact-resume
+        guarantee; `epochs` still counts absolute epochs from 0)."""
         if len(self.samples) < batch_size:
             raise ValueError(
                 f"dataset has {len(self.samples)} samples but "
                 f"batch_size={batch_size}: short batches are dropped for "
                 f"static shapes, so no batch would ever be yielded — "
                 f"lower --train.batch_size")
-        rng = np.random.default_rng(seed)
         all_labels = np.asarray([c for _, c in self.samples], np.int64)
-        epoch = 0
+        spe = len(self.samples) // batch_size    # batches per epoch
+        epoch, skip = divmod(start_step, spe)
         while epochs is None or epoch < epochs:
+            rng = np.random.default_rng((seed, epoch))
             if sampler == "balanced":
                 order = _balanced_order(rng, all_labels)
             else:
                 order = np.arange(len(self.samples))
                 if shuffle:
                     rng.shuffle(order)
-            for lo in range(0, len(order) - batch_size + 1, batch_size):
+            for lo in range(skip * batch_size,
+                            len(order) - batch_size + 1, batch_size):
                 idx = order[lo:lo + batch_size]
                 paths = [self.samples[i][0] for i in idx]
                 imgs = self._decode_batch(paths)
                 labels = np.asarray([self.samples[i][1] for i in idx],
                                     np.int32)
                 yield {"image": imgs, "label": labels}
-            epoch += 1
+            epoch, skip = epoch + 1, 0
 
     def _decode_batch(self, paths: List[str]) -> np.ndarray:
         return decode_paths(paths, self.size)
@@ -233,15 +242,17 @@ def hdf5_tiles(path: str, batch_size: int, seed: int = 0,
                epochs: Optional[int] = None,
                num_classes: Optional[int] = None,
                sampler: str = "shuffle",
-               subset=None) -> Iterator[Dict]:
+               subset=None, start_step: int = 0) -> Iterator[Dict]:
     """Stream uint8 tile batches from an HDF5 file (the common packed
     format for pre-extracted TCGA tiles). Reads are chunked per batch so
     arbitrarily large files stream from disk. sampler="balanced" draws
     inverse-frequency with replacement (see _balanced_order). subset:
-    optional index array restricting the stream (fold splits)."""
+    optional index array restricting the stream (fold splits).
+    Each epoch's order is a pure function of (seed, epoch), so
+    start_step resumes the exact uninterrupted sequence (see
+    ImageFolderDataset.batches)."""
     import h5py
 
-    rng = np.random.default_rng(seed)
     with h5py.File(path, "r") as f:
         images = f[image_key]
         labels = f[label_key][:] if label_key in f else None
@@ -259,15 +270,17 @@ def hdf5_tiles(path: str, batch_size: int, seed: int = 0,
                 f"HDF5 dataset has {n} tiles but batch_size={batch_size}: "
                 f"short batches are dropped for static shapes — lower "
                 f"--train.batch_size")
-        epoch = 0
+        epoch, skip = divmod(start_step, n // batch_size)
         while epochs is None or epoch < epochs:
+            rng = np.random.default_rng((seed, epoch))
             if sampler == "balanced":
                 order = pool[_balanced_order(
                     rng, labels[pool].astype(np.int64))]
             else:
                 order = pool.copy()
                 rng.shuffle(order)
-            for lo in range(0, n - batch_size + 1, batch_size):
+            for lo in range(skip * batch_size, n - batch_size + 1,
+                            batch_size):
                 idx = np.sort(order[lo:lo + batch_size])  # h5py wants sorted
                 # h5py fancy indexing also rejects DUPLICATES (balanced
                 # sampling draws with replacement): read unique, re-expand
@@ -279,19 +292,22 @@ def hdf5_tiles(path: str, batch_size: int, seed: int = 0,
                               else np.zeros((batch_size,), np.int32)),
                 }
                 yield batch
-            epoch += 1
+            epoch, skip = epoch + 1, 0
 
 
 def open_dataset(spec: str, batch_size: int, num_classes: int = 2,
                  seed: int = 0, size: int = 224,
-                 sampler: str = "shuffle", fold=None) -> Iterator[Dict]:
+                 sampler: str = "shuffle", fold=None,
+                 start_step: int = 0) -> Iterator[Dict]:
     """CLI dispatch: "synthetic" -> generator; *.h5/*.hdf5 -> hdf5_tiles;
     a directory -> ImageFolderDataset.batches. sampler="balanced"
     oversamples minority classes (inverse-frequency with replacement);
     synthetic streams are uniform already and ignore it. fold=(k, K)
     restricts to the TRAIN side of the deterministic slide-level
     stratified K-fold split (fold_indices; the val side is
-    open_dataset_eval's job)."""
+    open_dataset_eval's job). start_step: every stream is a pure
+    function of (seed, epoch), so a resumed run (cmd_train passes the
+    restored step) sees byte-identical batches to an uninterrupted one."""
     from . import pipeline
 
     if sampler not in ("shuffle", "balanced"):
@@ -302,20 +318,21 @@ def open_dataset(spec: str, batch_size: int, num_classes: int = 2,
             raise ValueError("--train.fold needs a real dataset "
                              "(--train.dataset=<folder|.h5>)")
         return pipeline.synthetic_tiles(batch_size, num_classes, seed=seed,
-                                        size=size)
+                                        size=size, start_step=start_step)
     subset = (fold_indices(spec, fold[0], fold[1], num_classes)[0]
               if fold is not None else None)
     if spec.endswith((".h5", ".hdf5")):
         return hdf5_tiles(spec, batch_size, seed=seed,
                           num_classes=num_classes, sampler=sampler,
-                          subset=subset)
+                          subset=subset, start_step=start_step)
     ds = ImageFolderDataset(spec, size=size)
     _check_labels_fit(ds.num_classes - 1, num_classes,
                       f"image folder {spec} ({ds.num_classes} class "
                       f"directories)")
     if subset is not None:
         ds = ds.select(subset)
-    return ds.batches(batch_size, seed=seed, sampler=sampler)
+    return ds.batches(batch_size, seed=seed, sampler=sampler,
+                      start_step=start_step)
 
 
 def dataset_label_counts(spec: str, num_classes: int):

@@ -162,16 +162,22 @@ class PrefetchLoader:
 
 def synthetic_tiles(batch_size: int, num_classes: int = 2,
                     num_batches: Optional[int] = None, seed: int = 0,
-                    size: int = 224, learnable: bool = False):
+                    size: int = 224, learnable: bool = False,
+                    start_step: int = 0):
     """Synthetic TCGA-style uint8 tile stream (the stand-in for the
     reference's missing dataset module).
 
     learnable=True makes the label a function of the image (per-class
     color tint), so training-loop convergence is testable; otherwise
-    labels are random."""
-    rng = np.random.default_rng(seed)
-    i = 0
+    labels are random.
+
+    Batch i is a pure function of (seed, i) — no stream state — so
+    start_step resumes the exact sequence an uninterrupted run would
+    have produced (exact-resume guarantee; num_batches still counts
+    from batch 0)."""
+    i = start_step
     while num_batches is None or i < num_batches:
+        rng = np.random.default_rng((seed, i))
         img = rng.integers(0, 256, (batch_size, size, size, 3), np.int16)
         label = rng.integers(0, num_classes, (batch_size,), dtype=np.int32)
         if learnable:

@@ -91,6 +91,11 @@ class TrainConfig:
     # LR schedule: "onecycle" (reference, main_toy.py:112) | "cosine"
     # (5% linear warmup then cosine to 0) | "constant"
     schedule: str = "onecycle"
+    # optimizer: "adam" (reference, main_toy.py:111, torch L2-decay
+    # semantics) | "adamw" (decoupled decay) | "sgd" (momentum buffer);
+    # all torch-parity-tested (tests/test_optimizers.py)
+    optimizer: str = "adam"
+    momentum: float = 0.9          # sgd only
     weight_decay: float = 1e-4
     # training regularizers beyond the reference (all off by default =
     # reference semantics): smoothed-target CE, Beta(alpha,alpha) batch

@@ -88,21 +88,45 @@ def onecycle_schedule(peak_lr: float, total_steps: int, pct_start: float = 0.3,
 
 
 def make_optimizer(schedule, weight_decay: float = 1e-4,
-                   frozen_label_fn=None):
-    """Adam with torch-style L2 weight decay (decay added to the gradient
-    BEFORE the Adam moments — torch.optim.Adam(weight_decay=...) semantics,
-    main_toy.py:111), with an optional frozen partition.
+                   frozen_label_fn=None, kind: str = "adam",
+                   momentum: float = 0.9):
+    """Named optimizers with torch-parity semantics and an optional
+    frozen partition.
+
+    kind:
+      * "adam"  — the reference's optimizer (main_toy.py:111): Adam with
+        torch-style L2 weight decay (decay added to the gradient BEFORE
+        the Adam moments, torch.optim.Adam(weight_decay=) semantics);
+      * "adamw" — decoupled weight decay (torch.optim.AdamW: the decay
+        term is added AFTER the Adam moment scaling, so it is not
+        adaptively rescaled — the standard ViT fine-tune optimizer);
+      * "sgd"   — SGD with momentum buffer (torch.optim.SGD semantics:
+        L2 decay into the gradient, then buf = m*buf + grad, update
+        -lr*buf; nesterov off).
+    All three are parity-tested against torch step-for-step
+    (tests/test_optimizers.py).
 
     frozen_label_fn: params-tree -> label-tree of {"train","frozen"}."""
-    adam_l2 = optax.chain(
-        optax.add_decayed_weights(weight_decay) if weight_decay else optax.identity(),
-        optax.scale_by_adam(),
-        optax.scale_by_learning_rate(schedule),
-    )
+    decay = (optax.add_decayed_weights(weight_decay) if weight_decay
+             else optax.identity())
+    if kind == "adam":
+        tx = optax.chain(decay, optax.scale_by_adam(),
+                         optax.scale_by_learning_rate(schedule))
+    elif kind == "adamw":
+        tx = optax.chain(optax.scale_by_adam(), decay,
+                         optax.scale_by_learning_rate(schedule))
+    elif kind == "sgd":
+        tx = optax.chain(
+            decay,
+            optax.trace(decay=momentum) if momentum else optax.identity(),
+            optax.scale_by_learning_rate(schedule))
+    else:
+        raise ValueError(f"unknown --train.optimizer={kind!r} "
+                         f"(adam | adamw | sgd)")
     if frozen_label_fn is None:
-        return adam_l2
+        return tx
     return optax.multi_transform(
-        {"train": adam_l2, "frozen": optax.set_to_zero()}, frozen_label_fn)
+        {"train": tx, "frozen": optax.set_to_zero()}, frozen_label_fn)
 
 
 def _label_tree(params: Dict, freeze_backbone: bool) -> Dict:

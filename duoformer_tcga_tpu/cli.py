@@ -11,7 +11,12 @@ Usage:
         --input=/path/to/tiles [--output=predictions.csv] \
         [--params=model.npz | --torch=Checkpoint1.pt | \
          --stablehlo=model.dfz] \
-        [--embeddings=tiles.npz] [--by-slide=slides.csv]
+        [--embeddings=tiles.npz] [--by-slide=slides.csv] \
+        [--attn-maps=attn.npz]
+    python -m duoformer_tcga_tpu.cli heatmap --preset=release-2scale \
+        --slide=/path/slide.{svs|npy|png} [--output=heatmap.png] \
+        [--class=1] [--tile=224] [--stride=N] [--no-attn] \
+        [--params=model.npz | --torch=Checkpoint1.pt]
     python -m duoformer_tcga_tpu.cli export --preset=release-2scale \
         [--output=model.npz] [--quantize] [--stablehlo=model.dfz]
     python -m duoformer_tcga_tpu.cli make-dataset --slides=/path/wsis \
@@ -612,7 +617,7 @@ def cmd_export(cfg, output="model.npz", quantize=False, stablehlo=None):
 
 def cmd_predict(cfg, inputs, output="predictions.csv", params_path=None,
                 torch_path=None, embeddings_path=None, by_slide=None,
-                stablehlo_path=None):
+                stablehlo_path=None, attn_maps_path=None):
     """Serve a checkpoint on a folder (or single file) of image tiles and
     write per-tile class probabilities as CSV — the deployable twin of
     the reference's evaluation() loop (main_toy.py:39-54) for unlabeled
@@ -627,7 +632,12 @@ def cmd_predict(cfg, inputs, output="predictions.csv", params_path=None,
     by_slide (--by-slide=<out.csv>): aggregate tiles to slide level
     (group = the tile's subdirectory under --input, i.e. the
     one-slide-per-folder layout; flat folders aggregate to one row):
-    mean-probability prediction plus the majority-vote fraction."""
+    mean-probability prediction plus the majority-vote fraction.
+    attn_maps_path (--attn-maps=<out.npz>): also write each tile's
+    49-region attention rollout (models/interpret.py) — paths +
+    region_rollout [N, 49] + scale_attn [N, S+1] (the per-tile scale
+    preference, head/depth/region-averaged); `cli heatmap` renders the
+    slide-level picture."""
     import os
 
     import numpy as np
@@ -641,9 +651,10 @@ def cmd_predict(cfg, inputs, output="predictions.csv", params_path=None,
     if stablehlo_path:
         # hermetic serving: the artifact carries the compiled module and
         # the folded params — no model build, no checkpoint dir
-        if embeddings_path:
-            raise ValueError("--embeddings needs the in-process model "
-                             "(the StableHLO module exports logits only)")
+        if embeddings_path or attn_maps_path:
+            raise ValueError("--embeddings/--attn-maps need the in-process "
+                             "model (the StableHLO module exports logits "
+                             "only)")
         from .utils.stablehlo import load_stablehlo
         pred = load_stablehlo(stablehlo_path)
         print(f"predicting with StableHLO artifact {stablehlo_path} "
@@ -666,12 +677,16 @@ def cmd_predict(cfg, inputs, output="predictions.csv", params_path=None,
     else:
         pred = Predictor(model, serve, mesh=use_mesh,
                          dtype=getattr(jnp, cfg.model.dtype))
+    if attn_maps_path and ameta is not None and ameta.get("quantized"):
+        raise ValueError("int8 artifacts cannot produce attention maps — "
+                         "export/serve the bf16 artifact for --attn-maps")
     return _predict_loop(cfg, inputs, output, pred, B,
-                         embeddings=embeddings_path, by_slide=by_slide)
+                         embeddings=embeddings_path, by_slide=by_slide,
+                         attn_maps=attn_maps_path)
 
 
 def _predict_loop(cfg, inputs, output, pred, B, embeddings=None,
-                  by_slide=None):
+                  by_slide=None, attn_maps=None):
     """Shared serving loop: walk `inputs`, batch-decode, predict through
     `pred` (Predictor or StableHLOPredictor — anything with
     predict_proba), write the CSV(s)."""
@@ -703,6 +718,8 @@ def _predict_loop(cfg, inputs, output, pred, B, embeddings=None,
 
     rows = []
     embs = [] if embeddings_path else None
+    attns = [] if attn_maps else None
+    scale_prefs = [] if attn_maps else None
     for lo in range(0, len(paths), B):
         chunk = paths[lo:lo + B]
         imgs = folder_lib.decode_paths(chunk, 224)   # native batch decoder
@@ -710,12 +727,25 @@ def _predict_loop(cfg, inputs, output, pred, B, embeddings=None,
             imgs = np.concatenate(
                 [imgs, np.zeros((B - len(chunk), *imgs.shape[1:]),
                                 imgs.dtype)])
+        probs = None
+        if attns is not None:
+            logits, maps = pred.attention_maps(imgs)
+            probs = np.asarray(jax.nn.softmax(
+                jnp.asarray(logits), axis=-1))[:len(chunk)]
+            attns.append(np.asarray(maps["region_rollout"],
+                                    np.float32)[:len(chunk)])
+            # per-tile scale preference: head/depth/region-averaged
+            # scale-token attention over [scale token, coarse..fine]
+            scale_prefs.append(np.asarray(
+                jnp.mean(maps["scale_attn"], axis=(1, 2)),
+                np.float32)[:len(chunk)])
         if embs is not None:
             logits, emb = pred.embed(imgs)
-            probs = np.asarray(jax.nn.softmax(
-                logits.astype(jnp.float32), axis=-1))[:len(chunk)]
+            if probs is None:
+                probs = np.asarray(jax.nn.softmax(
+                    logits.astype(jnp.float32), axis=-1))[:len(chunk)]
             embs.append(np.asarray(emb, np.float32)[:len(chunk)])
-        else:
+        if probs is None:
             probs = np.asarray(pred.predict_proba(imgs))[:len(chunk)]
         for p, pr in zip(chunk, probs):
             rows.append((p, int(pr.argmax()), pr))
@@ -735,6 +765,14 @@ def _predict_loop(cfg, inputs, output, pred, B, embeddings=None,
                  embeddings=np.concatenate(embs, axis=0))
         print(f"wrote {len(rows)} tile embeddings "
               f"({embs[0].shape[-1]}-d) to {embeddings_path}", flush=True)
+
+    if attns is not None:
+        np.savez(attn_maps,
+                 paths=np.array([r[0] for r in rows]),
+                 region_rollout=np.concatenate(attns, axis=0),
+                 scale_attn=np.concatenate(scale_prefs, axis=0))
+        print(f"wrote {len(rows)} tile attention maps (49-region rollout "
+              f"+ scale preference) to {attn_maps}", flush=True)
 
     if by_slide:
         root = inputs if os.path.isdir(inputs) else os.path.dirname(inputs)
@@ -758,6 +796,103 @@ def _predict_loop(cfg, inputs, output, pred, B, embeddings=None,
                            + [f"{x:.6f}" for x in mean_pr])
         print(f"wrote {len(groups)} slide-level predictions to {by_slide}",
               flush=True)
+    return output
+
+
+def cmd_heatmap(cfg, slide, output="heatmap.png", params_path=None,
+                torch_path=None, cls_index=1, tile=224, stride=None,
+                no_attn=False):
+    """Classify every tile of a whole slide and render a spatial
+    probability heatmap — the clinical read-out pathologists actually
+    want from a tile classifier (the reference has no serving surface at
+    all). Two resolutions in one pass:
+
+      * coarse: per-tile P(class) on the slide's tile grid [gh, gw];
+      * fine (default): each tile's 49-region attention rollout
+        (models/interpret.py) modulates its probability onto a 7x7
+        sub-grid -> [gh*7, gw*7], localizing evidence WITHIN tiles.
+
+    Writes <output> (colormapped PNG, display-normalized) and
+    <output>.npz (raw prob_grid [gh, gw, ncls], attn heatmap, grid
+    geometry) for downstream analysis. --class= picks the mapped class
+    (default 1, the positive class of binary cohorts); --no-attn skips
+    the rollout pass (coarse map only, cheaper); --stride= overlaps
+    tiles."""
+    import numpy as np
+
+    from .data import wsi as wsi_lib
+    from .inference import Predictor
+    from .utils.plotting import save_heatmap_png
+
+    model, mesh, opt, _, _, _ = _build(cfg)
+    serve, ameta = _weights_for_serving(cfg, model, opt, params_path,
+                                        torch_path, verb="heatmapping")
+    if ameta is not None and ameta.get("quantized") and not no_attn:
+        raise ValueError("int8 artifacts cannot produce attention maps — "
+                         "pass --no-attn or the bf16 artifact")
+    ncls = cfg.model.num_classes
+    if not 0 <= cls_index < ncls:
+        raise ValueError(f"--class={cls_index} out of range for "
+                         f"num_classes={ncls}")
+    B = cfg.train.batch_size
+    dp = mesh_lib.data_parallel_size(mesh)
+    use_mesh = mesh if (mesh.devices.size > 1 and B % dp == 0) else None
+    pred = Predictor(model, serve, mesh=use_mesh,
+                     dtype=getattr(jnp, cfg.model.dtype),
+                     fold=ameta is None, quantize=False)
+
+    reader = wsi_lib.open_slide(slide)
+    H, W = reader.shape[0], reader.shape[1]
+    stride = stride or tile
+    coords = wsi_lib.grid_coords(H, W, tile, stride)
+    if not len(coords):
+        raise ValueError(f"slide {slide} ({H}x{W}) is smaller than one "
+                         f"{tile}x{tile} tile")
+    gh = (H - tile) // stride + 1
+    gw = (W - tile) // stride + 1
+    plane = np.ascontiguousarray(reader.plane) if isinstance(
+        reader.plane, np.memmap) else reader.plane
+
+    probs_all, rolls_all = [], []
+    for lo in range(0, len(coords), B):
+        chunk = coords[lo:lo + B]
+        tiles = wsi_lib.extract_tiles(plane, chunk, tile)
+        n = len(tiles)
+        if n < B:
+            tiles = np.concatenate(
+                [tiles, np.zeros((B - n, *tiles.shape[1:]), tiles.dtype)])
+        if no_attn:
+            probs = np.asarray(pred.predict_proba(tiles))[:n]
+        else:
+            logits, maps = pred.attention_maps(tiles)
+            probs = np.asarray(jax.nn.softmax(
+                jnp.asarray(logits), axis=-1))[:n]
+            rolls_all.append(np.asarray(maps["region_rollout"],
+                                        np.float32)[:n])
+        probs_all.append(probs.astype(np.float32))
+    probs = np.concatenate(probs_all)                     # [gh*gw, ncls]
+    prob_grid = probs.reshape(gh, gw, ncls)
+    coarse = prob_grid[..., cls_index]
+
+    out_npz = {"prob_grid": prob_grid, "tile": tile, "stride": stride,
+               "class_index": cls_index, "coords": coords}
+    if no_attn:
+        heat = coarse
+    else:
+        rolls = np.concatenate(rolls_all)                 # [gh*gw, 49]
+        # rollout sums to 1 per tile (mean 1/49); x49 makes a uniform
+        # tile render flat at its own probability
+        fine = (rolls * 49.0 * probs[:, cls_index:cls_index + 1])
+        heat = (fine.reshape(gh, gw, 7, 7)
+                .transpose(0, 2, 1, 3).reshape(gh * 7, gw * 7))
+        out_npz["region_rollout"] = rolls
+    out_npz["heatmap"] = heat
+    save_heatmap_png(heat, output)
+    np.savez(output + ".npz", **out_npz)
+    print(f"heatmap: {len(coords)} tiles ({gh}x{gw} grid) of {slide}; "
+          f"class {cls_index} mean={coarse.mean():.4f} "
+          f"max={coarse.max():.4f}; wrote {output} and {output}.npz",
+          flush=True)
     return output
 
 
@@ -947,7 +1082,8 @@ def cmd_verify_checkpoint(rest):
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     known = ("train", "eval", "predict", "export", "make-dataset",
-             "fetch-weights", "verify-checkpoint", "crossval", "plot")
+             "fetch-weights", "verify-checkpoint", "crossval", "plot",
+             "heatmap")
     if not argv or argv[0] not in known:
         print(__doc__)
         return 1
@@ -967,6 +1103,9 @@ def main(argv=None):
     pred_embeddings, pred_by_slide = None, None
     pred_stablehlo, export_stablehlo_path = None, None
     export_output, export_quant = "model.npz", False
+    pred_attn_maps = None
+    hm_slide, hm_output, hm_class = None, "heatmap.png", 1
+    hm_tile, hm_stride, hm_no_attn = 224, None, False
     filtered = []
     for a in rest:
         key = a.lstrip("-")
@@ -978,10 +1117,26 @@ def main(argv=None):
             pred_input = a.split("=", 1)[1]
         elif cmd == "predict" and key.startswith("output="):
             pred_output = a.split("=", 1)[1]
-        elif cmd in ("predict", "eval") and key.startswith("params="):
+        elif cmd in ("predict", "eval", "heatmap") and key.startswith(
+                "params="):
             pred_params = a.split("=", 1)[1]
-        elif cmd in ("predict", "eval") and key.startswith("torch="):
+        elif cmd in ("predict", "eval", "heatmap") and key.startswith(
+                "torch="):
             pred_torch = a.split("=", 1)[1]
+        elif cmd == "heatmap" and key.startswith("slide="):
+            hm_slide = a.split("=", 1)[1]
+        elif cmd == "heatmap" and key.startswith("output="):
+            hm_output = a.split("=", 1)[1]
+        elif cmd == "heatmap" and key.startswith("class="):
+            hm_class = int(a.split("=", 1)[1])
+        elif cmd == "heatmap" and key.startswith("tile="):
+            hm_tile = int(a.split("=", 1)[1])
+        elif cmd == "heatmap" and key.startswith("stride="):
+            hm_stride = int(a.split("=", 1)[1])
+        elif cmd == "heatmap" and key in ("no-attn", "no_attn"):
+            hm_no_attn = True
+        elif cmd == "predict" and key.startswith("attn-maps="):
+            pred_attn_maps = a.split("=", 1)[1]
         elif cmd in ("eval", "crossval") and key.startswith("report="):
             eval_report = a.split("=", 1)[1]
         elif cmd == "crossval" and key.startswith("folds="):
@@ -1025,7 +1180,16 @@ def main(argv=None):
                         params_path=pred_params, torch_path=pred_torch,
                         embeddings_path=pred_embeddings,
                         by_slide=pred_by_slide,
-                        stablehlo_path=pred_stablehlo)
+                        stablehlo_path=pred_stablehlo,
+                        attn_maps_path=pred_attn_maps)
+        elif cmd == "heatmap":
+            if not hm_slide:
+                print("heatmap requires --slide=<wsi-or-image>")
+                return 1
+            cmd_heatmap(cfg, hm_slide, hm_output,
+                        params_path=pred_params, torch_path=pred_torch,
+                        cls_index=hm_class, tile=hm_tile,
+                        stride=hm_stride, no_attn=hm_no_attn)
         elif cmd == "export":
             cmd_export(cfg, export_output, quantize=export_quant,
                        stablehlo=export_stablehlo_path)

@@ -78,6 +78,9 @@ class Predictor:
         self._fwd = jax.jit(fwd, **kwargs)
         self._raw_fwd, self._jit_kwargs = fwd, kwargs
         self._fwd_embed = None
+        self._fwd_attn = None
+        self._quantized = quantize
+        self._preprocess = preprocess
 
     def __call__(self, tiles):
         """tiles: [B, 224, 224, 3] uint8 (or float if preprocess=False) ->
@@ -88,6 +91,32 @@ class Predictor:
 
     def predict_proba(self, tiles):
         return jax.nn.softmax(self(tiles).astype(jnp.float32), axis=-1)
+
+    def attention_maps(self, tiles):
+        """tiles -> (logits [B, num_classes] f32, maps dict): head-averaged
+        attention maps from a diagnostic forward on the XLA path (the
+        fused kernels never materialize attention probabilities). Keys:
+        scale_attn [B, depth, 49, S+1], patch_attn, region_rollout
+        [B, 49] — see models/interpret.py. DuoFormer families only;
+        int8-quantized predictors can't (the diagnostic path reads the
+        bf16 weights)."""
+        if self._quantized:
+            raise ValueError("attention maps need the bf16 weights — "
+                             "build the Predictor without quantize=True")
+        if self._fwd_attn is None:
+            from .models.interpret import attention_maps as _maps
+
+            def fwd(p, x):
+                if self._preprocess:
+                    x = data_lib.preprocess_tiles(x, dtype=self.dtype)
+                else:
+                    x = x.astype(self.dtype)
+                return _maps(self.model, p, x)
+
+            self._fwd_attn = jax.jit(fwd, **self._jit_kwargs)
+        if self._bsh is not None:
+            tiles = jax.device_put(tiles, self._bsh)
+        return self._fwd_attn(self.params, tiles)
 
     def embed(self, tiles):
         """tiles -> (logits [B, num_classes], embeddings [B, embed_dim]) in

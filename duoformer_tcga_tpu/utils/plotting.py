@@ -51,6 +51,50 @@ def plot_accuracy(metrics_path: str, out_path: Optional[str] = None,
     return out_path
 
 
+# viridis-like anchors for dependency-free colormapping (PIL only)
+_CMAP_ANCHORS = ((0.267, 0.005, 0.329), (0.283, 0.141, 0.458),
+                 (0.254, 0.265, 0.530), (0.207, 0.372, 0.553),
+                 (0.164, 0.471, 0.558), (0.128, 0.567, 0.551),
+                 (0.135, 0.659, 0.518), (0.267, 0.749, 0.441),
+                 (0.478, 0.821, 0.318), (0.741, 0.873, 0.150),
+                 (0.993, 0.906, 0.144))
+
+
+def colormap(values):
+    """[..] floats in [0, 1] -> uint8 RGB [..., 3] via piecewise-linear
+    interpolation over the anchor palette (no matplotlib needed)."""
+    import numpy as np
+
+    v = np.clip(np.asarray(values, np.float64), 0.0, 1.0)
+    a = np.asarray(_CMAP_ANCHORS)
+    pos = v * (len(a) - 1)
+    lo = np.minimum(pos.astype(np.int64), len(a) - 2)
+    frac = (pos - lo)[..., None]
+    rgb = a[lo] * (1.0 - frac) + a[lo + 1] * frac
+    return (rgb * 255.0 + 0.5).astype(np.uint8)
+
+
+def save_heatmap_png(arr, path: str, min_side: int = 448,
+                     normalize: bool = True) -> str:
+    """Render a 2-D float array as a colormapped PNG (nearest-neighbor
+    upscaled so the shorter side is >= min_side — heatmap cells stay
+    crisp blocks). normalize=True rescales to the array's own [min, max]
+    for display; raw values belong in the accompanying npz."""
+    import numpy as np
+    from PIL import Image
+
+    a = np.asarray(arr, np.float64)
+    if normalize:
+        span = a.max() - a.min()
+        a = (a - a.min()) / (span if span > 0 else 1.0)
+    img = Image.fromarray(colormap(a))
+    h, w = a.shape
+    k = max(1, -(-min_side // min(h, w)))   # ceil division
+    img = img.resize((w * k, h * k), Image.NEAREST)
+    img.save(path)
+    return path
+
+
 def _ascii(steps, train, esteps, evals, width: int = 60) -> str:
     if not train:
         return "(no accuracy records)"

@@ -49,7 +49,24 @@ from .utils.checkpoint import CheckpointManager
 from .utils.metrics import MetricLogger
 
 
+_distributed_initialized = False
+
+
+def _maybe_init_multihost(cfg):
+    """--train.multihost: bring up the JAX multi-process runtime once per
+    process (TPU pod metadata or COORDINATOR_ADDRESS/num_processes env
+    autodetection) BEFORE any device query. Idempotent; single-host runs
+    (process_count stays 1) work unchanged — the data path only shards
+    when process_count > 1."""
+    global _distributed_initialized
+    if not cfg.train.multihost or _distributed_initialized:
+        return
+    jax.distributed.initialize()
+    _distributed_initialized = True
+
+
 def _build(cfg):
+    _maybe_init_multihost(cfg)
     if cfg.train.platform:
         jax.config.update("jax_default_device",
                           jax.devices(cfg.train.platform)[0])
@@ -182,13 +199,19 @@ def _cmd_train(cfg, max_steps=None):
     start = int(jax.device_get(state["step"]))
     # start_step: the streams are pure functions of (seed, epoch), so a
     # resumed run consumes byte-identical batches to an uninterrupted one
-    # (exact-resume guarantee, tests/test_remat_resume.py)
+    # (exact-resume guarantee, tests/test_remat_resume.py). shard: on a
+    # multi-host pod each process decodes only its row block of the
+    # global batch; PrefetchLoader assembles the global array
+    # (jax.make_array_from_process_local_data)
+    nproc = jax.process_count()
+    shard = (jax.process_index(), nproc) if nproc > 1 else None
     batches = folder_lib.open_dataset(cfg.train.dataset,
                                       cfg.train.batch_size,
                                       num_classes=cfg.model.num_classes,
                                       seed=cfg.train.seed,
                                       sampler=cfg.train.sampler,
-                                      fold=fold, start_step=start)
+                                      fold=fold, start_step=start,
+                                      shard=shard)
     loader = data_lib.PrefetchLoader(batches, sharding=bsh)
     rng = mesh_lib.replicate(mesh, jax.random.PRNGKey(cfg.train.seed + 1))
     preprocess = jax.jit(

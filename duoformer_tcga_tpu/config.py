@@ -154,6 +154,12 @@ class TrainConfig:
     # backend override ("cpu"/"tpu"); None = process default. Needed where
     # a TPU plugin is registered but the CPU backend should run the job.
     platform: Optional[str] = None
+    # multi-host pod training: call jax.distributed.initialize() (TPU pod
+    # metadata / COORDINATOR_ADDRESS env autodetection) before touching
+    # devices; each process then loads its shard of every global batch
+    # (data.folder.open_dataset shard=) and PrefetchLoader assembles the
+    # global array. Single-host runs ignore it.
+    multihost: bool = False
 
 
 @dataclass

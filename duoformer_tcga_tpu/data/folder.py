@@ -142,7 +142,8 @@ class ImageFolderDataset:
     def batches(self, batch_size: int, seed: int = 0, shuffle: bool = True,
                 epochs: Optional[int] = None,
                 sampler: str = "shuffle",
-                start_step: int = 0) -> Iterator[Dict]:
+                start_step: int = 0,
+                shard: Optional[Tuple[int, int]] = None) -> Iterator[Dict]:
         """Yields {"image": uint8 [B,H,W,3], "label": int32 [B]} forever
         (or for `epochs` passes). Short final batches are dropped so the
         jitted step sees one static shape.
@@ -156,13 +157,21 @@ class ImageFolderDataset:
         stream state — so start_step (a global batch index) resumes the
         exact sequence an uninterrupted run would have produced: a
         resumed training run sees byte-identical batches (exact-resume
-        guarantee; `epochs` still counts absolute epochs from 0)."""
+        guarantee; `epochs` still counts absolute epochs from 0).
+
+        shard=(k, n): multi-host data loading — batch_size stays the
+        GLOBAL batch; process k decodes only rows
+        [k*B/n, (k+1)*B/n) of each global batch (the per-process shard
+        jax.make_array_from_process_local_data assembles). The global
+        order is identical on every process by construction, so the
+        assembled global batch is bitwise the single-process one."""
         if len(self.samples) < batch_size:
             raise ValueError(
                 f"dataset has {len(self.samples)} samples but "
                 f"batch_size={batch_size}: short batches are dropped for "
                 f"static shapes, so no batch would ever be yielded — "
                 f"lower --train.batch_size")
+        sk, sn = _check_shard(shard, batch_size)
         all_labels = np.asarray([c for _, c in self.samples], np.int64)
         spe = len(self.samples) // batch_size    # batches per epoch
         epoch, skip = divmod(start_step, spe)
@@ -176,7 +185,7 @@ class ImageFolderDataset:
                     rng.shuffle(order)
             for lo in range(skip * batch_size,
                             len(order) - batch_size + 1, batch_size):
-                idx = order[lo:lo + batch_size]
+                idx = order[lo:lo + batch_size][sk]
                 paths = [self.samples[i][0] for i in idx]
                 imgs = self._decode_batch(paths)
                 labels = np.asarray([self.samples[i][1] for i in idx],
@@ -227,6 +236,23 @@ def _check_labels_fit(max_label: int, num_classes: Optional[int], what: str):
             f"make the loss NaN)")
 
 
+def _check_shard(shard, batch_size: int):
+    """Validate a (process_index, process_count) shard spec; returns
+    (row-slice of the global batch, process_count). None -> everything."""
+    if shard is None:
+        return slice(None), 1
+    k, n = shard
+    if not 0 <= k < n:
+        raise ValueError(f"shard={shard}: index must be in [0, {n})")
+    if batch_size % n:
+        raise ValueError(
+            f"shard={shard}: the GLOBAL batch size ({batch_size}) must be "
+            f"divisible by the process count so every process loads an "
+            f"equal row block")
+    per = batch_size // n
+    return slice(k * per, (k + 1) * per), n
+
+
 def _balanced_order(rng, labels: np.ndarray) -> np.ndarray:
     """One epoch's worth of indices drawn with replacement, per-sample
     probability inversely proportional to its class frequency, so every
@@ -242,14 +268,16 @@ def hdf5_tiles(path: str, batch_size: int, seed: int = 0,
                epochs: Optional[int] = None,
                num_classes: Optional[int] = None,
                sampler: str = "shuffle",
-               subset=None, start_step: int = 0) -> Iterator[Dict]:
+               subset=None, start_step: int = 0,
+               shard: Optional[Tuple[int, int]] = None) -> Iterator[Dict]:
     """Stream uint8 tile batches from an HDF5 file (the common packed
     format for pre-extracted TCGA tiles). Reads are chunked per batch so
     arbitrarily large files stream from disk. sampler="balanced" draws
     inverse-frequency with replacement (see _balanced_order). subset:
     optional index array restricting the stream (fold splits).
     Each epoch's order is a pure function of (seed, epoch), so
-    start_step resumes the exact uninterrupted sequence (see
+    start_step resumes the exact uninterrupted sequence; shard=(k, n)
+    reads only process k's row block of each global batch (see
     ImageFolderDataset.batches)."""
     import h5py
 
@@ -270,6 +298,7 @@ def hdf5_tiles(path: str, batch_size: int, seed: int = 0,
                 f"HDF5 dataset has {n} tiles but batch_size={batch_size}: "
                 f"short batches are dropped for static shapes — lower "
                 f"--train.batch_size")
+        sk, _sn = _check_shard(shard, batch_size)
         epoch, skip = divmod(start_step, n // batch_size)
         while epochs is None or epoch < epochs:
             rng = np.random.default_rng((seed, epoch))
@@ -281,15 +310,19 @@ def hdf5_tiles(path: str, batch_size: int, seed: int = 0,
                 rng.shuffle(order)
             for lo in range(skip * batch_size, n - batch_size + 1,
                             batch_size):
-                idx = np.sort(order[lo:lo + batch_size])  # h5py wants sorted
-                # h5py fancy indexing also rejects DUPLICATES (balanced
-                # sampling draws with replacement): read unique, re-expand
+                idx = order[lo:lo + batch_size][sk]
+                # h5py fancy indexing wants sorted, duplicate-free indices
+                # (balanced sampling draws with replacement): read the
+                # unique sorted set, then re-expand to the LOGICAL row
+                # order — so a batch's rows are order-stable regardless
+                # of the shard count (shards concatenate bitwise to the
+                # single-process batch)
                 uniq, inv = np.unique(idx, return_inverse=True)
                 batch = {
                     "image": images[uniq].astype(np.uint8)[inv],
                     "label": (labels[idx].astype(np.int32)
                               if labels is not None
-                              else np.zeros((batch_size,), np.int32)),
+                              else np.zeros((len(idx),), np.int32)),
                 }
                 yield batch
             epoch, skip = epoch + 1, 0
@@ -298,7 +331,8 @@ def hdf5_tiles(path: str, batch_size: int, seed: int = 0,
 def open_dataset(spec: str, batch_size: int, num_classes: int = 2,
                  seed: int = 0, size: int = 224,
                  sampler: str = "shuffle", fold=None,
-                 start_step: int = 0) -> Iterator[Dict]:
+                 start_step: int = 0,
+                 shard: Optional[Tuple[int, int]] = None) -> Iterator[Dict]:
     """CLI dispatch: "synthetic" -> generator; *.h5/*.hdf5 -> hdf5_tiles;
     a directory -> ImageFolderDataset.batches. sampler="balanced"
     oversamples minority classes (inverse-frequency with replacement);
@@ -307,7 +341,10 @@ def open_dataset(spec: str, batch_size: int, num_classes: int = 2,
     stratified K-fold split (fold_indices; the val side is
     open_dataset_eval's job). start_step: every stream is a pure
     function of (seed, epoch), so a resumed run (cmd_train passes the
-    restored step) sees byte-identical batches to an uninterrupted one."""
+    restored step) sees byte-identical batches to an uninterrupted one.
+    shard=(process_index, process_count): multi-host loading — each
+    process decodes only its row block of every global batch
+    (batch_size stays the GLOBAL batch; see ImageFolderDataset.batches)."""
     from . import pipeline
 
     if sampler not in ("shuffle", "balanced"):
@@ -318,13 +355,14 @@ def open_dataset(spec: str, batch_size: int, num_classes: int = 2,
             raise ValueError("--train.fold needs a real dataset "
                              "(--train.dataset=<folder|.h5>)")
         return pipeline.synthetic_tiles(batch_size, num_classes, seed=seed,
-                                        size=size, start_step=start_step)
+                                        size=size, start_step=start_step,
+                                        shard=shard)
     subset = (fold_indices(spec, fold[0], fold[1], num_classes)[0]
               if fold is not None else None)
     if spec.endswith((".h5", ".hdf5")):
         return hdf5_tiles(spec, batch_size, seed=seed,
                           num_classes=num_classes, sampler=sampler,
-                          subset=subset, start_step=start_step)
+                          subset=subset, start_step=start_step, shard=shard)
     ds = ImageFolderDataset(spec, size=size)
     _check_labels_fit(ds.num_classes - 1, num_classes,
                       f"image folder {spec} ({ds.num_classes} class "
@@ -332,7 +370,7 @@ def open_dataset(spec: str, batch_size: int, num_classes: int = 2,
     if subset is not None:
         ds = ds.select(subset)
     return ds.batches(batch_size, seed=seed, sampler=sampler,
-                      start_step=start_step)
+                      start_step=start_step, shard=shard)
 
 
 def dataset_label_counts(spec: str, num_classes: int):

@@ -128,8 +128,16 @@ class PrefetchLoader:
 
     def _put(self, batch):
         if self._sharding is not None:
-            batch = jax.tree.map(
-                lambda x: jax.device_put(x, self._sharding), batch)
+            if jax.process_count() > 1:
+                # multi-host: each process holds only its row block of
+                # the global batch (folder.open_dataset shard=); assemble
+                # the global sharded array from the per-process pieces
+                batch = jax.tree.map(
+                    lambda x: jax.make_array_from_process_local_data(
+                        self._sharding, np.asarray(x)), batch)
+            else:
+                batch = jax.tree.map(
+                    lambda x: jax.device_put(x, self._sharding), batch)
         else:
             batch = jax.tree.map(jnp.asarray, batch)
         self._q.put(batch)
@@ -163,7 +171,7 @@ class PrefetchLoader:
 def synthetic_tiles(batch_size: int, num_classes: int = 2,
                     num_batches: Optional[int] = None, seed: int = 0,
                     size: int = 224, learnable: bool = False,
-                    start_step: int = 0):
+                    start_step: int = 0, shard=None):
     """Synthetic TCGA-style uint8 tile stream (the stand-in for the
     reference's missing dataset module).
 
@@ -174,7 +182,13 @@ def synthetic_tiles(batch_size: int, num_classes: int = 2,
     Batch i is a pure function of (seed, i) — no stream state — so
     start_step resumes the exact sequence an uninterrupted run would
     have produced (exact-resume guarantee; num_batches still counts
-    from batch 0)."""
+    from batch 0). shard=(k, n): yield only process k's row block of
+    each GLOBAL batch (the global batch is generated identically on
+    every process, then sliced — multi-host loading, see
+    folder.ImageFolderDataset.batches)."""
+    from .folder import _check_shard
+
+    rows, _sn = _check_shard(shard, batch_size)
     i = start_step
     while num_batches is None or i < num_batches:
         rng = np.random.default_rng((seed, i))
@@ -186,5 +200,5 @@ def synthetic_tiles(batch_size: int, num_classes: int = 2,
             for c in range(3):
                 tint[label % 3 == c, 0, 0, c] = 60
             img = np.clip(img + tint, 0, 255)
-        yield {"image": img.astype(np.uint8), "label": label}
+        yield {"image": img[rows].astype(np.uint8), "label": label[rows]}
         i += 1

@@ -555,18 +555,31 @@ def _weights_for_serving(cfg, model, opt, params_path=None, torch_path=None,
         raise ValueError("pass at most one of --params= / --torch=")
     if torch_path:
         from .utils import torch_convert as tc
-        conv = {"duoformer": tc.convert_duoformer,
-                "duoformer_legacy": tc.convert_duoformer_legacy}.get(
-                    cfg.model.family)
-        if conv is None:
-            raise ValueError(
-                f"--torch= supports the duoformer families, not "
-                f"family={cfg.model.family!r} (for baselines use the "
-                f"converters in utils.torch_convert directly)")
         sd = tc.state_dict_from_reference_checkpoint(torch_path)
+        fam = cfg.model.family
+        if fam == "duoformer":
+            tree = tc.convert_duoformer(sd, model)
+        elif fam == "duoformer_legacy":
+            tree = tc.convert_duoformer_legacy(sd, model)
+        elif fam == "hybrid":
+            tree = tc.convert_hybrid(sd, model)
+        elif fam == "vit" and model.hybrid is not None:
+            tree = tc.convert_timm_hybrid(sd, model)
+        elif fam == "vit":
+            # plain ViT: tolerate both bare timm keys and the reference's
+            # wrapper attribute prefix
+            prefix = "model." if any(k.startswith("model.") for k in sd) \
+                else ""
+            tree = {"model": tc.convert_vit(sd, model.vit.depth,
+                                            prefix=prefix)}
+        else:
+            raise ValueError(
+                f"--torch= supports the duoformer/hybrid/vit families, "
+                f"not family={fam!r} (for {fam} use the converters in "
+                f"utils.torch_convert directly)")
         print(f"{verb} with converted torch checkpoint {torch_path}",
               flush=True)
-        return tc.to_jax(conv(sd, model)), None
+        return tc.to_jax(tree), None
     if params_path:
         from .inference import load_serving_artifact
         artifact, ameta = load_serving_artifact(params_path)

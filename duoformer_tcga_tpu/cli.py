@@ -67,6 +67,17 @@ def _maybe_init_multihost(cfg):
 
 def _build(cfg):
     _maybe_init_multihost(cfg)
+    if cfg.model.family == "scaleformer":
+        # a transformer CORE (tokens -> region tokens), not an image
+        # classifier: the reference only reaches ScaleFormer from
+        # commented-out paths (model.py:98,254) and it has no head. A
+        # loud error here beats the broadcast error its apply() would
+        # eventually raise on image input.
+        raise ValueError(
+            "family=scaleformer is a transformer core (tokens -> region "
+            "tokens, no classifier head) with no train/eval/serve driver "
+            "— construct it directly via config.ModelConfig.build() / "
+            "models.transformer.ScaleFormer")
     if cfg.train.platform:
         jax.config.update("jax_default_device",
                           jax.devices(cfg.train.platform)[0])
@@ -85,6 +96,14 @@ def _build(cfg):
         frozen = (train_lib.backbone_frozen_labels
                   if cfg.model.freeze_backbone
                   else train_lib.bn_stat_frozen_labels)
+    elif cfg.model.family == "resnet50_fc":
+        # linear probe: frozen trunk (requires_grad=False upstream,
+        # resnet50ssl.py:110-113) — decay must not erode it either
+        frozen = train_lib.trunk_frozen_labels
+    elif cfg.model.family == "hybrid":
+        # trainable r18 trunk, but its BN running stats are buffers —
+        # without this label weight decay drags them toward zero
+        frozen = train_lib.bn_stat_frozen_labels
     else:
         frozen = None
     opt = train_lib.make_optimizer(sched, cfg.train.weight_decay,
@@ -572,11 +591,12 @@ def _weights_for_serving(cfg, model, opt, params_path=None, torch_path=None,
                 else ""
             tree = {"model": tc.convert_vit(sd, model.vit.depth,
                                             prefix=prefix)}
+        elif fam == "resnet50_fc":
+            tree = tc.convert_resnet50_fc(sd)
         else:
             raise ValueError(
-                f"--torch= supports the duoformer/hybrid/vit families, "
-                f"not family={fam!r} (for {fam} use the converters in "
-                f"utils.torch_convert directly)")
+                f"--torch= supports the duoformer/hybrid/vit/resnet50_fc "
+                f"families, not family={fam!r}")
         print(f"{verb} with converted torch checkpoint {torch_path}",
               flush=True)
         return tc.to_jax(tree), None
@@ -918,9 +938,25 @@ def cmd_heatmap(cfg, slide, output="heatmap.png", params_path=None,
         rolls = np.concatenate(rolls_all)                 # [gh*gw, 49]
         # rollout sums to 1 per tile (mean 1/49); x49 makes a uniform
         # tile render flat at its own probability
-        fine = (rolls * 49.0 * probs[:, cls_index:cls_index + 1])
-        heat = (fine.reshape(gh, gw, 7, 7)
-                .transpose(0, 2, 1, 3).reshape(gh * 7, gw * 7))
+        fine = (rolls * 49.0 * probs[:, cls_index:cls_index + 1]
+                ).reshape(gh, gw, 7, 7)
+        if stride == tile:
+            heat = fine.transpose(0, 2, 1, 3).reshape(gh * 7, gw * 7)
+        else:
+            # overlapping tiles: average every tile's 7x7 evidence into a
+            # shared canvas at region-cell resolution (tile/7 px/cell);
+            # origins snap to the nearest cell — exact when stride is a
+            # multiple of tile/7
+            cell = tile // 7
+            ch = (H - 1) // cell + 1
+            cw = (W - 1) // cell + 1
+            acc = np.zeros((ch, cw), np.float64)
+            cnt = np.zeros((ch, cw), np.int64)
+            for (y, x), f in zip(coords, fine.reshape(-1, 7, 7)):
+                cy, cx = int(round(y / cell)), int(round(x / cell))
+                acc[cy:cy + 7, cx:cx + 7] += f
+                cnt[cy:cy + 7, cx:cx + 7] += 1
+            heat = np.where(cnt > 0, acc / np.maximum(cnt, 1), 0.0)
         out_npz["region_rollout"] = rolls
     out_npz["heatmap"] = heat
     save_heatmap_png(heat, output)

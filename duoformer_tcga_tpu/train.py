@@ -129,15 +129,17 @@ def make_optimizer(schedule, weight_decay: float = 1e-4,
         {"train": tx, "frozen": optax.set_to_zero()}, frozen_label_fn)
 
 
-def _label_tree(params: Dict, freeze_backbone: bool) -> Dict:
-    """"train"/"frozen" labels: the backbone subtree when freeze_backbone
+def _label_tree(params: Dict, freeze_backbone: bool,
+                root: str = "backbone") -> Dict:
+    """"train"/"frozen" labels: the `root` subtree when freeze_backbone
     (model_wo_extra_params.py:72-75), plus EVERY BatchNorm running stat
     (mean/var) — torch treats those as buffers, never optimizer targets;
-    in eval-mode BN the loss depends on them, so without this label Adam
-    and weight decay would silently train them."""
+    in eval-mode BN the loss depends on them (gradient leak) and weight
+    decay applies even at zero gradient, so without this label Adam
+    would silently train them."""
     def label(path, _leaf):
         keys = [getattr(p, "key", getattr(p, "name", None)) for p in path]
-        if freeze_backbone and keys and keys[0] == "backbone":
+        if freeze_backbone and keys and keys[0] == root:
             return "frozen"
         if keys and keys[-1] in ("mean", "var"):
             return "frozen"
@@ -151,9 +153,19 @@ def backbone_frozen_labels(params: Dict) -> Dict:
 
 
 def bn_stat_frozen_labels(params: Dict) -> Dict:
-    """Labels for unfrozen fine-tuning: only BN running stats excluded
-    from the optimizer (they update via bn_stats threading instead)."""
+    """Labels for unfrozen fine-tuning (and the trainable-trunk baseline
+    families with BatchNorm, e.g. HybridModel's r18): only BN running
+    stats excluded from the optimizer (they update via bn_stats
+    threading — or stay fixed — instead of decaying toward zero)."""
     return _label_tree(params, freeze_backbone=False)
+
+
+def trunk_frozen_labels(params: Dict) -> Dict:
+    """Labels for ResNet50withFC (linear probe): the `trunk` subtree is
+    frozen (resnet50ssl.py:110-113 requires_grad=False — torch Adam then
+    never sees it, so weight decay must not touch it either), plus BN
+    stats everywhere."""
+    return _label_tree(params, freeze_backbone=True, root="trunk")
 
 
 def merge_bn_stats(params, stats):

@@ -332,6 +332,17 @@ def convert_hybrid(sd: Dict, model) -> Dict:
     }
 
 
+def convert_resnet50_fc(sd: Dict) -> Dict:
+    """ResNet50withFC state_dict (the SSL linear-probe baseline,
+    resnet50ssl.py:104-123: `resnet_trunk.*` trunk + `fc.*` head) ->
+    models/resnet.ResNet50withFC params. Bare trunk layouts (keys without
+    the resnet_trunk. attribute prefix) convert too."""
+    prefix = ("resnet_trunk."
+              if any(k.startswith("resnet_trunk.") for k in sd) else "")
+    return {"trunk": convert_resnet(sd, 50, prefix=prefix),
+            "fc": _linear(sd, "fc")}
+
+
 def load_pretrained_backbone(params: Dict, sd: Dict, depth: int = 50,
                              prefix: str = "") -> Dict:
     """Replace the backbone subtree of a full model param tree with

@@ -97,11 +97,13 @@ def test_eval_rejects_quantized_artifact(tmp_path):
                                     f"--params={art}"])
 
 
-def test_eval_torch_rejects_baseline_families(tmp_path):
-    """--torch= conversion only exists for the duoformer families; a
-    vit/hybrid preset must fail loudly, not crash inside the converter."""
+def test_eval_torch_mismatched_family_fails_loudly(tmp_path):
+    """--torch= now converts every runnable family (duoformer/hybrid/
+    vit/resnet50_fc — tests/test_torch_serving.py), so feeding a
+    DUOFORMER checkpoint to a vit-family eval must fail loudly inside
+    the vit converter (missing keys), not serve garbage."""
     path = _oracle_ckpt(tmp_path)
-    with pytest.raises(ValueError, match="duoformer families"):
+    with pytest.raises((KeyError, ValueError)):
         cli.main(["eval", "--preset=vit-baseline", "--model.dtype=float32",
                   "--train.platform=cpu", "--train.batch_size=8",
                   "--train.dataset=synthetic",

@@ -100,3 +100,19 @@ def test_colormap_and_png(tmp_path):
     with Image.open(path) as im:
         w, h = im.size
     assert min(w, h) >= 100 and w % 9 == 0 and h % 7 == 0
+
+
+def test_cli_heatmap_stride_overlap(tmp_path, plane_npy):
+    """--stride < tile: overlapping tiles' 7x7 evidence averages into a
+    shared region-cell canvas (cells uncovered by any tile stay 0)."""
+    out = str(tmp_path / "hm_s.png")
+    assert cli.main(["heatmap", *_common(tmp_path), f"--slide={plane_npy}",
+                     f"--output={out}", "--stride=96"]) == 0
+    z = np.load(out + ".npz")
+    assert z["prob_grid"].shape == (3, 5, 2)        # (448-224)/96+1 x ...
+    assert z["heatmap"].shape == (14, 21)           # 448/32 x 672/32 cells
+    assert np.isfinite(z["heatmap"]).all()
+    assert z["region_rollout"].shape == (15, 49)
+    # overlapped interior cells hold averages bounded by the max evidence
+    fine_max = (z["region_rollout"] * 49.0).max()
+    assert z["heatmap"].max() <= fine_max + 1e-6

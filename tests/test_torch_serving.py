@@ -66,10 +66,88 @@ def test_vit_prefix_detection(tmp_path, monkeypatch):
         assert "model" in serve
 
 
-def test_unsupported_family_is_loud(tmp_path):
-    ck = str(tmp_path / "x.pt")
-    torch.save({"w": torch.zeros(1)}, ck)
+def test_resnet50_fc_torch_checkpoint_serves(tmp_path):
+    """The SSL linear-probe baseline (resnet50ssl.py:104-123) converts
+    and serves via --torch= with logit parity (resnet_trunk.* + fc.*)."""
+    from torch_oracle import OracleResNetTrunk
+
+    torch.manual_seed(5)
+
+    class OracleRes50FC(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.resnet_trunk = OracleResNetTrunk(50)
+            self.fc = torch.nn.Linear(2048, 4)
+
+        def forward(self, x):
+            h = self.resnet_trunk(x)["3"]
+            h = torch.nn.functional.adaptive_avg_pool2d(h, 1).flatten(1)
+            return self.fc(h)
+
+    oracle = OracleRes50FC().eval()
+    ck = str(tmp_path / "r50fc.pt")
+    torch.save(oracle.state_dict(), ck)
     cfg = _cfg(["--model.family=resnet50_fc", "--model.num_classes=4"])
     model, _mesh, opt, _, _, _ = cli._build(cfg)
-    with pytest.raises(ValueError, match="families"):
-        cli._weights_for_serving(cfg, model, opt, torch_path=ck)
+    serve, _ = cli._weights_for_serving(cfg, model, opt, torch_path=ck)
+    x = torch.randn(2, 3, 224, 224)
+    with torch.no_grad():
+        ref = oracle(x).numpy()
+    out = np.asarray(model.apply(serve,
+                                 jnp.asarray(x.numpy().transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_scaleformer_family_has_no_driver():
+    """The scaleformer preset is a transformer core, not an image
+    classifier — the CLI drivers must refuse it loudly instead of
+    letting apply() hit a broadcast error on image input."""
+    cfg = _cfg(["--preset=scaleformer-only"])
+    with pytest.raises(ValueError, match="transformer core"):
+        cli._build(cfg)
+
+
+def test_baseline_frozen_labels_block_decay():
+    """CLI-trained baseline families must not weight-decay frozen trunks
+    or BN running stats (torch buffers / requires_grad=False params get
+    no decay because they never receive gradients)."""
+    import jax
+    import optax
+
+    from duoformer_tcga_tpu import train as train_lib
+
+    params = {"trunk": {"conv": {"w": jnp.ones((2,))},
+                        "bn": {"mean": jnp.ones((2,)),
+                               "var": jnp.ones((2,))}},
+              "fc": {"w": jnp.ones((2,))}}
+    labels = train_lib.trunk_frozen_labels(params)
+    assert labels["trunk"]["conv"]["w"] == "frozen"
+    assert labels["trunk"]["bn"]["mean"] == "frozen"
+    assert labels["fc"]["w"] == "train"
+
+    opt = train_lib.make_optimizer(lambda _: 1e-2, weight_decay=1e-2,
+                                   frozen_label_fn=train_lib.trunk_frozen_labels)
+    state = opt.init(params)
+    zero_g = jax.tree.map(jnp.zeros_like, params)
+    updates, _ = opt.update(zero_g, state, params)
+    # frozen leaves: exactly zero update even under decay; fc decays
+    assert float(jnp.abs(updates["trunk"]["conv"]["w"]).max()) == 0.0
+    assert float(jnp.abs(updates["trunk"]["bn"]["mean"]).max()) == 0.0
+    assert float(jnp.abs(updates["fc"]["w"]).max()) > 0.0
+
+    # hybrid: BN stats frozen, conv weights trainable
+    hp = {"backbone": {"bn": {"mean": jnp.ones((2,)),
+                              "scale": jnp.ones((2,))}}}
+    hl = train_lib.bn_stat_frozen_labels(hp)
+    assert hl["backbone"]["bn"]["mean"] == "frozen"
+    assert hl["backbone"]["bn"]["scale"] == "train"
+
+
+def test_build_assigns_baseline_label_fns():
+    from duoformer_tcga_tpu import train as train_lib
+
+    cfg = _cfg(["--model.family=resnet50_fc", "--model.num_classes=4"])
+    assert cli._build(cfg)[5] is train_lib.trunk_frozen_labels
+    cfg = _cfg(["--model.family=hybrid", "--model.depth=1",
+                "--model.proj_dim=96"])
+    assert cli._build(cfg)[5] is train_lib.bn_stat_frozen_labels

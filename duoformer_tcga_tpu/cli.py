@@ -575,28 +575,7 @@ def _weights_for_serving(cfg, model, opt, params_path=None, torch_path=None,
     if torch_path:
         from .utils import torch_convert as tc
         sd = tc.state_dict_from_reference_checkpoint(torch_path)
-        fam = cfg.model.family
-        if fam == "duoformer":
-            tree = tc.convert_duoformer(sd, model)
-        elif fam == "duoformer_legacy":
-            tree = tc.convert_duoformer_legacy(sd, model)
-        elif fam == "hybrid":
-            tree = tc.convert_hybrid(sd, model)
-        elif fam == "vit" and model.hybrid is not None:
-            tree = tc.convert_timm_hybrid(sd, model)
-        elif fam == "vit":
-            # plain ViT: tolerate both bare timm keys and the reference's
-            # wrapper attribute prefix
-            prefix = "model." if any(k.startswith("model.") for k in sd) \
-                else ""
-            tree = {"model": tc.convert_vit(sd, model.vit.depth,
-                                            prefix=prefix)}
-        elif fam == "resnet50_fc":
-            tree = tc.convert_resnet50_fc(sd)
-        else:
-            raise ValueError(
-                f"--torch= supports the duoformer/hybrid/vit/resnet50_fc "
-                f"families, not family={fam!r}")
+        tree = tc.convert_for_family(sd, model, cfg.model.family)
         print(f"{verb} with converted torch checkpoint {torch_path}",
               flush=True)
         return tc.to_jax(tree), None

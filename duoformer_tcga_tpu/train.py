@@ -258,10 +258,12 @@ def warm_start_params(model, fresh, *, init_from=None, init_backbone=None,
 
     init_from: path to a reference torch checkpoint — a plain state_dict
     or the whole-object pickle the reference's epoch loop writes (Q14,
-    main_toy.py:139-149) — converted to the full model tree. This is the
-    fine-tune-Checkpoint1/2 workflow. With reinit_head=True the loaded
-    classifier head is replaced by the fresh init (transfer to a new
-    class count); otherwise any head-shape mismatch is an error.
+    main_toy.py:139-149) — converted to the full model tree
+    (torch_convert.convert_for_family: every runnable family). This is
+    the fine-tune-Checkpoint1/2 workflow. With reinit_head=True the
+    loaded classifier head (family-specific path,
+    torch_convert.head_path) is replaced by the fresh init (transfer to
+    a new class count); otherwise any head-shape mismatch is an error.
 
     init_backbone: lunit-io SSL registry key (BT/MoCoV2/SwAV) or a local
     torch weights file, grafted into params["backbone"] — the
@@ -273,27 +275,40 @@ def warm_start_params(model, fresh, *, init_from=None, init_backbone=None,
     initialized from the fresh tree stays valid."""
     from .utils import torch_convert as tc
 
+    def _get_path(tree, path):
+        for p in path:
+            tree = tree[p]
+        return tree
+
+    def _set_path(tree, path, value):
+        if len(path) == 1:
+            return dict(tree, **{path[0]: value})
+        return dict(tree, **{path[0]: _set_path(tree[path[0]], path[1:],
+                                                value)})
+
     params = fresh
     if init_from:
-        conv = {"duoformer": tc.convert_duoformer,
-                "duoformer_legacy": tc.convert_duoformer_legacy}.get(family)
-        if conv is None:
-            raise ValueError(
-                f"--train.init_from supports the duoformer families, not "
-                f"family={family!r} (for baselines use the converters in "
-                f"utils.torch_convert directly)")
         sd = tc.state_dict_from_reference_checkpoint(init_from)
-        loaded = tc.to_jax(conv(sd, model))
+        loaded = tc.to_jax(tc.convert_for_family(sd, model, family))
+        for ipath in tc.inert_paths(model, family):
+            # subtrees the forward never touches (e.g. HybridModel's
+            # bypassed ViT patch embed): converters may drop them — keep
+            # the fresh init so the tree structure matches the optimizer
+            try:
+                loaded = _set_path(loaded, ipath, _get_path(fresh, ipath))
+            except KeyError:
+                pass
+        hpath = tc.head_path(model, family)
+        hprefix = "".join(f"['{p}']" for p in hpath)
         sa, sb = _tree_spec(loaded), _tree_spec(fresh)
         mism = sorted(k for k in (sa.keys() | sb.keys())
                       if sa.get(k) != sb.get(k))
         if reinit_head:
             # unconditional, as documented — also when shapes happen to
             # match (same class COUNT, different task)
-            loaded = dict(loaded, transformer=dict(
-                loaded["transformer"], head=fresh["transformer"]["head"]))
-            mism = [k for k in mism if "head" not in k]
-        if mism and all("head" in k for k in mism):
+            loaded = _set_path(loaded, hpath, _get_path(fresh, hpath))
+            mism = [k for k in mism if not k.startswith(hprefix)]
+        if mism and all(k.startswith(hprefix) for k in mism):
             raise ValueError(
                 f"checkpoint classifier head does not match "
                 f"model.num_classes ({mism}) — pass "

@@ -343,6 +343,56 @@ def convert_resnet50_fc(sd: Dict) -> Dict:
             "fc": _linear(sd, "fc")}
 
 
+def convert_for_family(sd: Dict, model, family: str) -> Dict:
+    """One dispatch for every runnable config family -> full param tree.
+    Shared by CLI serving (--torch=) and warm-start fine-tuning
+    (--train.init_from)."""
+    if family == "duoformer":
+        return convert_duoformer(sd, model)
+    if family == "duoformer_legacy":
+        return convert_duoformer_legacy(sd, model)
+    if family == "hybrid":
+        return convert_hybrid(sd, model)
+    if family == "vit":
+        if model.hybrid is not None:
+            return convert_timm_hybrid(sd, model)
+        # plain ViT: tolerate both bare timm keys and the reference
+        # wrapper's attribute prefix
+        prefix = "model." if any(k.startswith("model.") for k in sd) else ""
+        return {"model": convert_vit(sd, model.vit.depth, prefix=prefix)}
+    if family == "resnet50_fc":
+        return convert_resnet50_fc(sd)
+    raise ValueError(
+        f"torch-checkpoint conversion supports the duoformer/hybrid/vit/"
+        f"resnet50_fc families, not family={family!r}")
+
+
+def inert_paths(model, family: str):
+    """Param subtrees the family's forward NEVER touches but init
+    creates: a converted checkpoint may legitimately lack them, and
+    warm-start keeps the fresh values there. HybridModel bypasses the
+    ViT patch embed entirely (model.py:371-383: tokens come from the
+    r18 projection), so convert_hybrid drops those weights."""
+    if family == "hybrid":
+        return (("vit", "patch_embed"),)
+    return ()
+
+
+def head_path(model, family: str):
+    """Classifier-head subtree path per family (reinit_head class
+    transfer in train.warm_start_params)."""
+    if family in ("duoformer", "duoformer_legacy"):
+        return ("transformer", "head")
+    if family == "hybrid":
+        return ("vit", "head")
+    if family == "vit":
+        return (("model", "vit", "head") if model.hybrid is not None
+                else ("model", "head"))
+    if family == "resnet50_fc":
+        return ("fc",)
+    raise ValueError(f"no head path for family {family!r}")
+
+
 def load_pretrained_backbone(params: Dict, sd: Dict, depth: int = 50,
                              prefix: str = "") -> Dict:
     """Replace the backbone subtree of a full model param tree with

@@ -151,3 +151,63 @@ def test_build_assigns_baseline_label_fns():
     cfg = _cfg(["--model.family=hybrid", "--model.depth=1",
                 "--model.proj_dim=96"])
     assert cli._build(cfg)[5] is train_lib.bn_stat_frozen_labels
+
+
+def test_warm_start_hybrid_with_head_transfer(tmp_path):
+    """--train.init_from now fine-tunes baseline checkpoints too: hybrid
+    checkpoint + new class count -> trunk/blocks loaded, head fresh;
+    without reinit_head the head mismatch fails loudly."""
+    import jax
+
+    from duoformer_tcga_tpu import train as train_lib
+    from duoformer_tcga_tpu.models.baselines import HybridModel
+    from duoformer_tcga_tpu.utils import torch_convert as tc
+    from torch_oracle import OracleHybridModel
+
+    torch.manual_seed(7)
+    oracle = OracleHybridModel(num_classes=5, num_blocks=2, proj_dim=96,
+                               num_heads=12)
+    ck = str(tmp_path / "h.pt")
+    torch.save(oracle.state_dict(), ck)
+
+    model = HybridModel(num_classes=7, num_blocks=2, proj_dim=96,
+                        num_heads=12, dtype=jnp.float32)
+    fresh = model.init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="reinit_head"):
+        train_lib.warm_start_params(model, fresh, init_from=ck,
+                                    family="hybrid")
+    params = train_lib.warm_start_params(model, fresh, init_from=ck,
+                                         family="hybrid", reinit_head=True)
+    np.testing.assert_array_equal(np.asarray(params["vit"]["head"]["w"]),
+                                  np.asarray(fresh["vit"]["head"]["w"]))
+    want = tc.to_jax(tc.convert_hybrid(oracle.state_dict(), model))
+    np.testing.assert_allclose(
+        np.asarray(params["backbone"]["conv1"]["w"]),
+        np.asarray(want["backbone"]["conv1"]["w"]), atol=1e-6)
+
+
+def test_warm_start_resnet50_fc(tmp_path):
+    import jax
+
+    from duoformer_tcga_tpu import train as train_lib
+    from duoformer_tcga_tpu.models.resnet import ResNet50withFC
+    from torch_oracle import OracleResNetTrunk
+
+    torch.manual_seed(8)
+
+    class OracleRes50FC(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.resnet_trunk = OracleResNetTrunk(50)
+            self.fc = torch.nn.Linear(2048, 4)
+
+    ck = str(tmp_path / "r.pt")
+    torch.save(OracleRes50FC().state_dict(), ck)
+    model = ResNet50withFC(num_classes=2, dtype=jnp.float32)
+    fresh = model.init(jax.random.PRNGKey(0))
+    params = train_lib.warm_start_params(model, fresh, init_from=ck,
+                                         family="resnet50_fc",
+                                         reinit_head=True)
+    np.testing.assert_array_equal(np.asarray(params["fc"]["w"]),
+                                  np.asarray(fresh["fc"]["w"]))
+    assert params["trunk"]["conv1"]["w"].shape == (7, 7, 3, 64)

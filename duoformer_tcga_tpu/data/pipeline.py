@@ -91,6 +91,20 @@ def augment_tiles(rng, x, mode: str = "d4", jitter: float = 0.0):
     return x
 
 
+def d4_transform(x, code: int):
+    """Apply ONE dihedral-group element (static code 0..7, same encoding
+    as augment_tiles: bit0 transpose, bit1 flip-H, bit2 flip-W) to a
+    [..., H, W, C] batch. Pure pixel permutation — exact in any dtype;
+    used by test-time augmentation (Predictor.predict_proba(tta=...))."""
+    if code & 1:
+        x = jnp.swapaxes(x, -3, -2)
+    if code & 2:
+        x = x[..., ::-1, :, :]
+    if code & 4:
+        x = x[..., :, ::-1, :]
+    return x
+
+
 def patchify(region, tile: int = 224):
     """WSI region [H, W, 3] (H, W multiples of tile) -> [n_tiles, tile, tile, 3].
 

@@ -79,6 +79,7 @@ class Predictor:
         self._raw_fwd, self._jit_kwargs = fwd, kwargs
         self._fwd_embed = None
         self._fwd_attn = None
+        self._fwd_tta = None
         self._quantized = quantize
         self._preprocess = preprocess
 
@@ -89,8 +90,33 @@ class Predictor:
             tiles = jax.device_put(tiles, self._bsh)
         return self._fwd(self.params, tiles)
 
-    def predict_proba(self, tiles):
-        return jax.nn.softmax(self(tiles).astype(jnp.float32), axis=-1)
+    def predict_proba(self, tiles, tta: bool = False,
+                      temperature: float = 1.0):
+        """Class probabilities [B, num_classes].
+
+        tta=True: D4 test-time augmentation — average the softmax over
+        the 8 exact dihedral symmetries of each tile (histopathology has
+        no canonical orientation; the standard cheap accuracy/calibration
+        boost, 8x compute). One jit; transforms are pixel permutations.
+        temperature: divide logits by T before the softmax (temperature
+        scaling, Guo et al. 2017 — fit T with train.fit_temperature /
+        `cli eval --calibrate`; 1.0 = raw)."""
+        if not tta:
+            logits = self(tiles).astype(jnp.float32)
+            return jax.nn.softmax(logits / temperature, axis=-1)
+        if self._fwd_tta is None:
+            def fwd_tta(p, x, t):
+                acc = 0.0
+                for code in range(8):
+                    logits = self._raw_fwd(
+                        p, data_lib.d4_transform(x, code))
+                    acc = acc + jax.nn.softmax(
+                        logits.astype(jnp.float32) / t, axis=-1)
+                return acc / 8.0
+            self._fwd_tta = jax.jit(fwd_tta, **self._jit_kwargs)
+        if self._bsh is not None:
+            tiles = jax.device_put(tiles, self._bsh)
+        return self._fwd_tta(self.params, tiles, jnp.float32(temperature))
 
     def attention_maps(self, tiles):
         """tiles -> (logits [B, num_classes] f32, maps dict): head-averaged

@@ -92,6 +92,66 @@ def roc_auc_ovr(probs, labels, num_classes: int) -> float:
     return float(np.mean(aucs)) if aucs else float("nan")
 
 
+def fit_temperature(log_probs, labels, iters: int = 80) -> float:
+    """Temperature scaling (Guo et al. 2017): the single scalar T > 0
+    minimizing NLL of softmax(z / T) on a held-out set. Works on
+    LOG-PROBABILITIES as well as raw logits: log_softmax differs from
+    the logits by a per-row constant, and a per-row constant divided by
+    T is still per-row — the softmax is identical either way (so
+    make_eval_full_step's probs feed this via np.log).
+
+    Golden-section search on log T in [-3, 3]; NLL(T) is smooth and
+    unimodal in practice. Returns T (1.0 means already calibrated)."""
+    import numpy as np
+
+    z = np.asarray(log_probs, np.float64)
+    labels = np.asarray(labels, np.int64)
+
+    def nll(t):
+        zt = z / t
+        zt = zt - zt.max(-1, keepdims=True)
+        logp = zt - np.log(np.exp(zt).sum(-1, keepdims=True))
+        return -logp[np.arange(len(labels)), labels].mean()
+
+    phi = (5 ** 0.5 - 1) / 2
+    a, b = -3.0, 3.0
+    for _ in range(iters):
+        c, d = b - phi * (b - a), a + phi * (b - a)
+        if nll(np.exp(c)) < nll(np.exp(d)):
+            b = d
+        else:
+            a = c
+    return float(np.exp((a + b) / 2))
+
+
+def nll_of(probs, labels) -> float:
+    """Mean negative log-likelihood of [N, C] probabilities."""
+    import numpy as np
+
+    p = np.asarray(probs, np.float64)
+    labels = np.asarray(labels, np.int64)
+    return float(-np.log(np.maximum(
+        p[np.arange(len(labels)), labels], 1e-12)).mean())
+
+
+def expected_calibration_error(probs, labels, bins: int = 15) -> float:
+    """ECE: confidence-binned |accuracy - confidence| weighted by bin
+    mass (the standard top-label calibration metric)."""
+    import numpy as np
+
+    p = np.asarray(probs, np.float64)
+    labels = np.asarray(labels, np.int64)
+    conf = p.max(-1)
+    correct = (p.argmax(-1) == labels).astype(np.float64)
+    edges = np.linspace(0.0, 1.0, bins + 1)
+    ece = 0.0
+    for i in range(bins):
+        m = (conf > edges[i]) & (conf <= edges[i + 1])
+        if m.any():
+            ece += m.mean() * abs(correct[m].mean() - conf[m].mean())
+    return float(ece)
+
+
 def macro_f1(preds, labels, num_classes: int) -> float:
     """Macro-averaged F1 over classes present in `labels` or `preds`
     (classes absent from both are skipped, not counted as 0)."""

@@ -175,8 +175,14 @@ def _cmd_train(cfg, max_steps=None):
     else:
         state = mesh_lib.replicate(mesh, state)
 
-    unfrozen = (not cfg.model.freeze_backbone
-                and cfg.model.family.startswith("duoformer"))
+    # bn_stats threading: torch train-mode BN semantics (batch stats +
+    # running-stat updates) for the families whose trainable path has
+    # BatchNorm — unfrozen duoformer fine-tuning, and hybrid always (its
+    # r18 trunk trains; without threading, eval-mode BN would forever see
+    # the random-init running stats)
+    unfrozen = ((not cfg.model.freeze_backbone
+                 and cfg.model.family.startswith("duoformer"))
+                or cfg.model.family == "hybrid")
     accum = cfg.train.accum_steps
     if (accum == 1 and not cfg.model.remat
             and "DUOFORMER_MLP_SAVE_HIDDEN" not in os.environ):

@@ -46,8 +46,18 @@ class HybridModel:
             "vit": self.vit.init(kv),
         }
 
-    def apply(self, params, x, rng=None, train=False):
-        feats = self.resnet.apply(params["backbone"], x, train=train)
+    def apply(self, params, x, rng=None, train=False, bn_stats=None):
+        """bn_stats: optional mutable dict — with train=True the r18 BNs
+        run on batch statistics and their momentum-updated running stats
+        land under bn_stats["backbone"] (merge with train.merge_bn_stats;
+        make_train_step(bn_stats=True) does). Without it, train-mode BN
+        uses batch stats but running stats never move — eval would see
+        the init stats, so the CLI always threads this for hybrid."""
+        collect = {} if bn_stats is not None and train else None
+        feats = self.resnet.apply(params["backbone"], x, train=train,
+                                  stats=collect)
+        if collect:
+            bn_stats["backbone"] = collect
         y = self.projection.apply(params["projection"], {"3": feats["3"]})["3"]
         B = y.shape[0]
         tokens = y.reshape(B, 49, self.proj_dim)     # flatten(2).T, model.py:375

@@ -88,17 +88,24 @@ def _rollout(mats):
 
 def multiscaleformer_maps(tfm, params, tokens):
     """Walk a MultiscaleFormer (release core) over prepared tokens
-    [B, 49, S+1, C] collecting attention maps. Returns (logits, maps)."""
+    [B, 49, S+1, C] collecting attention maps. Returns (logits, maps).
+    Both stacks run as lax.scan with stacked per-block aux outputs —
+    ONE compiled block body per stack regardless of depth (the
+    diagnostic path stays jit-compact at the production depth 12)."""
+    from jax import lax
+
     nh = tfm.num_heads
     x = tokens + params["pos_embed_for_scale"].astype(tokens.dtype)
-    scale_rows = []
-    for i in range(tfm.depth):
-        blk = _slice_block(params["scale_blocks"], i)
+
+    def sbody(carry, blk):
         # scale pass never applies q/k norms (Q9 / AttentionForScale)
-        x, pr = _scale_block_probs(blk, x, nh, tfm.ln_eps,
+        y, pr = _scale_block_probs(blk, carry, nh, tfm.ln_eps,
                                    apply_qk_norm=False)
-        scale_rows.append(jnp.mean(pr, axis=2)[:, :, 0, :])   # [B, 49, S+1]
-    maps = {"scale_attn": jnp.stack(scale_rows, axis=1).astype(jnp.float32)}
+        return y, jnp.mean(pr, axis=2)[:, :, 0, :]             # [B, 49, S+1]
+
+    x, scale_rows = lax.scan(sbody, x, params["scale_blocks"])
+    maps = {"scale_attn": jnp.moveaxis(scale_rows, 0, 1)
+            .astype(jnp.float32)}                              # [B, depth, ...]
 
     if not tfm.patch_attn:
         cls = jnp.mean(x[:, :, 0, :], axis=1)
@@ -109,17 +116,22 @@ def multiscaleformer_maps(tfm, params, tokens):
     cls = jnp.broadcast_to(params["cls_token"].astype(x.dtype),
                            (B, 1, tfm.embed_dim))
     t = jnp.concatenate([cls, t], axis=1) + params["pos_embed"].astype(x.dtype)
-    cls_rows, mixing = [], []
-    for i in range(tfm.depth):
-        blk = _slice_block(params["patch_blocks"], i)
+
+    def pbody(carry, blk):
         # AttentionForPatch DOES apply q/k norms when present
         # (scale_attention.py:201); PatchBlock = bare attention, chained
-        t, pr = _mha_probs(blk["attn"], t, nh, apply_qk_norm=True)
-        hm = jnp.mean(pr, axis=1)                              # [B, 50, 50]
-        cls_rows.append(hm[:, 0, :])
-        mixing.append(hm)
-    maps["patch_attn"] = jnp.stack(cls_rows, axis=1).astype(jnp.float32)
-    roll = _rollout(mixing)[:, 0, 1:]                          # [B, 49]
+        y, pr = _mha_probs(blk["attn"], carry, nh, apply_qk_norm=True)
+        return y, jnp.mean(pr, axis=1)                         # [B, 50, 50]
+
+    t, mixing = lax.scan(pbody, t, params["patch_blocks"])
+    maps["patch_attn"] = jnp.moveaxis(mixing[:, :, 0, :], 0, 1) \
+        .astype(jnp.float32)                                   # [B, depth, 50]
+    eye = jnp.broadcast_to(jnp.eye(mixing.shape[-1], dtype=mixing.dtype),
+                           (B, mixing.shape[-1], mixing.shape[-1]))
+    roll, _ = lax.scan(
+        lambda acc, m: (jnp.einsum("bij,bjk->bik", m, acc), None),
+        eye, mixing)
+    roll = roll[:, 0, 1:]                                      # [B, 49]
     maps["region_rollout"] = (
         roll / jnp.maximum(jnp.sum(roll, -1, keepdims=True), 1e-12)
     ).astype(jnp.float32)
@@ -133,19 +145,23 @@ def multiscaletransformer_maps(tfm, params, tokens):
     """Walk a MultiscaleTransformer (legacy core, Q4/Q12) collecting maps.
     The quirky region pass runs block 0 then block depth-1 only, so
     patch_attn has 2 rows and the rollout chains those two matrices."""
+    from jax import lax
+
     nh = tfm.num_heads
     x = tokens + params["pos_embed_for_scale"].astype(tokens.dtype)
-    scale_rows = []
-    for i in range(tfm.depth):
-        blk = _slice_block(params["blocks"], i)
+
+    def sbody(carry, blk):
         view = {"norm1": blk["norm1"], "attn": blk["attn1"],
                 "norm2": blk["norm2"], "mlp": blk["mlp"]}
         if "ls1" in blk:
             view["ls1"], view["ls2"] = blk["ls1"], blk["ls2"]
-        x, pr = _scale_block_probs(view, x, nh, tfm.ln_eps,
+        y, pr = _scale_block_probs(view, carry, nh, tfm.ln_eps,
                                    scale=tfm.attn_scale)       # Q12 scale
-        scale_rows.append(jnp.mean(pr, axis=2)[:, :, 0, :])
-    maps = {"scale_attn": jnp.stack(scale_rows, axis=1).astype(jnp.float32)}
+        return y, jnp.mean(pr, axis=2)[:, :, 0, :]
+
+    x, scale_rows = lax.scan(sbody, x, params["blocks"])
+    maps = {"scale_attn": jnp.moveaxis(scale_rows, 0, 1)
+            .astype(jnp.float32)}
 
     B = x.shape[0]
     t = x[:, :, 0, :]

@@ -216,15 +216,23 @@ class ResNet50withFC:
                                  dtype=self.dtype),
         }
 
-    def apply(self, params, x, train=False, freeze=True, bn_batch_stats=None):
+    def apply(self, params, x, rng=None, train=False, freeze=True,
+              bn_batch_stats=None, bn_stats=None):
         """bn_batch_stats: BN mode for the trunk. None (default) uses
         running stats when frozen; True forces per-batch statistics — the
         reference's actual train-mode behavior (torch model.train() keeps
         BN in batch-stat mode even for requires_grad=False params,
-        main_toy.py:20)."""
+        main_toy.py:20). rng is accepted (unused — no dropout) so the
+        generic train step can drive this family. bn_stats: optional
+        mutable dict collecting running-stat updates (see DuoFormer.apply)
+        when training with batch-stat BN."""
+        collect = {} if bn_stats is not None and train else None
         bn_train = bn_batch_stats if bn_batch_stats is not None \
-            else (train and not freeze)
-        feats = self.backbone.apply(params["trunk"], x, train=bn_train)
+            else bool(collect) or (train and not freeze)
+        feats = self.backbone.apply(params["trunk"], x, train=bn_train,
+                                    stats=collect)
+        if collect:
+            bn_stats["trunk"] = collect
         h = feats["3"]
         if freeze:
             h = jax.lax.stop_gradient(h)

@@ -211,3 +211,33 @@ def test_warm_start_resnet50_fc(tmp_path):
     np.testing.assert_array_equal(np.asarray(params["fc"]["w"]),
                                   np.asarray(fresh["fc"]["w"]))
     assert params["trunk"]["conv1"]["w"].shape == (7, 7, 3, 64)
+
+
+def test_cli_trains_resnet50_fc(tmp_path):
+    """The linear-probe family trains through the generic step (its
+    apply must tolerate the step's rng kwarg)."""
+    assert cli.main([
+        "train", "--model.family=resnet50_fc", "--model.num_classes=2",
+        "--model.dtype=float32", "--train.platform=cpu",
+        "--train.batch_size=8", "--steps=1",
+        f"--train.checkpoint_dir={tmp_path}/ck"]) == 0
+
+
+def test_cli_trains_hybrid_and_updates_bn_stats(tmp_path):
+    """Hybrid training threads BN running-stat updates (torch train-mode
+    semantics) — without it, eval-mode BN would forever see the
+    random-init stats."""
+    import jax
+
+    from duoformer_tcga_tpu import config as config_lib
+
+    cfg = config_lib.from_args([
+        "--model.family=hybrid", "--model.depth=1", "--model.proj_dim=96",
+        "--model.num_classes=2", "--model.dtype=float32",
+        "--train.platform=cpu", "--train.batch_size=8"])
+    state = cli.cmd_train(cfg, max_steps=1)
+    fresh = cfg.model.build().init(jax.random.PRNGKey(cfg.train.seed))
+    got = np.asarray(jax.device_get(
+        state["params"]["backbone"]["bn1"]["mean"]))
+    init = np.asarray(fresh["backbone"]["bn1"]["mean"])
+    assert np.abs(got - init).max() > 0          # running stats moved

@@ -128,3 +128,18 @@ def test_non_duoformer_raises():
     m = ViTBase16(n_classes=2, dtype=jnp.float32)
     with pytest.raises(ValueError, match="families"):
         interpret.attention_maps(m, {}, _x())
+
+
+def test_three_scale_maps():
+    """Maps generalize across the variant matrix: 3 scales -> S+1 = 22
+    tokens per region (num_scale_tokens)."""
+    m = DuoFormer(depth=1, embed_dim=96, num_heads=12, num_classes=2,
+                  num_layers=3, proj_dim=96, dtype=jnp.float32)
+    p = m.init(jax.random.PRNGKey(0))
+    x = _x()
+    ref = np.asarray(m.apply(p, x, train=False))
+    out, maps = interpret.attention_maps(m, p, x)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-5)
+    s = np.asarray(maps["scale_attn"])
+    assert s.shape == (2, 1, 49, 22)
+    np.testing.assert_allclose(s.sum(-1), np.ones((2, 1, 49)), atol=1e-5)

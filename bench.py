@@ -233,6 +233,8 @@ def measure_train(batch=256, iters=6, dtype="bfloat16",
 
 
 def main():
+    from duoformer_tcga_tpu.utils import profiling
+    profiling.enable_compile_cache()   # DUOFORMER_COMPILE_CACHE, no-op unset
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--iters", type=int, default=20)

@@ -1217,6 +1217,8 @@ def main(argv=None):
         print(__doc__)
         return 1
     cmd, rest = argv[0], argv[1:]
+    from .utils import profiling
+    profiling.enable_compile_cache()   # DUOFORMER_COMPILE_CACHE, no-op unset
     if cmd == "make-dataset":
         return cmd_make_dataset(rest)
     if cmd == "fetch-weights":

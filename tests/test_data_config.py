@@ -267,3 +267,26 @@ def test_cli_plot_missing_metrics_is_loud(tmp_path):
 
     with pytest.raises(FileNotFoundError, match="metrics"):
         cli.main(["plot", f"--train.checkpoint_dir={tmp_path}/nope"])
+
+
+def test_enable_compile_cache(tmp_path, monkeypatch):
+    """DUOFORMER_COMPILE_CACHE: jitted executables persist to the cache
+    dir (reused across processes on the slow remote-compile transport)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from duoformer_tcga_tpu.utils import profiling
+
+    assert profiling.enable_compile_cache(None) is None or True  # env unset ok
+    cache = str(tmp_path / "cc")
+    monkeypatch.setenv("DUOFORMER_COMPILE_CACHE", cache)
+    try:
+        assert profiling.enable_compile_cache() == cache
+        jax.jit(lambda x: x * 3 + 1)(jnp.ones((4,)))
+        assert os.listdir(cache)
+    finally:
+        # global jax config: do not leave later tests writing into a
+        # pytest tmp dir
+        jax.config.update("jax_compilation_cache_dir", None)

@@ -21,6 +21,10 @@ Usage:
     python -m duoformer_tcga_tpu.cli export --preset=release-2scale \
         [--output=model.npz] [--quantize] [--stablehlo=model.dfz] \
         [--temperature=T]
+    python -m duoformer_tcga_tpu.cli serve --preset=release-2scale \
+        [--host=127.0.0.1] [--port=8000] [--wait-ms=8] \
+        [--params=model.npz | --torch=Checkpoint1.pt] \
+        [--tta] [--temperature=T]
     python -m duoformer_tcga_tpu.cli make-dataset --slides=/path/wsis \
         [--output=tiles.h5] [--tile=224] [--labels=labels.csv] \
         [--min-std=5]
@@ -784,6 +788,53 @@ def cmd_predict(cfg, inputs, output="predictions.csv", params_path=None,
                          temperature=temperature or 1.0)
 
 
+def cmd_serve(cfg, host="127.0.0.1", port=8000, params_path=None,
+              torch_path=None, wait_ms=8.0, tta=False, temperature=None):
+    """Long-running HTTP serving daemon (serve.py): dynamic batching in
+    front of the jitted Predictor. Weight sources are identical to
+    `predict` (--params= exported artifact / --torch= reference
+    checkpoint / the training checkpoint dir). The device batch is
+    --train.batch_size; requests coalesce up to --wait-ms before a
+    partial batch is padded and dispatched."""
+    from .inference import Predictor
+    from .serve import make_server
+
+    if params_path and torch_path:
+        raise ValueError("pass at most one of --params= / --torch=")
+    model, mesh, opt, _, _, _ = _build(cfg)
+    weights, ameta = _weights_for_serving(cfg, model, opt, params_path,
+                                          torch_path, verb="serving")
+    if temperature is None and ameta is not None:
+        temperature = ameta.get("temperature")
+        if temperature:
+            print(f"serving at the artifact's calibrated temperature "
+                  f"T={temperature:.4f}", flush=True)
+    B = cfg.train.batch_size
+    dp = mesh_lib.data_parallel_size(mesh)
+    use_mesh = mesh if (mesh.devices.size > 1 and B % dp == 0) else None
+    pred = Predictor(model, weights, mesh=use_mesh,
+                     dtype=getattr(jnp, cfg.model.dtype),
+                     fold=(ameta is None), quantize=False)
+    info = {"family": cfg.model.family, "num_classes": cfg.model.num_classes,
+            "weights": ("artifact" if params_path else
+                        "torch" if torch_path else "checkpoint")}
+    server = make_server(pred, host=host, port=port, batch_size=B,
+                         max_wait_ms=wait_ms, tta=tta,
+                         temperature=temperature or 1.0, info=info)
+    dt = server.warmup()
+    print(f"compiled serving step (batch {B}) in {dt:.1f}s", flush=True)
+    print(f"serving on http://{host}:{server.server_address[1]} — "
+          f"POST /predict (image or .npy), POST /embed, GET /healthz "
+          f"/stats", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        print("shutting down", flush=True)
+    finally:
+        server.close()
+    return 0
+
+
 def _predict_loop(cfg, inputs, output, pred, B, embeddings=None,
                   by_slide=None, attn_maps=None, tta=False,
                   temperature=1.0):
@@ -1212,7 +1263,7 @@ def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     known = ("train", "eval", "predict", "export", "make-dataset",
              "fetch-weights", "verify-checkpoint", "crossval", "plot",
-             "heatmap")
+             "heatmap", "serve")
     if not argv or argv[0] not in known:
         print(__doc__)
         return 1
@@ -1238,6 +1289,7 @@ def main(argv=None):
     pred_tta, serve_temperature, eval_calibrate = False, None, False
     hm_slide, hm_output, hm_class = None, "heatmap.png", 1
     hm_tile, hm_stride, hm_no_attn = 224, None, False
+    srv_host, srv_port, srv_wait_ms = "127.0.0.1", 8000, 8.0
     filtered = []
     for a in rest:
         key = a.lstrip("-")
@@ -1249,12 +1301,18 @@ def main(argv=None):
             pred_input = a.split("=", 1)[1]
         elif cmd == "predict" and key.startswith("output="):
             pred_output = a.split("=", 1)[1]
-        elif cmd in ("predict", "eval", "heatmap") and key.startswith(
+        elif cmd in ("predict", "eval", "heatmap", "serve") and key.startswith(
                 "params="):
             pred_params = a.split("=", 1)[1]
-        elif cmd in ("predict", "eval", "heatmap") and key.startswith(
+        elif cmd in ("predict", "eval", "heatmap", "serve") and key.startswith(
                 "torch="):
             pred_torch = a.split("=", 1)[1]
+        elif cmd == "serve" and key.startswith("host="):
+            srv_host = a.split("=", 1)[1]
+        elif cmd == "serve" and key.startswith("port="):
+            srv_port = int(a.split("=", 1)[1])
+        elif cmd == "serve" and key.startswith("wait-ms="):
+            srv_wait_ms = float(a.split("=", 1)[1])
         elif cmd == "heatmap" and key.startswith("slide="):
             hm_slide = a.split("=", 1)[1]
         elif cmd == "heatmap" and key.startswith("output="):
@@ -1269,9 +1327,10 @@ def main(argv=None):
             hm_no_attn = True
         elif cmd == "predict" and key.startswith("attn-maps="):
             pred_attn_maps = a.split("=", 1)[1]
-        elif cmd == "predict" and key == "tta":
+        elif cmd in ("predict", "serve") and key == "tta":
             pred_tta = True
-        elif cmd in ("predict", "export") and key.startswith("temperature="):
+        elif cmd in ("predict", "export", "serve") and key.startswith(
+                "temperature="):
             serve_temperature = float(a.split("=", 1)[1])
         elif cmd == "eval" and key == "calibrate":
             eval_calibrate = True
@@ -1338,6 +1397,11 @@ def main(argv=None):
                          report_path=eval_report)
         elif cmd == "plot":
             cmd_plot(cfg, metrics_path=plot_metrics, output=plot_output)
+        elif cmd == "serve":
+            cmd_serve(cfg, host=srv_host, port=srv_port,
+                      params_path=pred_params, torch_path=pred_torch,
+                      wait_ms=srv_wait_ms, tta=pred_tta,
+                      temperature=serve_temperature)
         else:
             cmd_eval(cfg, params_path=pred_params, torch_path=pred_torch,
                      report_path=eval_report, calibrate=eval_calibrate)

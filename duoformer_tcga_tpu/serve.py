@@ -1,0 +1,384 @@
+"""HTTP serving daemon with dynamic micro-batching.
+
+The reference has no serving story at all (its closest artifact is the
+in-process `evaluation()` loop, /root/reference/main_toy.py:39-54); this
+module is the long-running production counterpart: a stdlib-only HTTP
+server in front of a `Predictor`, with a dynamic batcher that coalesces
+concurrent requests into the ONE static batch shape the jitted TPU step
+was compiled for (XLA recompiles per shape — a serving daemon must never
+let request fan-in dictate the device batch).
+
+Design:
+  * `DynamicBatcher` — a single worker thread owns every device call
+    (JAX dispatch stays single-threaded); HTTP handler threads enqueue
+    decoded tiles and block on per-request events. The worker drains up
+    to `batch_size` tiles, waiting at most `max_wait_ms` after the first
+    arrival, zero-pads to the static shape, runs the predict function
+    once, and slices results back out. Oversized submissions are split
+    across device batches transparently.
+  * `make_server` — ThreadingHTTPServer with three endpoints:
+      GET  /healthz           liveness + model/config summary
+      GET  /stats             request/batch/tile counters + occupancy
+      POST /predict           body = image bytes (PNG/JPEG/... via PIL)
+                              or an .npy payload ([H,W,3] or [N,H,W,3]
+                              uint8) -> JSON probs/pred(s)
+      POST /embed             same body -> pre-head CLS embedding(s)
+                              (per-tile representation for MIL)
+  * `cli serve` wires weight resolution (checkpoint dir / --params= /
+    --torch=) identically to `cli predict` and warms the compile before
+    binding the port.
+"""
+
+from __future__ import annotations
+
+import collections
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+# Refuse request bodies past this size: a batch of 256 raw 224^2 uint8
+# tiles is ~38 MB; 256 MB leaves ample headroom for any sane payload
+# while bounding worst-case host memory per handler thread.
+MAX_BODY_BYTES = 256 * 1024 * 1024
+
+_NPY_MAGIC = b"\x93NUMPY"
+
+
+class ServeError(ValueError):
+    """Client-side request error (maps to HTTP 400)."""
+
+
+def decode_payload(data: bytes, size: int = 224) -> np.ndarray:
+    """Request body -> uint8 tiles [N, size, size, 3].
+
+    Accepts a raw .npy array ([H,W,3] or [N,H,W,3], any uint dtype) or
+    any PIL-decodable image (PNG/JPEG/BMP/TIFF/...). Images and npy
+    tiles that are not size x size are bilinearly resized — the same
+    convention as the folder dataset (data/folder.py:_decode)."""
+    if not data:
+        raise ServeError("empty request body")
+    if data[:6] == _NPY_MAGIC:
+        try:
+            arr = np.load(io.BytesIO(data), allow_pickle=False)
+        except Exception as e:
+            raise ServeError(f"bad .npy payload: {e}") from None
+        if arr.ndim == 2:
+            arr = np.stack([arr] * 3, axis=-1)
+        if arr.ndim == 3:
+            arr = arr[None]
+        if arr.ndim != 4 or arr.shape[-1] < 3:
+            raise ServeError(
+                f"npy payload must be [H,W,3] or [N,H,W,3]; got "
+                f"shape {arr.shape}")
+        arr = np.ascontiguousarray(arr[..., :3]).astype(np.uint8)
+        if arr.shape[1:3] != (size, size):
+            from PIL import Image
+            arr = np.stack([
+                np.asarray(Image.fromarray(a).resize((size, size),
+                                                     Image.BILINEAR),
+                           dtype=np.uint8) for a in arr])
+        return arr
+    try:
+        from PIL import Image
+        with Image.open(io.BytesIO(data)) as im:
+            im = im.convert("RGB")
+            if im.size != (size, size):
+                im = im.resize((size, size), Image.BILINEAR)
+            return np.asarray(im, dtype=np.uint8)[None]
+    except ServeError:
+        raise
+    except Exception as e:
+        raise ServeError(f"payload is neither .npy nor a decodable "
+                         f"image: {e}") from None
+
+
+class _Pending:
+    __slots__ = ("img", "event", "result", "error")
+
+    def __init__(self, img):
+        self.img = img
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+
+
+class DynamicBatcher:
+    """Coalesce concurrent single-tile submissions into fixed-size device
+    batches. One worker thread owns the predict function; submitters
+    block until their slice of the batched result is ready.
+
+    predict_fn: uint8 [batch_size, H, W, 3] -> one ndarray [batch_size, ...]
+    or a tuple of them (each sliced per-request along axis 0)."""
+
+    def __init__(self, predict_fn, batch_size: int,
+                 max_wait_ms: float = 8.0, max_queue: int = 8192,
+                 name: str = "predict"):
+        if batch_size < 1:
+            raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+        self.predict_fn = predict_fn
+        self.batch_size = int(batch_size)
+        self.max_wait = max(float(max_wait_ms), 0.0) / 1e3
+        self.max_queue = int(max_queue)
+        self.name = name
+        self._cv = threading.Condition()
+        self._queue = collections.deque()
+        self._closed = False
+        # stats (under _cv)
+        self.requests = 0
+        self.tiles = 0
+        self.batches = 0
+        self.batch_tiles = 0   # real tiles through the device (pre-pad)
+        self.errors = 0
+        self._thread = threading.Thread(
+            target=self._worker, name=f"batcher-{name}", daemon=True)
+        self._thread.start()
+
+    # -- submission -------------------------------------------------------
+
+    def submit(self, img: np.ndarray):
+        """One tile [H, W, 3] -> its result row(s)."""
+        out = self.submit_many(img[None])
+        return tuple(o[0] for o in out) if isinstance(out, tuple) else out[0]
+
+    def submit_many(self, imgs: np.ndarray):
+        """[N, H, W, 3] -> stacked results [N, ...] (tuple-transparent).
+        N may exceed batch_size — the worker splits across device steps."""
+        pendings = [_Pending(img) for img in imgs]
+        with self._cv:
+            if self._closed:
+                raise RuntimeError(f"batcher {self.name!r} is closed")
+            if len(self._queue) + len(pendings) > self.max_queue:
+                self.errors += 1
+                raise ServeError(
+                    f"server overloaded: queue {len(self._queue)} + "
+                    f"request {len(pendings)} exceeds max_queue "
+                    f"{self.max_queue}")
+            self.requests += 1
+            self.tiles += len(pendings)
+            self._queue.extend(pendings)
+            self._cv.notify_all()
+        for p in pendings:
+            p.event.wait()
+            if p.error is not None:
+                raise p.error
+        first = pendings[0].result
+        if isinstance(first, tuple):
+            return tuple(np.stack([p.result[i] for p in pendings])
+                         for i in range(len(first)))
+        return np.stack([p.result for p in pendings])
+
+    # -- worker -----------------------------------------------------------
+
+    def _take_locked(self):
+        """Wait for work, then drain up to batch_size items; after the
+        first arrival wait at most max_wait for stragglers (skipped when
+        the queue already fills a batch). Returns [] iff closed+drained."""
+        while not self._queue:
+            if self._closed:
+                return []
+            self._cv.wait()
+        deadline = time.monotonic() + self.max_wait
+        while len(self._queue) < self.batch_size and not self._closed:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            self._cv.wait(timeout=remaining)
+        n = min(self.batch_size, len(self._queue))
+        return [self._queue.popleft() for _ in range(n)]
+
+    def _worker(self):
+        while True:
+            with self._cv:
+                take = self._take_locked()
+                if not take:
+                    return
+                self.batches += 1
+                self.batch_tiles += len(take)
+            batch = np.stack([p.img for p in take])
+            if len(take) < self.batch_size:   # pad to the static jit shape
+                batch = np.concatenate([
+                    batch,
+                    np.zeros((self.batch_size - len(take), *batch.shape[1:]),
+                             batch.dtype)])
+            try:
+                out = self.predict_fn(batch)
+            except Exception as e:      # surface to every waiter, keep serving
+                with self._cv:
+                    self.errors += 1
+                for p in take:
+                    p.error = e
+                    p.event.set()
+                continue
+            if isinstance(out, tuple):
+                out = tuple(np.asarray(o) for o in out)
+                for i, p in enumerate(take):
+                    p.result = tuple(o[i] for o in out)
+                    p.event.set()
+            else:
+                out = np.asarray(out)
+                for i, p in enumerate(take):
+                    p.result = out[i]
+                    p.event.set()
+
+    def stats(self) -> dict:
+        with self._cv:
+            return {
+                "requests": self.requests, "tiles": self.tiles,
+                "batches": self.batches, "errors": self.errors,
+                "queued": len(self._queue),
+                "mean_batch_occupancy": (
+                    self.batch_tiles / (self.batches * self.batch_size)
+                    if self.batches else None),
+            }
+
+    def close(self, timeout: float = 10.0):
+        with self._cv:
+            self._closed = True
+            self._cv.notify_all()
+        self._thread.join(timeout=timeout)
+
+
+# -- HTTP layer -------------------------------------------------------------
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "duoformer-serve/1"
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, fmt, *args):    # route through logging, not stderr
+        import logging
+        logging.getLogger("duoformer.serve").debug(
+            "%s %s", self.address_string(), fmt % args)
+
+    def _json(self, code: int, obj: dict):
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        srv = self.server
+        if self.path == "/healthz":
+            self._json(200, {"status": "ok", **srv.info})
+        elif self.path == "/stats":
+            stats = {"predict": srv.batcher.stats()}
+            if srv.embed_batcher is not None:
+                stats["embed"] = srv.embed_batcher.stats()
+            self._json(200, stats)
+        else:
+            self._json(404, {"error": f"unknown path {self.path}; "
+                             f"endpoints: /healthz /stats /predict /embed"})
+
+    def _read_body(self):
+        length = int(self.headers.get("Content-Length") or 0)
+        if length <= 0:
+            raise ServeError("missing/zero Content-Length")
+        if length > MAX_BODY_BYTES:
+            raise ServeError(f"body {length} bytes exceeds the "
+                             f"{MAX_BODY_BYTES}-byte limit")
+        return self.rfile.read(length)
+
+    def do_POST(self):
+        srv = self.server
+        try:
+            if self.path == "/predict":
+                tiles = decode_payload(self._read_body(), srv.tile_size)
+                probs = srv.batcher.submit_many(tiles)
+                preds = probs.argmax(-1)
+                if len(tiles) == 1:
+                    self._json(200, {"pred": int(preds[0]),
+                                     "probs": probs[0].tolist()})
+                else:
+                    self._json(200, {"n": len(tiles),
+                                     "preds": preds.tolist(),
+                                     "probs": probs.tolist()})
+            elif self.path == "/embed":
+                tiles = decode_payload(self._read_body(), srv.tile_size)
+                eb = srv.get_embed_batcher()
+                logits, embs = eb.submit_many(tiles)
+                out = {"n": len(tiles),
+                       "preds": logits.argmax(-1).tolist(),
+                       "embeddings": embs.tolist()}
+                if len(tiles) == 1:
+                    out["embedding"] = out.pop("embeddings")[0]
+                    out["pred"] = out.pop("preds")[0]
+                self._json(200, out)
+            else:
+                self._json(404, {"error": f"unknown path {self.path}"})
+        except ServeError as e:
+            self._json(400, {"error": str(e)})
+        except Exception as e:           # keep the daemon alive
+            self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+
+class DuoFormerServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer that owns the predictor-backed batchers."""
+    daemon_threads = True
+
+    def __init__(self, addr, predictor, batch_size: int,
+                 max_wait_ms: float = 8.0, tta: bool = False,
+                 temperature: float = 1.0, tile_size: int = 224,
+                 info: dict | None = None):
+        super().__init__(addr, _Handler)
+        self.predictor = predictor
+        self.tile_size = tile_size
+        self.info = dict(info or {}, batch_size=batch_size, tta=tta,
+                         temperature=temperature)
+        t = float(temperature or 1.0)
+
+        def _predict(batch):
+            return np.asarray(
+                predictor.predict_proba(batch, tta=tta, temperature=t),
+                np.float32)
+
+        self.batcher = DynamicBatcher(_predict, batch_size,
+                                      max_wait_ms=max_wait_ms)
+        self.embed_batcher = None
+        self._embed_lock = threading.Lock()
+        self._batch_size = batch_size
+        self._max_wait_ms = max_wait_ms
+
+    def get_embed_batcher(self) -> DynamicBatcher:
+        """Lazy: /embed compiles a second jit (with_embedding forward) on
+        first use; predict-only deployments never pay for it."""
+        with self._embed_lock:
+            if self.embed_batcher is None:
+                pred = self.predictor
+
+                def _embed(batch):
+                    logits, embs = pred.embed(batch)
+                    return (np.asarray(logits, np.float32),
+                            np.asarray(embs, np.float32))
+
+                self.embed_batcher = DynamicBatcher(
+                    _embed, self._batch_size,
+                    max_wait_ms=self._max_wait_ms, name="embed")
+            return self.embed_batcher
+
+    def warmup(self):
+        """Compile (and page in) the serving step before taking traffic."""
+        zeros = np.zeros((1, self.tile_size, self.tile_size, 3), np.uint8)
+        t0 = time.monotonic()
+        self.batcher.submit(zeros[0])
+        return time.monotonic() - t0
+
+    def close(self):
+        self.batcher.close()
+        if self.embed_batcher is not None:
+            self.embed_batcher.close()
+        super().server_close()
+
+
+def make_server(predictor, host: str = "127.0.0.1", port: int = 0,
+                batch_size: int = 32, max_wait_ms: float = 8.0,
+                tta: bool = False, temperature: float = 1.0,
+                info: dict | None = None) -> DuoFormerServer:
+    return DuoFormerServer((host, port), predictor, batch_size,
+                           max_wait_ms=max_wait_ms, tta=tta,
+                           temperature=temperature, info=info)

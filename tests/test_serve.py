@@ -1,0 +1,257 @@
+"""HTTP serving daemon: payload decoding, the dynamic batcher, and the
+end-to-end server against a live Predictor (serve.py). The reference has
+no serving path at all (its closest artifact is main_toy.py:39-54's
+in-process evaluation loop)."""
+
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from duoformer_tcga_tpu.inference import Predictor
+from duoformer_tcga_tpu.models.duoformer import DuoFormer
+from duoformer_tcga_tpu.serve import (DynamicBatcher, ServeError,
+                                      decode_payload, make_server)
+
+
+# -- decode_payload ---------------------------------------------------------
+
+def _png_bytes(img):
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def _npy_bytes(arr):
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    return buf.getvalue()
+
+
+def test_decode_payload_png_roundtrip():
+    img = np.random.default_rng(0).integers(0, 256, (224, 224, 3), np.uint8)
+    out = decode_payload(_png_bytes(img), 224)
+    assert out.shape == (1, 224, 224, 3)
+    np.testing.assert_array_equal(out[0], img)   # PNG is lossless
+
+
+def test_decode_payload_image_resizes():
+    img = np.random.default_rng(1).integers(0, 256, (100, 60, 3), np.uint8)
+    out = decode_payload(_png_bytes(img), 32)
+    assert out.shape == (1, 32, 32, 3)
+
+
+def test_decode_payload_npy_single_and_batch():
+    rng = np.random.default_rng(2)
+    one = rng.integers(0, 256, (16, 16, 3), np.uint8)
+    np.testing.assert_array_equal(decode_payload(_npy_bytes(one), 16)[0], one)
+    batch = rng.integers(0, 256, (5, 16, 16, 3), np.uint8)
+    out = decode_payload(_npy_bytes(batch), 16)
+    np.testing.assert_array_equal(out, batch)
+    # off-size npy tiles are resized like folder decoding
+    assert decode_payload(_npy_bytes(batch), 8).shape == (5, 8, 8, 3)
+    # grayscale promotes to 3 channels
+    gray = rng.integers(0, 256, (16, 16), np.uint8)
+    assert decode_payload(_npy_bytes(gray), 16).shape == (1, 16, 16, 3)
+
+
+def test_decode_payload_rejects_garbage():
+    with pytest.raises(ServeError):
+        decode_payload(b"", 224)
+    with pytest.raises(ServeError):
+        decode_payload(b"definitely not an image", 224)
+    with pytest.raises(ServeError):   # 4-d but only 2 channels
+        decode_payload(_npy_bytes(np.zeros((2, 4, 5, 2), np.uint8)), 224)
+
+
+# -- DynamicBatcher ---------------------------------------------------------
+
+def test_batcher_pads_and_slices():
+    seen = []
+
+    def fn(batch):
+        assert batch.shape == (4, 2, 2, 3)      # always the static shape
+        seen.append(int((batch.sum(axis=(1, 2, 3)) > 0).sum()))
+        return batch.sum(axis=(1, 2, 3))[:, None].astype(np.float32)
+
+    b = DynamicBatcher(fn, batch_size=4, max_wait_ms=20)
+    try:
+        img = np.full((2, 2, 3), 7, np.uint8)
+        out = b.submit(img)
+        assert out.shape == (1,) and out[0] == 7 * 12
+        # oversized submission splits across device batches
+        imgs = np.stack([np.full((2, 2, 3), i + 1, np.uint8)
+                         for i in range(10)])
+        outs = b.submit_many(imgs)
+        np.testing.assert_allclose(outs[:, 0],
+                                   [12.0 * (i + 1) for i in range(10)])
+        stats = b.stats()
+        assert stats["tiles"] == 11 and stats["errors"] == 0
+        assert stats["batches"] >= 3          # 1 + ceil(10/4)
+    finally:
+        b.close()
+
+
+def test_batcher_coalesces_concurrent_requests():
+    lock = threading.Lock()
+    batch_fills = []
+
+    def fn(batch):
+        with lock:
+            batch_fills.append(int((batch.sum(axis=(1, 2, 3)) > 0).sum()))
+        s = batch.sum(axis=(1, 2, 3)).astype(np.float32)
+        return np.stack([s, s], axis=1)
+
+    b = DynamicBatcher(fn, batch_size=8, max_wait_ms=200)
+    try:
+        results = {}
+
+        def post(i):
+            results[i] = b.submit(np.full((2, 2, 3), i + 1, np.uint8))
+
+        threads = [threading.Thread(target=post, args=(i,)) for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i in range(6):
+            np.testing.assert_allclose(results[i], [(i + 1) * 12.0] * 2)
+        # 6 requests inside a 200 ms window must not take 6 device steps
+        assert sum(batch_fills) == 6 and len(batch_fills) < 6
+    finally:
+        b.close()
+
+
+def test_batcher_propagates_errors_and_recovers():
+    calls = {"n": 0}
+
+    def fn(batch):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("boom")
+        return batch.sum(axis=(1, 2, 3))[:, None]
+
+    b = DynamicBatcher(fn, batch_size=2, max_wait_ms=1)
+    try:
+        with pytest.raises(RuntimeError, match="boom"):
+            b.submit(np.ones((2, 2, 3), np.uint8))
+        out = b.submit(np.ones((2, 2, 3), np.uint8))   # still serving
+        assert out[0] == 12
+        assert b.stats()["errors"] == 1
+    finally:
+        b.close()
+
+
+def test_batcher_tuple_outputs():
+    def fn(batch):
+        s = batch.sum(axis=(1, 2, 3)).astype(np.float32)
+        return s[:, None], np.stack([s, s], axis=1)
+
+    b = DynamicBatcher(fn, batch_size=3, max_wait_ms=1)
+    try:
+        a, c = b.submit(np.full((2, 2, 3), 2, np.uint8))
+        assert a.shape == (1,) and c.shape == (2,)
+        a2, c2 = b.submit_many(np.ones((4, 2, 2, 3), np.uint8))
+        assert a2.shape == (4, 1) and c2.shape == (4, 2)
+    finally:
+        b.close()
+
+
+def test_batcher_rejects_after_close():
+    b = DynamicBatcher(lambda x: x.sum(axis=(1, 2, 3)), batch_size=1)
+    b.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        b.submit(np.ones((2, 2, 3), np.uint8))
+
+
+# -- end-to-end HTTP server -------------------------------------------------
+
+@pytest.fixture(scope="module")
+def served():
+    model = DuoFormer(depth=1, embed_dim=96, num_heads=12, num_classes=3,
+                      num_layers=2, proj_dim=96, dtype=jnp.float32)
+    import jax
+    params = model.init(jax.random.PRNGKey(0))
+    pred = Predictor(model, params, dtype=jnp.float32)
+    server = make_server(pred, host="127.0.0.1", port=0, batch_size=4,
+                         max_wait_ms=5, info={"family": "duoformer"})
+    server.warmup()
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    yield url, pred
+    server.shutdown()
+    server.close()
+    t.join(timeout=10)
+
+
+def _post(url, data):
+    req = urllib.request.Request(url, data=data, method="POST")
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return json.loads(r.read())
+
+
+def test_server_healthz_and_stats(served):
+    url, _ = served
+    with urllib.request.urlopen(url + "/healthz", timeout=30) as r:
+        h = json.loads(r.read())
+    assert h["status"] == "ok" and h["batch_size"] == 4
+    assert h["family"] == "duoformer"
+    with urllib.request.urlopen(url + "/stats", timeout=30) as r:
+        s = json.loads(r.read())
+    assert s["predict"]["batches"] >= 1     # warmup counted
+
+
+def test_server_predict_single_image(served):
+    url, pred = served
+    img = np.random.default_rng(3).integers(0, 256, (224, 224, 3), np.uint8)
+    out = _post(url + "/predict", _png_bytes(img))
+    want = np.asarray(pred.predict_proba(img[None]))[0]
+    np.testing.assert_allclose(out["probs"], want, atol=1e-5)
+    assert out["pred"] == int(want.argmax())
+
+
+def test_server_predict_npy_batch_spanning_device_batches(served):
+    url, pred = served
+    tiles = np.random.default_rng(4).integers(
+        0, 256, (5, 224, 224, 3), np.uint8)       # batch_size=4 -> 2 steps
+    out = _post(url + "/predict", _npy_bytes(tiles))
+    assert out["n"] == 5 and len(out["probs"]) == 5
+    want = np.asarray(pred.predict_proba(tiles))
+    np.testing.assert_allclose(np.asarray(out["probs"]), want, atol=1e-5)
+    assert out["preds"] == want.argmax(-1).tolist()
+
+
+def test_server_embed(served):
+    url, pred = served
+    img = np.random.default_rng(5).integers(0, 256, (224, 224, 3), np.uint8)
+    out = _post(url + "/embed", _png_bytes(img))
+    logits, embs = pred.embed(img[None])
+    assert len(out["embedding"]) == embs.shape[-1]
+    np.testing.assert_allclose(out["embedding"], np.asarray(embs)[0],
+                               atol=1e-4)
+    assert out["pred"] == int(np.asarray(logits)[0].argmax())
+
+
+def test_server_bad_payload_is_400(served):
+    url, _ = served
+    req = urllib.request.Request(url + "/predict", data=b"garbage",
+                                 method="POST")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 400
+    assert "error" in json.loads(ei.value.read())
+
+
+def test_server_unknown_path_is_404(served):
+    url, _ = served
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(url + "/nope", timeout=30)
+    assert ei.value.code == 404

@@ -24,7 +24,7 @@ Usage:
     python -m duoformer_tcga_tpu.cli serve --preset=release-2scale \
         [--host=127.0.0.1] [--port=8000] [--wait-ms=8] \
         [--params=model.npz | --torch=Checkpoint1.pt] \
-        [--tta] [--temperature=T]
+        [--tta] [--temperature=T] [--quantize]
     python -m duoformer_tcga_tpu.cli make-dataset --slides=/path/wsis \
         [--output=tiles.h5] [--tile=224] [--labels=labels.csv] \
         [--min-std=5]
@@ -789,13 +789,16 @@ def cmd_predict(cfg, inputs, output="predictions.csv", params_path=None,
 
 
 def cmd_serve(cfg, host="127.0.0.1", port=8000, params_path=None,
-              torch_path=None, wait_ms=8.0, tta=False, temperature=None):
+              torch_path=None, wait_ms=8.0, tta=False, temperature=None,
+              quantize=False):
     """Long-running HTTP serving daemon (serve.py): dynamic batching in
     front of the jitted Predictor. Weight sources are identical to
     `predict` (--params= exported artifact / --torch= reference
     checkpoint / the training checkpoint dir). The device batch is
     --train.batch_size; requests coalesce up to --wait-ms before a
-    partial batch is padded and dispatched."""
+    partial batch is padded and dispatched. --quantize serves the int8
+    (a8w8) transformer GEMMs (same path as `export --quantize`; a no-op
+    when the --params= artifact is already int8)."""
     from .inference import Predictor
     from .serve import make_server
 
@@ -812,10 +815,13 @@ def cmd_serve(cfg, host="127.0.0.1", port=8000, params_path=None,
     B = cfg.train.batch_size
     dp = mesh_lib.data_parallel_size(mesh)
     use_mesh = mesh if (mesh.devices.size > 1 and B % dp == 0) else None
+    already_int8 = ameta is not None and ameta.get("quantized")
     pred = Predictor(model, weights, mesh=use_mesh,
                      dtype=getattr(jnp, cfg.model.dtype),
-                     fold=(ameta is None), quantize=False)
+                     fold=(ameta is None),
+                     quantize=quantize and not already_int8)
     info = {"family": cfg.model.family, "num_classes": cfg.model.num_classes,
+            "quantized": bool(quantize or already_int8),
             "weights": ("artifact" if params_path else
                         "torch" if torch_path else "checkpoint")}
     server = make_server(pred, host=host, port=port, batch_size=B,
@@ -1350,7 +1356,7 @@ def main(argv=None):
             pred_stablehlo = a.split("=", 1)[1]
         elif cmd == "export" and key.startswith("output="):
             export_output = a.split("=", 1)[1]
-        elif cmd == "export" and key == "quantize":
+        elif cmd in ("export", "serve") and key == "quantize":
             export_quant = True
         elif cmd == "export" and key.startswith("stablehlo="):
             export_stablehlo_path = a.split("=", 1)[1]
@@ -1401,7 +1407,7 @@ def main(argv=None):
             cmd_serve(cfg, host=srv_host, port=srv_port,
                       params_path=pred_params, torch_path=pred_torch,
                       wait_ms=srv_wait_ms, tta=pred_tta,
-                      temperature=serve_temperature)
+                      temperature=serve_temperature, quantize=export_quant)
         else:
             cmd_eval(cfg, params_path=pred_params, torch_path=pred_torch,
                      report_path=eval_report, calibrate=eval_calibrate)

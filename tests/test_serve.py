@@ -240,6 +240,35 @@ def test_server_embed(served):
     assert out["pred"] == int(np.asarray(logits)[0].argmax())
 
 
+def test_server_quantized_predictor(served):
+    """int8 (a8w8) serving through the daemon (cli serve --quantize):
+    the quantized Predictor drops in transparently and its probs stay
+    close to the bf16/f32 server's."""
+    url, pred = served
+    model = DuoFormer(depth=1, embed_dim=96, num_heads=12, num_classes=3,
+                      num_layers=2, proj_dim=96, dtype=jnp.float32)
+    import jax
+    params = model.init(jax.random.PRNGKey(0))
+    qpred = Predictor(model, params, dtype=jnp.float32, quantize=True)
+    server = make_server(qpred, host="127.0.0.1", port=0, batch_size=2,
+                         max_wait_ms=1, info={"quantized": True})
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        qurl = f"http://127.0.0.1:{server.server_address[1]}"
+        with urllib.request.urlopen(qurl + "/healthz", timeout=30) as r:
+            assert json.loads(r.read())["quantized"] is True
+        img = np.random.default_rng(6).integers(
+            0, 256, (224, 224, 3), np.uint8)
+        out = _post(qurl + "/predict", _png_bytes(img))
+        want = np.asarray(pred.predict_proba(img[None]))[0]
+        np.testing.assert_allclose(out["probs"], want, atol=0.05)
+    finally:
+        server.shutdown()
+        server.close()
+        t.join(timeout=10)
+
+
 def test_server_bad_payload_is_400(served):
     url, _ = served
     req = urllib.request.Request(url + "/predict", data=b"garbage",

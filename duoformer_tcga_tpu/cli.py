@@ -832,8 +832,18 @@ def cmd_serve(cfg, host="127.0.0.1", port=8000, params_path=None,
     print(f"serving on http://{host}:{server.server_address[1]} — "
           f"POST /predict (image or .npy), POST /embed, GET /healthz "
           f"/stats", flush=True)
+
+    # SIGTERM (the orchestrator's stop signal) drains like Ctrl-C:
+    # shutdown() returns serve_forever(), then close() joins the batcher
+    # worker so in-flight requests finish before the process exits
+    import signal
+    import threading
+    signal.signal(signal.SIGTERM,
+                  lambda *_: threading.Thread(target=server.shutdown,
+                                              daemon=True).start())
     try:
         server.serve_forever()
+        print("shutting down (SIGTERM)", flush=True)
     except KeyboardInterrupt:
         print("shutting down", flush=True)
     finally:

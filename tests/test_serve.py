@@ -284,3 +284,58 @@ def test_server_unknown_path_is_404(served):
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(url + "/nope", timeout=30)
     assert ei.value.code == 404
+
+
+def test_cli_serve_sigterm_drains(tmp_path):
+    """The real daemon process (cli serve) handles SIGTERM like Ctrl-C:
+    stop accepting, drain the batcher, exit 0 — the contract every
+    process orchestrator (k8s, systemd) relies on."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    import jax
+
+    from duoformer_tcga_tpu.inference import export_serving_artifact
+
+    model = DuoFormer(depth=1, embed_dim=96, num_heads=12, num_classes=2,
+                      num_layers=2, proj_dim=96, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0))
+    art = str(tmp_path / "m.npz")
+    export_serving_artifact(art, params, meta={})
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "duoformer_tcga_tpu.cli", "serve",
+         "--preset=release-2scale", "--model.depth=1",
+         "--model.embed_dim=96", "--model.proj_dim=96",
+         "--model.dtype=float32", "--train.platform=cpu",
+         "--train.batch_size=2", f"--params={art}", "--port=0"],
+        cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True)
+    try:
+        port = None
+        deadline = time.monotonic() + 300
+        lines = []
+        for line in proc.stdout:
+            lines.append(line)
+            if "serving on http://" in line:
+                port = int(line.split("http://127.0.0.1:")[1].split(" ")[0])
+                break
+            if time.monotonic() > deadline:
+                raise TimeoutError("daemon never came up:\n" + "".join(lines))
+        assert port
+        img = np.random.default_rng(7).integers(
+            0, 256, (224, 224, 3), np.uint8)
+        out = _post(f"http://127.0.0.1:{port}/predict", _png_bytes(img))
+        assert "probs" in out
+        proc.send_signal(signal.SIGTERM)
+        rest = proc.stdout.read()
+        rc = proc.wait(timeout=60)
+        assert rc == 0, rest
+        assert "shutting down (SIGTERM)" in rest
+    finally:
+        if proc.poll() is None:
+            proc.kill()

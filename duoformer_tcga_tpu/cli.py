@@ -198,7 +198,7 @@ def _cmd_train(cfg, max_steps=None):
         dp = mesh_lib.data_parallel_size(mesh)
         plan = train_lib.plan_train_memory(
             model, cfg.train.batch_size, data_parallel=dp,
-            allow_accum=not unfrozen)
+            allow_accum=not unfrozen, unfrozen_backbone=unfrozen)
         accum = plan["accum_steps"]
         if not plan["save_hidden"]:   # "1" is already the kernel default
             os.environ["DUOFORMER_MLP_SAVE_HIDDEN"] = "0"

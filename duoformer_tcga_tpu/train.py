@@ -551,7 +551,8 @@ def make_train_step(model, optimizer, mesh=None, donate=True,
 def plan_train_memory(model, batch_size: int,
                       hbm_bytes: Optional[int] = None,
                       data_parallel: int = 1,
-                      allow_accum: bool = True) -> Dict[str, Any]:
+                      allow_accum: bool = True,
+                      unfrozen_backbone: bool = False) -> Dict[str, Any]:
     """Pick save-hidden / gradient-accumulation / remat automatically from
     the variant's token count, the batch size, and HBM — so the
     reference's own configs (3-scale at B=128, 4-scale at B=16,
@@ -568,6 +569,15 @@ def plan_train_memory(model, batch_size: int,
     save-hidden fits, B=384 OOMs; 3-scale B=128 needs 2 microbatches):
     the save-hidden budget is ~68% of HBM, the rest covers params, the
     patch stack, backbone activations and XLA workspace.
+
+    unfrozen_backbone=True adds the backbone's backward activation
+    footprint (frozen training stores none of it — the backbone is
+    stop_gradient-ed): ~18 MB/image for r50 at 224^2 bf16 batch-stat BN
+    (~8 MB for r18), calibrated on v5e-16GB: unfrozen 2-scale save-hidden
+    FITS at B=192 and fails at B=256 (probes/_probe_r3_unfrozen*.py).
+    When save-hidden does not fit unfrozen, the plan goes straight to
+    remat: measured at B=256, remat 417.9 tiles/s beats recompute-from-x
+    393.6 (both probes, one process each vs in-process anchors).
 
     Returns {"accum_steps", "save_hidden", "remat", "reason"}; the caller
     applies save_hidden via DUOFORMER_MLP_SAVE_HIDDEN (kernel-level knob)
@@ -589,9 +599,16 @@ def plan_train_memory(model, batch_size: int,
     per_dev_batch = max(1, batch_size // max(1, data_parallel))
     R = per_dev_batch * 49 * S
     hidden = int(C * mlp_ratio)
+    bb_bytes = 0
+    if unfrozen_backbone:
+        per_img_mb = 8 if getattr(model, "backbone_name", "r50") == "r18" \
+            else 18
+        bb_bytes = per_dev_batch * per_img_mb * 1024 * 1024
     sh_bytes = depth * R * (hidden + 2 * C) * 2
     nosh_bytes = depth * R * 2 * C * 2
-    budget = int(hbm_bytes * 0.68)
+    # the backbone term never scales with accumulation (bn_stats excludes
+    # accum anyway) — keep it out of the per-microbatch divisions
+    budget = int(hbm_bytes * 0.68) - bb_bytes
 
     def _mem_accum():
         """Smallest accumulation factor dividing the batch whose
@@ -642,6 +659,15 @@ def plan_train_memory(model, batch_size: int,
                       f"optimum (docs/performance.md accumulation sweep)")
         return {"accum_steps": accum, "save_hidden": True, "remat": False,
                 "reason": reason}
+    if unfrozen_backbone:
+        # measured (B=256 unfrozen, v5e): remat 417.9 tiles/s beats
+        # recompute-from-x 393.6 — skip the nosh rung entirely; remat
+        # keeps save-hidden semantics inside each recomputed block
+        return {"accum_steps": 1, "save_hidden": True, "remat": True,
+                "reason": "unfrozen backbone: save-hidden residuals + "
+                          "backbone activations exceed HBM; "
+                          "rematerializing blocks (measured faster than "
+                          "recompute-from-x at this size)"}
     if nosh_bytes <= budget:
         return {"accum_steps": 1, "save_hidden": False, "remat": False,
                 "reason": "save-hidden z does not fit at any divisor; "

@@ -80,3 +80,35 @@ def test_data_parallel_divides_batch():
     single-chip."""
     p = _plan(3, 1024, data_parallel=8)
     assert p["accum_steps"] == 8 and p["save_hidden"]
+
+
+def test_unfrozen_backbone_b192_fits_save_hidden():
+    """Measured v5e fact (probes/_probe_r3_unfrozen2.py): unfrozen
+    2-scale save-hidden FITS at B=192 (457.3 tiles/s) — the +18MB/image
+    backbone term must not push B<=192 off the fast path."""
+    for b in (32, 64, 128, 192):
+        p = _plan(2, b, allow_accum=False, unfrozen_backbone=True)
+        assert p == {**p, "accum_steps": 1, "save_hidden": True,
+                     "remat": False}, (b, p)
+
+
+def test_unfrozen_backbone_b256_remats():
+    """Measured v5e fact: unfrozen 2-scale B=256 save-hidden fails to
+    compile (HBM), and remat (417.9 tiles/s) beats recompute-from-x
+    (393.6) — the planner must go straight to remat, skipping the nosh
+    rung it uses for frozen configs."""
+    p = _plan(2, 256, allow_accum=False, unfrozen_backbone=True)
+    assert p["remat"] and p["accum_steps"] == 1
+    assert "unfrozen" in p["reason"]
+
+
+def test_unfrozen_r18_lighter_backbone():
+    """r18's activation footprint is ~8MB/image — B=256 2-scale stays on
+    monolithic save-hidden where r50 must remat."""
+    model = dft.build_model_no_extra_params(
+        num_classes=2, num_layers=2, embed_dim=768, proj_dim=768,
+        num_heads=12, depth=12, dtype=jnp.bfloat16, backbone="r18")
+    p = train_lib.plan_train_memory(model, 256, hbm_bytes=HBM,
+                                    allow_accum=False,
+                                    unfrozen_backbone=True)
+    assert p["save_hidden"] and not p["remat"]

@@ -9,13 +9,17 @@ was compiled for (XLA recompiles per shape — a serving daemon must never
 let request fan-in dictate the device batch).
 
 Design:
-  * `DynamicBatcher` — a single worker thread owns every device call
-    (JAX dispatch stays single-threaded); HTTP handler threads enqueue
-    decoded tiles and block on per-request events. The worker drains up
-    to `batch_size` tiles, waiting at most `max_wait_ms` after the first
-    arrival, zero-pads to the static shape, runs the predict function
-    once, and slices results back out. Oversized submissions are split
-    across device batches transparently.
+  * `DynamicBatcher` — a single worker thread owns every device
+    DISPATCH (JAX dispatch stays single-threaded); HTTP handler threads
+    enqueue decoded tiles and block on per-request events. The worker
+    drains up to `batch_size` tiles, waiting at most `max_wait_ms` after
+    the first arrival, zero-pads to the static shape, dispatches the
+    predict function, and hands the (still in-flight) device result to a
+    completer thread that fetches and slices it back out — JAX dispatch
+    is asynchronous, so batch N+1's host->device transfer and compute
+    overlap batch N's device->host fetch (double-buffering; measured
+    numbers in docs/performance.md). Oversized submissions split across
+    device batches transparently.
   * `make_server` — ThreadingHTTPServer with three endpoints:
       GET  /healthz           liveness + model/config summary
       GET  /stats             request/batch/tile counters + occupancy
@@ -108,17 +112,26 @@ class _Pending:
 
 class DynamicBatcher:
     """Coalesce concurrent single-tile submissions into fixed-size device
-    batches. One worker thread owns the predict function; submitters
-    block until their slice of the batched result is ready.
+    batches. One worker thread owns every predict-function DISPATCH;
+    submitters block until their slice of the batched result is ready.
 
-    predict_fn: uint8 [batch_size, H, W, 3] -> one ndarray [batch_size, ...]
-    or a tuple of them (each sliced per-request along axis 0)."""
+    predict_fn: uint8 [batch_size, H, W, 3] -> one array [batch_size, ...]
+    or a tuple of them (each sliced per-request along axis 0). It may
+    return device (JAX) arrays: dispatch and result-fetch are PIPELINED
+    across two threads — JAX dispatch is asynchronous, so the worker
+    launches batch N+1 (host->device transfer + compute) while the
+    completer thread is still fetching batch N's results. pipeline_depth
+    bounds the number of in-flight device batches (device memory =
+    depth x batch). Depth 1 restores strictly serial behavior."""
 
     def __init__(self, predict_fn, batch_size: int,
                  max_wait_ms: float = 8.0, max_queue: int = 8192,
-                 name: str = "predict"):
+                 name: str = "predict", pipeline_depth: int = 2):
         if batch_size < 1:
             raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+        if pipeline_depth < 1:
+            raise ValueError(
+                f"pipeline_depth must be >= 1, got {pipeline_depth}")
         self.predict_fn = predict_fn
         self.batch_size = int(batch_size)
         self.max_wait = max(float(max_wait_ms), 0.0) / 1e3
@@ -133,6 +146,12 @@ class DynamicBatcher:
         self.batches = 0
         self.batch_tiles = 0   # real tiles through the device (pre-pad)
         self.errors = 0
+        import queue as _queue
+        self._inflight = _queue.Queue(maxsize=int(pipeline_depth))
+        self._completer = threading.Thread(
+            target=self._complete, name=f"batcher-{name}-complete",
+            daemon=True)
+        self._completer.start()
         self._thread = threading.Thread(
             target=self._worker, name=f"batcher-{name}", daemon=True)
         self._thread.start()
@@ -195,6 +214,7 @@ class DynamicBatcher:
             with self._cv:
                 take = self._take_locked()
                 if not take:
+                    self._inflight.put(None)      # completer shutdown
                     return
                 self.batches += 1
                 self.batch_tiles += len(take)
@@ -205,6 +225,9 @@ class DynamicBatcher:
                     np.zeros((self.batch_size - len(take), *batch.shape[1:]),
                              batch.dtype)])
             try:
+                # async under JAX: returns device futures immediately, so
+                # the next batch's host->device transfer and compute launch
+                # while the completer fetches this one's results
                 out = self.predict_fn(batch)
             except Exception as e:      # surface to every waiter, keep serving
                 with self._cv:
@@ -213,15 +236,30 @@ class DynamicBatcher:
                     p.error = e
                     p.event.set()
                 continue
-            if isinstance(out, tuple):
-                out = tuple(np.asarray(o) for o in out)
-                for i, p in enumerate(take):
-                    p.result = tuple(o[i] for o in out)
-                    p.event.set()
-            else:
-                out = np.asarray(out)
-                for i, p in enumerate(take):
-                    p.result = out[i]
+            self._inflight.put((take, out))   # blocks at pipeline_depth
+
+    def _complete(self):
+        while True:
+            item = self._inflight.get()
+            if item is None:
+                return
+            take, out = item
+            try:
+                if isinstance(out, tuple):
+                    out = tuple(np.asarray(o) for o in out)
+                    for i, p in enumerate(take):
+                        p.result = tuple(o[i] for o in out)
+                        p.event.set()
+                else:
+                    out = np.asarray(out)
+                    for i, p in enumerate(take):
+                        p.result = out[i]
+                        p.event.set()
+            except Exception as e:   # a deferred device error surfaces at
+                with self._cv:       # fetch time — fail the batch, keep going
+                    self.errors += 1
+                for p in take:
+                    p.error = e
                     p.event.set()
 
     def stats(self) -> dict:
@@ -239,7 +277,8 @@ class DynamicBatcher:
         with self._cv:
             self._closed = True
             self._cv.notify_all()
-        self._thread.join(timeout=timeout)
+        self._thread.join(timeout=timeout)       # drains, then sends the
+        self._completer.join(timeout=timeout)    # completer its sentinel
 
 
 # -- HTTP layer -------------------------------------------------------------
@@ -333,9 +372,9 @@ class DuoFormerServer(ThreadingHTTPServer):
         t = float(temperature or 1.0)
 
         def _predict(batch):
-            return np.asarray(
-                predictor.predict_proba(batch, tta=tta, temperature=t),
-                np.float32)
+            # device array out — the batcher's completer thread fetches,
+            # overlapping with the next batch's dispatch
+            return predictor.predict_proba(batch, tta=tta, temperature=t)
 
         self.batcher = DynamicBatcher(_predict, batch_size,
                                       max_wait_ms=max_wait_ms)
@@ -353,8 +392,10 @@ class DuoFormerServer(ThreadingHTTPServer):
 
                 def _embed(batch):
                     logits, embs = pred.embed(batch)
-                    return (np.asarray(logits, np.float32),
-                            np.asarray(embs, np.float32))
+                    # f32 casts are async device ops (bf16 models emit
+                    # bf16); the completer thread does the actual fetch
+                    return (logits.astype("float32"),
+                            embs.astype("float32"))
 
                 self.embed_batcher = DynamicBatcher(
                     _embed, self._batch_size,

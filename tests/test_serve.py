@@ -164,6 +164,80 @@ def test_batcher_tuple_outputs():
         b.close()
 
 
+def test_batcher_pipelines_dispatch_and_fetch():
+    """Dispatch/fetch overlap: the worker must dispatch batch N+1 while
+    batch N's result is still being fetched (JAX async-dispatch
+    double-buffering, exercised here with a lazy __array__ stand-in for
+    a device future)."""
+    import time as _t
+
+    events = []
+    lock = threading.Lock()
+
+    class Lazy:
+        def __init__(self, arr):
+            self.arr = arr
+
+        def __array__(self, dtype=None, copy=None):
+            with lock:
+                events.append("fetch_start")
+            _t.sleep(0.15)
+            with lock:
+                events.append("fetch_end")
+            return self.arr
+
+    def fn(batch):
+        with lock:
+            events.append("dispatch")
+        return Lazy(batch.sum(axis=(1, 2, 3))[:, None].astype(np.float32))
+
+    b = DynamicBatcher(fn, batch_size=1, max_wait_ms=0, pipeline_depth=2)
+    try:
+        ts = [threading.Thread(
+            target=lambda v: b.submit(np.full((2, 2, 3), v, np.uint8)),
+            args=(i + 1,)) for i in range(3)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        # at least one later dispatch must land before an earlier fetch
+        # completes — strictly serial execution would interleave
+        # dispatch/fetch_start/fetch_end triples
+        second_dispatch = [i for i, e in enumerate(events)
+                           if e == "dispatch"][1]
+        first_fetch_end = events.index("fetch_end")
+        assert second_dispatch < first_fetch_end, events
+        assert b.stats()["batches"] == 3
+    finally:
+        b.close()
+
+
+def test_batcher_fetch_error_propagates_and_recovers():
+    """An error surfacing at FETCH time (deferred device failure) fails
+    that batch's waiters but keeps the batcher serving."""
+    calls = {"n": 0}
+
+    class Boom:
+        def __array__(self, dtype=None, copy=None):
+            raise RuntimeError("deferred-boom")
+
+    def fn(batch):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return Boom()
+        return batch.sum(axis=(1, 2, 3))[:, None]
+
+    b = DynamicBatcher(fn, batch_size=2, max_wait_ms=1)
+    try:
+        with pytest.raises(RuntimeError, match="deferred-boom"):
+            b.submit(np.ones((2, 2, 3), np.uint8))
+        out = b.submit(np.ones((2, 2, 3), np.uint8))
+        assert out[0] == 12
+        assert b.stats()["errors"] == 1
+    finally:
+        b.close()
+
+
 def test_batcher_rejects_after_close():
     b = DynamicBatcher(lambda x: x.sum(axis=(1, 2, 3)), batch_size=1)
     b.close()

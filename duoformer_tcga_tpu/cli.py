@@ -824,23 +824,30 @@ def cmd_serve(cfg, host="127.0.0.1", port=8000, params_path=None,
             "quantized": bool(quantize or already_int8),
             "weights": ("artifact" if params_path else
                         "torch" if torch_path else "checkpoint")}
+    # construct WITHOUT listening: the port must only accept once the
+    # serving step is compiled (readiness probes should see
+    # connection-refused during the minutes-long TPU compile, never an
+    # accepted-then-stalled connection)
     server = make_server(pred, host=host, port=port, batch_size=B,
                          max_wait_ms=wait_ms, tta=tta,
-                         temperature=temperature or 1.0, info=info)
-    dt = server.warmup()
-    print(f"compiled serving step (batch {B}) in {dt:.1f}s", flush=True)
-    print(f"serving on http://{host}:{server.server_address[1]} — "
-          f"POST /predict (image or .npy), POST /embed, GET /healthz "
-          f"/stats", flush=True)
+                         temperature=temperature or 1.0, info=info,
+                         bind_and_activate=False)
 
-    # SIGTERM (the orchestrator's stop signal) drains like Ctrl-C:
-    # shutdown() returns serve_forever(), then close() joins the batcher
-    # worker so in-flight requests finish before the process exits
+    # SIGTERM (the orchestrator's stop signal) drains like Ctrl-C —
+    # installed BEFORE warmup: a shutdown() issued mid-compile blocks in
+    # its thread until serve_forever() starts, which then exits on its
+    # first loop check, so early SIGTERMs still drain cleanly
     import signal
     import threading
     signal.signal(signal.SIGTERM,
                   lambda *_: threading.Thread(target=server.shutdown,
                                               daemon=True).start())
+    dt = server.warmup()
+    print(f"compiled serving step (batch {B}) in {dt:.1f}s", flush=True)
+    server.bind_and_listen()
+    print(f"serving on http://{host}:{server.server_address[1]} — "
+          f"POST /predict (image or .npy), POST /embed, GET /healthz "
+          f"/stats", flush=True)
     try:
         server.serve_forever()
         print("shutting down (SIGTERM)", flush=True)

@@ -32,6 +32,7 @@ class HybridModel:
         self.num_classes = num_classes
         self.proj_dim = proj_dim
         self.dtype = dtype
+        self.backbone_name = "r18"   # plan_train_memory's activation term
         self.resnet = ResNetBackbone(18, dtype)
         self.projection = Projection(1, proj_dim, "r18", dtype)
         self.vit = VisionTransformer(patch_size=32, depth=num_blocks,

@@ -56,12 +56,19 @@ class ServeError(ValueError):
     """Client-side request error (maps to HTTP 400)."""
 
 
+class OverloadError(ServeError):
+    """Server saturation (maps to HTTP 503 so clients retry/back off)."""
+
+
 def decode_payload(data: bytes, size: int = 224) -> np.ndarray:
     """Request body -> uint8 tiles [N, size, size, 3].
 
-    Accepts a raw .npy array ([H,W,3] or [N,H,W,3], any uint dtype) or
-    any PIL-decodable image (PNG/JPEG/BMP/TIFF/...). Images and npy
-    tiles that are not size x size are bilinearly resized — the same
+    Accepts a raw .npy array ([H,W(,C)] or [N,H,W(,C)]) or any
+    PIL-decodable image (PNG/JPEG/BMP/TIFF/...). Grayscale promotes to
+    3 channels; >3 channels keep the first 3 (RGBA). Dtypes: uint8 as
+    is; floats are treated as [0,1] when max <= 1 (scaled x255), larger
+    values and wider ints are clipped to [0,255]. Images and npy tiles
+    that are not size x size are bilinearly resized — the same
     convention as the folder dataset (data/folder.py:_decode)."""
     if not data:
         raise ServeError("empty request body")
@@ -70,15 +77,26 @@ def decode_payload(data: bytes, size: int = 224) -> np.ndarray:
             arr = np.load(io.BytesIO(data), allow_pickle=False)
         except Exception as e:
             raise ServeError(f"bad .npy payload: {e}") from None
-        if arr.ndim == 2:
+        if arr.ndim == 2:                       # [H, W] grayscale
             arr = np.stack([arr] * 3, axis=-1)
         if arr.ndim == 3:
-            arr = arr[None]
+            if arr.shape[-1] <= 4:              # [H, W, C] single image
+                arr = arr[None]
+            else:                               # [N, H, W] grayscale batch
+                arr = np.stack([arr] * 3, axis=-1)
         if arr.ndim != 4 or arr.shape[-1] < 3:
             raise ServeError(
-                f"npy payload must be [H,W,3] or [N,H,W,3]; got "
+                f"npy payload must be [H,W(,C)] or [N,H,W(,C)]; got "
                 f"shape {arr.shape}")
-        arr = np.ascontiguousarray(arr[..., :3]).astype(np.uint8)
+        if arr.shape[0] == 0:
+            raise ServeError("npy payload contains zero tiles")
+        arr = np.ascontiguousarray(arr[..., :3])
+        if np.issubdtype(arr.dtype, np.floating):
+            if float(arr.max(initial=0.0)) <= 1.0:
+                arr = arr * 255.0
+        if arr.dtype != np.uint8:
+            arr = np.clip(arr, 0, 255)
+        arr = arr.astype(np.uint8)
         if arr.shape[1:3] != (size, size):
             from PIL import Image
             arr = np.stack([
@@ -167,12 +185,14 @@ class DynamicBatcher:
         """[N, H, W, 3] -> stacked results [N, ...] (tuple-transparent).
         N may exceed batch_size — the worker splits across device steps."""
         pendings = [_Pending(img) for img in imgs]
+        if not pendings:
+            raise ServeError("empty batch submission")
         with self._cv:
             if self._closed:
                 raise RuntimeError(f"batcher {self.name!r} is closed")
             if len(self._queue) + len(pendings) > self.max_queue:
                 self.errors += 1
-                raise ServeError(
+                raise OverloadError(
                     f"server overloaded: queue {len(self._queue)} + "
                     f"request {len(pendings)} exceeds max_queue "
                     f"{self.max_queue}")
@@ -218,13 +238,16 @@ class DynamicBatcher:
                     return
                 self.batches += 1
                 self.batch_tiles += len(take)
-            batch = np.stack([p.img for p in take])
-            if len(take) < self.batch_size:   # pad to the static jit shape
-                batch = np.concatenate([
-                    batch,
-                    np.zeros((self.batch_size - len(take), *batch.shape[1:]),
-                             batch.dtype)])
             try:
+                # stack/pad inside the try: the public API can be handed
+                # mismatched tile shapes — a dead worker would hang every
+                # waiter forever (events never set, no timeout)
+                batch = np.stack([p.img for p in take])
+                if len(take) < self.batch_size:   # pad to the static shape
+                    batch = np.concatenate([
+                        batch,
+                        np.zeros((self.batch_size - len(take),
+                                  *batch.shape[1:]), batch.dtype)])
                 # async under JAX: returns device futures immediately, so
                 # the next batch's host->device transfer and compute launch
                 # while the completer fetches this one's results
@@ -287,6 +310,10 @@ class DynamicBatcher:
 class _Handler(BaseHTTPRequestHandler):
     server_version = "duoformer-serve/1"
     protocol_version = "HTTP/1.1"
+    # idle keep-alive connections close after this, bounding how long a
+    # graceful shutdown can wait on handler threads (daemon_threads is
+    # False so close() joins them — in-flight responses always finish)
+    timeout = 65
 
     def log_message(self, fmt, *args):    # route through logging, not stderr
         import logging
@@ -298,6 +325,11 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
+        if self.close_connection:
+            # a rejected body was never read off the socket: keeping the
+            # HTTP/1.1 connection alive would desync the stream (the
+            # unread bytes would parse as the next request line)
+            self.send_header("Connection", "close")
         self.end_headers()
         self.wfile.write(body)
 
@@ -317,8 +349,10 @@ class _Handler(BaseHTTPRequestHandler):
     def _read_body(self):
         length = int(self.headers.get("Content-Length") or 0)
         if length <= 0:
+            self.close_connection = True     # body (if any) stays unread
             raise ServeError("missing/zero Content-Length")
         if length > MAX_BODY_BYTES:
+            self.close_connection = True     # refuse to read it off the wire
             raise ServeError(f"body {length} bytes exceeds the "
                              f"{MAX_BODY_BYTES}-byte limit")
         return self.rfile.read(length)
@@ -350,6 +384,8 @@ class _Handler(BaseHTTPRequestHandler):
                 self._json(200, out)
             else:
                 self._json(404, {"error": f"unknown path {self.path}"})
+        except OverloadError as e:       # saturation: retryable, not a
+            self._json(503, {"error": str(e)})   # client bug
         except ServeError as e:
             self._json(400, {"error": str(e)})
         except Exception as e:           # keep the daemon alive
@@ -357,14 +393,20 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 class DuoFormerServer(ThreadingHTTPServer):
-    """ThreadingHTTPServer that owns the predictor-backed batchers."""
-    daemon_threads = True
+    """ThreadingHTTPServer that owns the predictor-backed batchers.
+
+    daemon_threads is False so server_close() JOINS in-flight handler
+    threads — a drained shutdown never cuts a response mid-write (the
+    _Handler socket timeout bounds how long idle keep-alives linger).
+    Pass bind_and_activate=False to construct without listening (warm
+    the compile first, then bind_and_listen())."""
+    daemon_threads = False
 
     def __init__(self, addr, predictor, batch_size: int,
                  max_wait_ms: float = 8.0, tta: bool = False,
                  temperature: float = 1.0, tile_size: int = 224,
-                 info: dict | None = None):
-        super().__init__(addr, _Handler)
+                 info: dict | None = None, bind_and_activate: bool = True):
+        super().__init__(addr, _Handler, bind_and_activate=bind_and_activate)
         self.predictor = predictor
         self.tile_size = tile_size
         self.info = dict(info or {}, batch_size=batch_size, tta=tta,
@@ -409,6 +451,15 @@ class DuoFormerServer(ThreadingHTTPServer):
         self.batcher.submit(zeros[0])
         return time.monotonic() - t0
 
+    def bind_and_listen(self):
+        """Bind + activate a server constructed with
+        bind_and_activate=False — so the port only starts accepting
+        AFTER warmup() compiled the serving step (readiness probes get
+        connection-refused during the compile, not accepted-then-stalled
+        connections)."""
+        self.server_bind()
+        self.server_activate()
+
     def close(self):
         self.batcher.close()
         if self.embed_batcher is not None:
@@ -419,7 +470,9 @@ class DuoFormerServer(ThreadingHTTPServer):
 def make_server(predictor, host: str = "127.0.0.1", port: int = 0,
                 batch_size: int = 32, max_wait_ms: float = 8.0,
                 tta: bool = False, temperature: float = 1.0,
-                info: dict | None = None) -> DuoFormerServer:
+                info: dict | None = None,
+                bind_and_activate: bool = True) -> DuoFormerServer:
     return DuoFormerServer((host, port), predictor, batch_size,
                            max_wait_ms=max_wait_ms, tta=tta,
-                           temperature=temperature, info=info)
+                           temperature=temperature, info=info,
+                           bind_and_activate=bind_and_activate)

@@ -62,6 +62,52 @@ def test_decode_payload_npy_single_and_batch():
     assert decode_payload(_npy_bytes(gray), 16).shape == (1, 16, 16, 3)
 
 
+def test_decode_payload_grayscale_batch_and_dtypes():
+    rng = np.random.default_rng(8)
+    # [N, H, W] grayscale batch: N tiles, not one [1, N, H, 3] image
+    gray_batch = rng.integers(0, 256, (5, 16, 16), np.uint8)
+    out = decode_payload(_npy_bytes(gray_batch), 16)
+    assert out.shape == (5, 16, 16, 3)
+    np.testing.assert_array_equal(out[..., 0], gray_batch)
+    # float in [0,1] scales x255 instead of truncating to black
+    f = rng.random((2, 16, 16, 3), np.float32)
+    out = decode_payload(_npy_bytes(f), 16)
+    np.testing.assert_array_equal(out, (f * 255.0).astype(np.uint8))
+    assert out.max() > 1
+    # float already in [0,255] and wide ints clip, not wrap
+    f255 = np.full((16, 16, 3), 300.0, np.float32)
+    assert decode_payload(_npy_bytes(f255), 16).max() == 255
+    u16 = np.full((16, 16, 3), 4096, np.uint16)
+    assert decode_payload(_npy_bytes(u16), 16).min() == 255
+    # zero tiles is a client error, not an IndexError-500
+    with pytest.raises(ServeError):
+        decode_payload(_npy_bytes(np.zeros((0, 16, 16, 3), np.uint8)), 16)
+
+
+def test_batcher_overload_is_retryable():
+    from duoformer_tcga_tpu.serve import OverloadError
+
+    gate = threading.Event()
+
+    def fn(batch):
+        gate.wait(5)
+        return batch.sum(axis=(1, 2, 3))[:, None]
+
+    b = DynamicBatcher(fn, batch_size=1, max_wait_ms=0, max_queue=2)
+    try:
+        t = threading.Thread(
+            target=lambda: b.submit(np.ones((2, 2, 3), np.uint8)))
+        t.start()
+        with pytest.raises(OverloadError):   # 3 > max_queue while blocked
+            b.submit_many(np.ones((3, 2, 2, 3), np.uint8))
+        assert isinstance(OverloadError("x"), ServeError)  # maps to 503
+        gate.set()
+        t.join(timeout=10)
+    finally:
+        gate.set()
+        b.close()
+
+
 def test_decode_payload_rejects_garbage():
     with pytest.raises(ServeError):
         decode_payload(b"", 224)
@@ -390,16 +436,25 @@ def test_cli_serve_sigterm_drains(tmp_path):
         cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True)
     try:
+        import selectors
+        sel = selectors.DefaultSelector()
+        sel.register(proc.stdout, selectors.EVENT_READ)
         port = None
         deadline = time.monotonic() + 300
         lines = []
-        for line in proc.stdout:
+        while port is None:
+            # select-gate each readline so a silently hung daemon trips
+            # the deadline instead of blocking the suite forever
+            if not sel.select(timeout=max(deadline - time.monotonic(), 0)) \
+                    or time.monotonic() > deadline:
+                raise TimeoutError("daemon never came up:\n" + "".join(lines))
+            line = proc.stdout.readline()
+            if not line:
+                raise RuntimeError("daemon exited early:\n" + "".join(lines))
             lines.append(line)
             if "serving on http://" in line:
                 port = int(line.split("http://127.0.0.1:")[1].split(" ")[0])
-                break
-            if time.monotonic() > deadline:
-                raise TimeoutError("daemon never came up:\n" + "".join(lines))
+        sel.close()
         assert port
         img = np.random.default_rng(7).integers(
             0, 256, (224, 224, 3), np.uint8)

@@ -25,6 +25,11 @@ Usage:
         [--host=127.0.0.1] [--port=8000] [--wait-ms=8] \
         [--params=model.npz | --torch=Checkpoint1.pt] \
         [--tta] [--temperature=T] [--quantize]
+    python -m duoformer_tcga_tpu.cli mil-train --embeddings=tiles.npz \
+        [--output=mil.npz] [--hidden=128] [--epochs=60] [--lr=1e-3] \
+        [--batch-size=16] [--val-fraction=0.2] [--max-tiles=N] [--seed=0]
+    python -m duoformer_tcga_tpu.cli mil-predict --embeddings=new.npz \
+        --mil=mil.npz [--output=mil_slides.csv] [--attn=attn.npz]
     python -m duoformer_tcga_tpu.cli make-dataset --slides=/path/wsis \
         [--output=tiles.h5] [--tile=224] [--labels=labels.csv] \
         [--min-std=5]
@@ -858,6 +863,80 @@ def cmd_serve(cfg, host="127.0.0.1", port=8000, params_path=None,
     return 0
 
 
+def cmd_mil_train(embeddings_path, output="mil.npz", hidden=128,
+                  epochs=60, lr=1e-3, batch_size=16, val_fraction=0.2,
+                  max_tiles=None, seed=0):
+    """Train the slide-level gated-attention MIL head (mil.py /
+    models/mil.py) on exported tile embeddings. Bags come from the
+    nested class/slide/tile layout recorded in the embeddings npz;
+    reports slide-level train/val accuracy (+ ROC-AUC when binary) and
+    writes the MIL artifact npz."""
+    import json as _json
+
+    import numpy as np
+
+    from . import mil as mil_lib
+
+    ids, cls_names, bags, classes = mil_lib.load_bags(embeddings_path)
+    embs, mask = mil_lib.pad_bags(bags, max_tiles=max_tiles)
+    labels = np.asarray([classes.index(c) for c in cls_names], np.int32)
+    print(f"{len(ids)} slides, {int(mask.sum())} tiles, padded to "
+          f"{embs.shape[1]} tiles/slide, classes={classes}", flush=True)
+    params, report = mil_lib.train_mil(
+        embs, mask, labels, num_classes=len(classes), hidden=hidden,
+        epochs=epochs, lr=lr, batch_size=batch_size,
+        val_fraction=val_fraction, seed=seed, verbose=True)
+    mil_lib.save_mil(output, params, classes, hidden, report)
+    print(_json.dumps(report), flush=True)
+    print(f"wrote MIL artifact to {output}", flush=True)
+    return 0
+
+
+def cmd_mil_predict(embeddings_path, mil_path, output="mil_slides.csv",
+                    attn_out=None):
+    """Slide-level calls from tile embeddings + a trained MIL artifact:
+    CSV of slide, prediction, class probabilities; --attn=<npz> also
+    writes each slide's per-tile attention weights (which tiles drove
+    the call — the MIL interpretability signal)."""
+    import csv
+
+    import numpy as np
+
+    import jax
+
+    from . import mil as mil_lib
+
+    model, params, meta = mil_lib.load_mil(mil_path)
+    ids, cls_names, bags, _ = mil_lib.load_bags(embeddings_path,
+                                                labeled=False)
+    if bags[0].shape[1] != meta["embed_dim"]:
+        raise ValueError(f"embeddings are {bags[0].shape[1]}-d but the "
+                         f"MIL artifact expects {meta['embed_dim']}-d")
+    embs, mask = mil_lib.pad_bags(bags)
+    fwd = jax.jit(lambda p, e, m: model.apply(p, e, m,
+                                              with_attention=True))
+    logits, attn = fwd(params, embs, mask)
+    probs = np.asarray(jax.nn.softmax(np.asarray(logits, np.float32), -1))
+    attn = np.asarray(attn)
+    classes = meta["classes"]
+    with open(output, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["slide", "n_tiles", "pred"]
+                   + [f"prob_{c}" for c in classes])
+        for i, sid in enumerate(ids):
+            w.writerow([sid, len(bags[i]), classes[int(probs[i].argmax())]]
+                       + [f"{x:.6f}" for x in probs[i]])
+    print(f"wrote {len(ids)} slide predictions to {output}", flush=True)
+    if attn_out:
+        np.savez(attn_out,
+                 slides=np.array(ids),
+                 attention=attn,
+                 mask=mask)
+        print(f"wrote per-tile attention weights to {attn_out}",
+              flush=True)
+    return 0
+
+
 def _predict_loop(cfg, inputs, output, pred, B, embeddings=None,
                   by_slide=None, attn_maps=None, tta=False,
                   temperature=1.0):
@@ -1286,7 +1365,7 @@ def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     known = ("train", "eval", "predict", "export", "make-dataset",
              "fetch-weights", "verify-checkpoint", "crossval", "plot",
-             "heatmap", "serve")
+             "heatmap", "serve", "mil-train", "mil-predict")
     if not argv or argv[0] not in known:
         print(__doc__)
         return 1
@@ -1299,6 +1378,40 @@ def main(argv=None):
         return cmd_fetch_weights(rest)
     if cmd == "verify-checkpoint":
         return cmd_verify_checkpoint(rest)
+    if cmd in ("mil-train", "mil-predict"):
+        # embeddings-space commands: no model/config build involved
+        opts = {}
+        for a in rest:
+            k = a.lstrip("-")
+            if "=" in k:
+                name, val = k.split("=", 1)
+                opts[name] = val
+            else:
+                print(f"unknown {cmd} flag {a!r}")
+                return 1
+        if "embeddings" not in opts:
+            print(f"{cmd} requires --embeddings=<tiles.npz> "
+                  f"(from `cli predict --embeddings=`)")
+            return 1
+        if cmd == "mil-train":
+            return cmd_mil_train(
+                opts["embeddings"],
+                output=opts.get("output", "mil.npz"),
+                hidden=int(opts.get("hidden", 128)),
+                epochs=int(opts.get("epochs", 60)),
+                lr=float(opts.get("lr", 1e-3)),
+                batch_size=int(opts.get("batch-size", 16)),
+                val_fraction=float(opts.get("val-fraction", 0.2)),
+                max_tiles=(int(opts["max-tiles"])
+                           if "max-tiles" in opts else None),
+                seed=int(opts.get("seed", 0)))
+        if "mil" not in opts:
+            print("mil-predict requires --mil=<mil.npz> "
+                  "(from `cli mil-train`)")
+            return 1
+        return cmd_mil_predict(opts["embeddings"], opts["mil"],
+                               output=opts.get("output", "mil_slides.csv"),
+                               attn_out=opts.get("attn"))
     max_steps = None
     trace_dir = None
     pred_input, pred_output = None, "predictions.csv"

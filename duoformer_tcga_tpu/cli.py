@@ -24,7 +24,7 @@ Usage:
     python -m duoformer_tcga_tpu.cli serve --preset=release-2scale \
         [--host=127.0.0.1] [--port=8000] [--wait-ms=8] \
         [--params=model.npz | --torch=Checkpoint1.pt] \
-        [--tta] [--temperature=T] [--quantize]
+        [--tta] [--temperature=T] [--quantize] [--mil=mil.npz]
     python -m duoformer_tcga_tpu.cli mil-train --embeddings=tiles.npz \
         [--output=mil.npz] [--hidden=128] [--epochs=60] [--lr=1e-3] \
         [--batch-size=16] [--val-fraction=0.2] [--max-tiles=N] [--seed=0]
@@ -795,7 +795,7 @@ def cmd_predict(cfg, inputs, output="predictions.csv", params_path=None,
 
 def cmd_serve(cfg, host="127.0.0.1", port=8000, params_path=None,
               torch_path=None, wait_ms=8.0, tta=False, temperature=None,
-              quantize=False):
+              quantize=False, mil_path=None):
     """Long-running HTTP serving daemon (serve.py): dynamic batching in
     front of the jitted Predictor. Weight sources are identical to
     `predict` (--params= exported artifact / --torch= reference
@@ -825,6 +825,13 @@ def cmd_serve(cfg, host="127.0.0.1", port=8000, params_path=None,
                      dtype=getattr(jnp, cfg.model.dtype),
                      fold=(ameta is None),
                      quantize=quantize and not already_int8)
+    mil = None
+    if mil_path:
+        from . import mil as mil_lib
+        mil = mil_lib.load_mil(mil_path)
+        print(f"MIL head loaded ({mil[2]['classes']}, "
+              f"{mil[2]['embed_dim']}-d) — POST /predict-slide enabled",
+              flush=True)
     info = {"family": cfg.model.family, "num_classes": cfg.model.num_classes,
             "quantized": bool(quantize or already_int8),
             "weights": ("artifact" if params_path else
@@ -836,7 +843,7 @@ def cmd_serve(cfg, host="127.0.0.1", port=8000, params_path=None,
     server = make_server(pred, host=host, port=port, batch_size=B,
                          max_wait_ms=wait_ms, tta=tta,
                          temperature=temperature or 1.0, info=info,
-                         bind_and_activate=False)
+                         bind_and_activate=False, mil=mil)
 
     # SIGTERM (the orchestrator's stop signal) drains like Ctrl-C —
     # installed BEFORE warmup: a shutdown() issued mid-compile blocks in
@@ -1426,6 +1433,7 @@ def main(argv=None):
     hm_slide, hm_output, hm_class = None, "heatmap.png", 1
     hm_tile, hm_stride, hm_no_attn = 224, None, False
     srv_host, srv_port, srv_wait_ms = "127.0.0.1", 8000, 8.0
+    srv_mil = None
     filtered = []
     for a in rest:
         key = a.lstrip("-")
@@ -1449,6 +1457,8 @@ def main(argv=None):
             srv_port = int(a.split("=", 1)[1])
         elif cmd == "serve" and key.startswith("wait-ms="):
             srv_wait_ms = float(a.split("=", 1)[1])
+        elif cmd == "serve" and key.startswith("mil="):
+            srv_mil = a.split("=", 1)[1]
         elif cmd == "heatmap" and key.startswith("slide="):
             hm_slide = a.split("=", 1)[1]
         elif cmd == "heatmap" and key.startswith("output="):
@@ -1537,7 +1547,8 @@ def main(argv=None):
             cmd_serve(cfg, host=srv_host, port=srv_port,
                       params_path=pred_params, torch_path=pred_torch,
                       wait_ms=srv_wait_ms, tta=pred_tta,
-                      temperature=serve_temperature, quantize=export_quant)
+                      temperature=serve_temperature, quantize=export_quant,
+                      mil_path=srv_mil)
         else:
             cmd_eval(cfg, params_path=pred_params, torch_path=pred_torch,
                      report_path=eval_report, calibrate=eval_calibrate)

@@ -28,6 +28,13 @@ Design:
                               uint8) -> JSON probs/pred(s)
       POST /embed             same body -> pre-head CLS embedding(s)
                               (per-tile representation for MIL)
+      POST /predict-slide     same body, ALL tiles = one slide -> one
+                              slide-level call through the gated-
+                              attention MIL head (requires --mil=;
+                              returns probs + per-tile attention).
+                              Bags are padded to 64-tile buckets so the
+                              MIL jit compiles a bounded set of shapes
+                              (the masked softmax is padding-exact).
   * `cli serve` wires weight resolution (checkpoint dir / --params= /
     --torch=) identically to `cli predict` and warms the compile before
     binding the port.
@@ -344,7 +351,8 @@ class _Handler(BaseHTTPRequestHandler):
             self._json(200, stats)
         else:
             self._json(404, {"error": f"unknown path {self.path}; "
-                             f"endpoints: /healthz /stats /predict /embed"})
+                             f"endpoints: /healthz /stats /predict "
+                             f"/embed /predict-slide"})
 
     def _read_body(self):
         length = int(self.headers.get("Content-Length") or 0)
@@ -382,6 +390,16 @@ class _Handler(BaseHTTPRequestHandler):
                     out["embedding"] = out.pop("embeddings")[0]
                     out["pred"] = out.pop("preds")[0]
                 self._json(200, out)
+            elif self.path == "/predict-slide":
+                if srv.mil is None:
+                    self._json(400, {"error": "no MIL head loaded — "
+                                     "start the daemon with --mil=mil.npz "
+                                     "(from `cli mil-train`)"})
+                    return
+                tiles = decode_payload(self._read_body(), srv.tile_size)
+                eb = srv.get_embed_batcher()
+                _, embs = eb.submit_many(tiles)
+                self._json(200, srv.mil_call(embs))
             else:
                 self._json(404, {"error": f"unknown path {self.path}"})
         except OverloadError as e:       # saturation: retryable, not a
@@ -405,12 +423,17 @@ class DuoFormerServer(ThreadingHTTPServer):
     def __init__(self, addr, predictor, batch_size: int,
                  max_wait_ms: float = 8.0, tta: bool = False,
                  temperature: float = 1.0, tile_size: int = 224,
-                 info: dict | None = None, bind_and_activate: bool = True):
+                 info: dict | None = None, bind_and_activate: bool = True,
+                 mil=None):
         super().__init__(addr, _Handler, bind_and_activate=bind_and_activate)
         self.predictor = predictor
         self.tile_size = tile_size
+        self.mil = mil          # (model, params, meta) from mil.load_mil
+        self._mil_fwd = None
+        self._mil_lock = threading.Lock()
         self.info = dict(info or {}, batch_size=batch_size, tta=tta,
-                         temperature=temperature)
+                         temperature=temperature,
+                         mil=(mil[2].get("classes") if mil else None))
         t = float(temperature or 1.0)
 
         def _predict(batch):
@@ -444,6 +467,39 @@ class DuoFormerServer(ThreadingHTTPServer):
                     max_wait_ms=self._max_wait_ms, name="embed")
             return self.embed_batcher
 
+    def mil_call(self, embs: np.ndarray) -> dict:
+        """[N, D] tile embeddings (one slide) -> slide-level MIL call.
+        N pads to 64-tile buckets so the jit compiles a bounded shape
+        set; the masked softmax makes padding exact (models/mil.py)."""
+        model, params, meta = self.mil
+        if embs.shape[-1] != meta["embed_dim"]:
+            raise ServeError(
+                f"model embeddings are {embs.shape[-1]}-d but the MIL "
+                f"head expects {meta['embed_dim']}-d")
+        with self._mil_lock:
+            if self._mil_fwd is None:
+                import jax
+                self._mil_fwd = jax.jit(
+                    lambda p, e, m: model.apply(p, e, m,
+                                                with_attention=True))
+            n = len(embs)
+            pad = -len(embs) % 64 if len(embs) % 64 else 0
+            if pad:
+                embs = np.concatenate(
+                    [embs, np.zeros((pad, embs.shape[1]), embs.dtype)])
+            mask = np.zeros((len(embs),), np.float32)
+            mask[:n] = 1.0
+            logits, attn = self._mil_fwd(params, embs[None], mask[None])
+        import jax.nn as jnn
+        probs = np.asarray(jnn.softmax(
+            np.asarray(logits, np.float32)[0], -1))
+        attn = np.asarray(attn)[0, :n]
+        classes = meta["classes"]
+        return {"n_tiles": n,
+                "pred": classes[int(probs.argmax())],
+                "probs": {c: float(p) for c, p in zip(classes, probs)},
+                "attention": attn.tolist()}
+
     def warmup(self):
         """Compile (and page in) the serving step before taking traffic."""
         zeros = np.zeros((1, self.tile_size, self.tile_size, 3), np.uint8)
@@ -471,8 +527,9 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 0,
                 batch_size: int = 32, max_wait_ms: float = 8.0,
                 tta: bool = False, temperature: float = 1.0,
                 info: dict | None = None,
-                bind_and_activate: bool = True) -> DuoFormerServer:
+                bind_and_activate: bool = True,
+                mil=None) -> DuoFormerServer:
     return DuoFormerServer((host, port), predictor, batch_size,
                            max_wait_ms=max_wait_ms, tta=tta,
                            temperature=temperature, info=info,
-                           bind_and_activate=bind_and_activate)
+                           bind_and_activate=bind_and_activate, mil=mil)

@@ -389,6 +389,69 @@ def test_server_quantized_predictor(served):
         t.join(timeout=10)
 
 
+def test_server_predict_slide_mil(served):
+    """POST /predict-slide: tiles -> embed batcher -> gated-attention
+    MIL head -> one slide call with per-tile attention; result must
+    match the offline composition (Predictor.embed + model.apply)."""
+    import jax
+
+    from duoformer_tcga_tpu.mil import save_mil, load_mil
+    from duoformer_tcga_tpu.models.mil import GatedAttentionMIL
+
+    url, pred = served
+    # a tiny MIL head over the fixture model's 96-d embeddings
+    mil_model = GatedAttentionMIL(embed_dim=96, hidden=8, num_classes=2)
+    mil_params = mil_model.init(jax.random.PRNGKey(2))
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        mpath = f"{td}/mil.npz"
+        save_mil(mpath, jax.tree.map(np.asarray, mil_params),
+                 ["neg", "pos"], hidden=8)
+        mil = load_mil(mpath)
+
+    model = DuoFormer(depth=1, embed_dim=96, num_heads=12, num_classes=3,
+                      num_layers=2, proj_dim=96, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0))
+    pred2 = Predictor(model, params, dtype=jnp.float32)
+    server = make_server(pred2, host="127.0.0.1", port=0, batch_size=4,
+                         max_wait_ms=1, mil=mil)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        surl = f"http://127.0.0.1:{server.server_address[1]}"
+        with urllib.request.urlopen(surl + "/healthz", timeout=30) as r:
+            assert json.loads(r.read())["mil"] == ["neg", "pos"]
+        tiles = np.random.default_rng(9).integers(
+            0, 256, (5, 224, 224, 3), np.uint8)
+        out = _post(surl + "/predict-slide", _npy_bytes(tiles))
+        assert out["n_tiles"] == 5 and len(out["attention"]) == 5
+        assert out["pred"] in ("neg", "pos")
+        np.testing.assert_allclose(sum(out["attention"]), 1.0, rtol=1e-4)
+        # offline composition must agree
+        _, embs = pred2.embed(tiles)
+        embs = np.asarray(embs, np.float32)
+        logits = np.asarray(mil[0].apply(
+            mil[1], jnp.asarray(embs)[None], jnp.ones((1, 5))))
+        want = np.exp(logits[0]) / np.exp(logits[0]).sum()
+        got = np.array([out["probs"]["neg"], out["probs"]["pos"]])
+        np.testing.assert_allclose(got, want, atol=1e-4)
+    finally:
+        server.shutdown()
+        server.close()
+        t.join(timeout=10)
+
+
+def test_server_predict_slide_without_mil_is_400(served):
+    url, _ = served
+    req = urllib.request.Request(
+        url + "/predict-slide", data=_npy_bytes(
+            np.zeros((2, 224, 224, 3), np.uint8)), method="POST")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=60)
+    assert ei.value.code == 400
+    assert "mil" in json.loads(ei.value.read())["error"].lower()
+
+
 def test_server_bad_payload_is_400(served):
     url, _ = served
     req = urllib.request.Request(url + "/predict", data=b"garbage",
@@ -440,7 +503,10 @@ def test_cli_serve_sigterm_drains(tmp_path):
         sel = selectors.DefaultSelector()
         sel.register(proc.stdout, selectors.EVENT_READ)
         port = None
-        deadline = time.monotonic() + 300
+        # generous: on the 1-core host this subprocess competes with the
+        # parent's already-resident compiled models (passes in ~30 s
+        # alone, but >300 s has been seen late in the suite)
+        deadline = time.monotonic() + 900
         lines = []
         while port is None:
             # select-gate each readline so a silently hung daemon trips

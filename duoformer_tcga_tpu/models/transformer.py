@@ -524,9 +524,18 @@ class MultiscaleFormer:
             attn_drop=self.proj_drop_rate, proj_drop=0.0,
             mlp_drop=self.proj_drop_rate, apply_qk_norm=False,
             train=train)
-        if _use_unrolled_bwd(params["scale_blocks"], train,
-                             self.proj_drop_rate, self.remat,
-                             self.embed_dim, nh):
+        from ..parallel import pp as pp_lib
+        if pp_lib._PP_CTX is not None:
+            # pipeline parallelism: depth-sharded GPipe over the "pipe"
+            # mesh axis (parallel/pp.py); ppermute stage handoffs
+            pmesh, pmicro, punroll = pp_lib._PP_CTX
+            x = pp_lib.pipeline_stack_apply(
+                pmesh, params["scale_blocks"], x, scale_apply,
+                microbatches=pmicro, rng=r_scale, train=train,
+                remat=self.remat, unroll=punroll)
+        elif _use_unrolled_bwd(params["scale_blocks"], train,
+                               self.proj_drop_rate, self.remat,
+                               self.embed_dim, nh):
             x = _apply_stack_unrolled_bwd(params["scale_blocks"], x, nh,
                                           self.ln_eps)
         else:

@@ -1,4 +1,5 @@
 from . import mesh  # noqa: F401
+from . import pp  # noqa: F401
 from .mesh import (  # noqa: F401
     DATA_AXIS,
     MODEL_AXIS,

@@ -35,6 +35,12 @@ def _tp_active(mesh) -> bool:
             and mesh.shape.get(mesh_lib.MODEL_AXIS, 1) > 1)
 
 
+def _pp_active(mesh) -> bool:
+    from .parallel import pp as pp_lib
+    return (mesh is not None
+            and mesh.shape.get(pp_lib.PIPE_AXIS, 1) > 1)
+
+
 def _warn_tp_fused_disabled(where: str) -> None:
     warnings.warn(
         f"{where}: mesh has model_parallel>1 and the fused Pallas path is "
@@ -346,7 +352,8 @@ def warm_start_params(model, fresh, *, init_from=None, init_backbone=None,
 def make_train_step(model, optimizer, mesh=None, donate=True,
                     bn_stats=False, frozen_label_fn=None, accum_steps=1,
                     augment="none", jitter=0.0, label_smoothing=0.0,
-                    mixup=0.0, ema=0.0, class_weights=None):
+                    mixup=0.0, ema=0.0, class_weights=None,
+                    pp_microbatches=None):
     """Returns jitted (state, batch, rng) -> (state, metrics).
 
     frozen_label_fn: the SAME label fn handed to make_optimizer (e.g.
@@ -406,8 +413,18 @@ def make_train_step(model, optimizer, mesh=None, donate=True,
     weights, reproducing the full-batch weighted mean (uniform weights
     reduce to the plain mean; under mixup the recombination stays
     uniform — per-microbatch lam draws already make accumulation a
-    distinct-but-unbiased estimator there)."""
+    distinct-but-unbiased estimator there).
+
+    Pipeline parallelism: a mesh with a "pipe" axis > 1 (parallel/pp.py
+    make_pp_mesh) routes the scale stack through the GPipe schedule —
+    place state with pp.shard_params_pp (depth-sharded scale blocks) and
+    set pp_microbatches (default: the pipe size). Composes with DP on the
+    mesh's "data" axis; mutually exclusive with TP."""
     tp = _tp_active(mesh)
+    pp = _pp_active(mesh)
+    if tp and pp:
+        raise ValueError("a mesh with both model_parallel>1 and pipe>1 is "
+                         "not supported: choose TP or PP")
     if class_weights is not None:
         class_weights = jnp.asarray(class_weights, jnp.float32)
     if accum_steps > 1 and bn_stats:
@@ -435,7 +452,13 @@ def make_train_step(model, optimizer, mesh=None, donate=True,
                 params, labels)
         stats = {} if bn_stats else None
         kwargs = {"bn_stats": stats} if bn_stats else {}
-        ctx = _tp_kernel_ctx(mesh, "make_train_step") if tp else _nullcontext()
+        if tp:
+            ctx = _tp_kernel_ctx(mesh, "make_train_step")
+        elif pp:
+            from .parallel import pp as pp_lib
+            ctx = pp_lib.pipeline_context(mesh, pp_microbatches)
+        else:
+            ctx = _nullcontext()
         with ctx:
             logits = model.apply(params, batch["image"], rng=rng,
                                  train=True, **kwargs)
@@ -532,9 +555,10 @@ def make_train_step(model, optimizer, mesh=None, donate=True,
     if mesh is not None:
         repl = mesh_lib.replicated(mesh)
         bsh = mesh_lib.batch_sharding(mesh)
-        if tp:
-            # TP layouts live on the state arguments (shard_params_tp);
-            # pin only the batch and let jit honor the arg placements
+        if tp or pp:
+            # TP/PP layouts live on the state arguments (shard_params_tp /
+            # pp.shard_params_pp); pin only the batch and let jit honor
+            # the arg placements
             kwargs["in_shardings"] = (None, {"image": bsh, "label": bsh},
                                       repl)
             kwargs["out_shardings"] = (None, repl)

@@ -27,7 +27,8 @@ Usage:
         [--tta] [--temperature=T] [--quantize] [--mil=mil.npz]
     python -m duoformer_tcga_tpu.cli mil-train --embeddings=tiles.npz \
         [--output=mil.npz] [--hidden=128] [--epochs=60] [--lr=1e-3] \
-        [--batch-size=16] [--val-fraction=0.2] [--max-tiles=N] [--seed=0]
+        [--batch-size=16] [--val-fraction=0.2] [--max-tiles=N] [--seed=0] \
+        [--folds=K]
     python -m duoformer_tcga_tpu.cli mil-predict --embeddings=new.npz \
         --mil=mil.npz [--output=mil_slides.csv] [--attn=attn.npz]
     python -m duoformer_tcga_tpu.cli make-dataset --slides=/path/wsis \
@@ -872,12 +873,15 @@ def cmd_serve(cfg, host="127.0.0.1", port=8000, params_path=None,
 
 def cmd_mil_train(embeddings_path, output="mil.npz", hidden=128,
                   epochs=60, lr=1e-3, batch_size=16, val_fraction=0.2,
-                  max_tiles=None, seed=0):
+                  max_tiles=None, seed=0, folds=None):
     """Train the slide-level gated-attention MIL head (mil.py /
     models/mil.py) on exported tile embeddings. Bags come from the
     nested class/slide/tile layout recorded in the embeddings npz;
     reports slide-level train/val accuracy (+ ROC-AUC when binary) and
-    writes the MIL artifact npz."""
+    writes the MIL artifact npz. --folds=K first runs slide-level
+    stratified K-fold cross-validation (every slide scored once by the
+    model that never saw it; mean +- std report, stored in the artifact)
+    before fitting the saved model on the standard split."""
     import json as _json
 
     import numpy as np
@@ -889,10 +893,25 @@ def cmd_mil_train(embeddings_path, output="mil.npz", hidden=128,
     labels = np.asarray([classes.index(c) for c in cls_names], np.int32)
     print(f"{len(ids)} slides, {int(mask.sum())} tiles, padded to "
           f"{embs.shape[1]} tiles/slide, classes={classes}", flush=True)
+    cv = None
+    if folds:
+        cv = mil_lib.crossval_mil(
+            embs, mask, labels, num_classes=len(classes), folds=folds,
+            seed=seed, verbose=True, hidden=hidden, epochs=epochs, lr=lr,
+            batch_size=batch_size)
+        msg = (f"crossval ({folds} folds): val_acc "
+               f"{cv['val_acc_mean']:.4f} +- {cv['val_acc_std']:.4f}")
+        if "val_auc_mean" in cv:
+            msg += (f", val_auc {cv['val_auc_mean']:.4f} "
+                    f"+- {cv['val_auc_std']:.4f}")
+        print(msg, flush=True)
     params, report = mil_lib.train_mil(
         embs, mask, labels, num_classes=len(classes), hidden=hidden,
         epochs=epochs, lr=lr, batch_size=batch_size,
         val_fraction=val_fraction, seed=seed, verbose=True)
+    if cv is not None:
+        report["crossval"] = {k: v for k, v in cv.items()
+                              if k != "per_fold"}
     mil_lib.save_mil(output, params, classes, hidden, report)
     print(_json.dumps(report), flush=True)
     print(f"wrote MIL artifact to {output}", flush=True)
@@ -1411,7 +1430,8 @@ def main(argv=None):
                 val_fraction=float(opts.get("val-fraction", 0.2)),
                 max_tiles=(int(opts["max-tiles"])
                            if "max-tiles" in opts else None),
-                seed=int(opts.get("seed", 0)))
+                seed=int(opts.get("seed", 0)),
+                folds=(int(opts["folds"]) if "folds" in opts else None))
         if "mil" not in opts:
             print("mil-predict requires --mil=<mil.npz> "
                   "(from `cli mil-train`)")

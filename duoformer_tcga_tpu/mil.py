@@ -103,6 +103,34 @@ def _stratified_split(labels: np.ndarray, val_fraction: float, seed: int
         np.asarray(va, np.int64))
 
 
+def kfold_indices(labels: np.ndarray, folds: int, seed: int = 0
+                  ) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Deterministic stratified K-fold over slides -> [(train_idx,
+    val_idx)] with every slide in exactly one val fold. Same scheme as
+    the tile-level `data.folder.fold_indices`: per-class seeded shuffle,
+    round-robin fold assignment — every fold's val side sees every class
+    that has >= folds slides."""
+    if folds < 2:
+        raise ValueError(f"--folds={folds}: need >= 2")
+    labels = np.asarray(labels)
+    if folds > len(labels):
+        raise ValueError(f"--folds={folds} but only {len(labels)} slides")
+    rng = np.random.default_rng(seed)
+    assign = np.empty(len(labels), np.int64)
+    for c in np.unique(labels):
+        idx = rng.permutation(np.where(labels == c)[0])
+        assign[idx] = np.arange(len(idx)) % folds
+    out = []
+    for f in range(folds):
+        va = np.where(assign == f)[0]
+        tr = np.where(assign != f)[0]
+        if not len(va) or not len(tr):
+            raise ValueError(f"fold {f}/{folds} is degenerate "
+                             f"({len(tr)} train / {len(va)} val slides)")
+        out.append((tr, va))
+    return out
+
+
 # -- training ----------------------------------------------------------------
 
 
@@ -156,10 +184,13 @@ def train_mil(embs: np.ndarray, mask: np.ndarray, labels: np.ndarray,
               num_classes: int, *, hidden: int = 128, epochs: int = 60,
               lr: float = 1e-3, weight_decay: float = 1e-4,
               batch_size: int = 16, val_fraction: float = 0.2,
-              seed: int = 0, verbose: bool = False) -> Tuple[Dict, Dict]:
+              seed: int = 0, verbose: bool = False,
+              split: Optional[Tuple[np.ndarray, np.ndarray]] = None
+              ) -> Tuple[Dict, Dict]:
     """Train gated-attention MIL on padded bags; returns (params,
-    report). Slide-level stratified train/val split; the best-val-acc
-    epoch's params are returned (ties -> earliest)."""
+    report). Slide-level stratified train/val split (or an explicit
+    (train_idx, val_idx) `split` — the cross-validation hook); the
+    best-val-acc epoch's params are returned (ties -> earliest)."""
     import optax
 
     model = GatedAttentionMIL(embed_dim=embs.shape[-1], hidden=hidden,
@@ -170,7 +201,9 @@ def train_mil(embs: np.ndarray, mask: np.ndarray, labels: np.ndarray,
     step = make_mil_train_step(model, optimizer)
     fwd = jax.jit(lambda p, e, m: model.apply(p, e, m))
 
-    tr, va = _stratified_split(labels, val_fraction, seed)
+    tr, va = (split if split is not None
+              else _stratified_split(labels, val_fraction, seed))
+    tr, va = np.asarray(tr, np.int64), np.asarray(va, np.int64)
     B = min(batch_size, len(tr))
     rng = np.random.default_rng(seed + 1)
 
@@ -216,6 +249,36 @@ def train_mil(embs: np.ndarray, mask: np.ndarray, labels: np.ndarray,
               "train_auc": train_auc, "val_auc": val_auc,
               "best_epoch": int(best["epoch"]) + 1, "epochs": epochs}
     return params, report
+
+
+def crossval_mil(embs: np.ndarray, mask: np.ndarray, labels: np.ndarray,
+                 num_classes: int, folds: int = 5, *, seed: int = 0,
+                 verbose: bool = False, **train_kw) -> Dict:
+    """Slide-level stratified K-fold cross-validation of the MIL head
+    (the paper's evaluation protocol, at the slide level): train K
+    models, each validated on its held-out fold, and report per-fold +
+    mean/std val accuracy (and ROC-AUC when binary). Every slide is
+    scored exactly once, by the one model that never trained on it."""
+    reports = []
+    for f, (tr, va) in enumerate(kfold_indices(labels, folds, seed)):
+        _, rep = train_mil(embs, mask, labels, num_classes=num_classes,
+                           seed=seed + f, split=(tr, va), **train_kw)
+        reports.append(rep)
+        if verbose:
+            print(f"[mil fold {f + 1}/{folds}] "
+                  f"val_acc={rep['val_acc']:.4f} "
+                  f"val_auc={rep['val_auc']}", flush=True)
+    accs = np.asarray([r["val_acc"] for r in reports], np.float64)
+    aucs = [r["val_auc"] for r in reports]
+    summary = {"folds": folds,
+               "val_acc_mean": float(accs.mean()),
+               "val_acc_std": float(accs.std()),
+               "per_fold": reports}
+    if all(a is not None for a in aucs):
+        av = np.asarray(aucs, np.float64)
+        summary["val_auc_mean"] = float(av.mean())
+        summary["val_auc_std"] = float(av.std())
+    return summary
 
 
 # -- artifact ----------------------------------------------------------------

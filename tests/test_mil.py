@@ -111,6 +111,43 @@ def test_mil_artifact_roundtrip(tmp_path):
     np.testing.assert_allclose(a, b, rtol=1e-6)
 
 
+def test_mil_kfold_indices_partition():
+    """Every slide lands in exactly one val fold; folds are stratified
+    (each fold's val side sees every class with >= folds slides); splits
+    are deterministic in the seed."""
+    labels = np.asarray([0] * 9 + [1] * 6, np.int32)
+    splits = mil_lib.kfold_indices(labels, 3, seed=7)
+    seen = np.concatenate([va for _, va in splits])
+    assert sorted(seen.tolist()) == list(range(len(labels)))
+    for tr, va in splits:
+        assert not set(tr) & set(va)
+        assert set(labels[va]) == {0, 1}
+        assert set(labels[tr]) == {0, 1}
+    again = mil_lib.kfold_indices(labels, 3, seed=7)
+    for (a, b), (c, d) in zip(splits, again):
+        np.testing.assert_array_equal(a, c)
+        np.testing.assert_array_equal(b, d)
+    with pytest.raises(ValueError, match="folds"):
+        mil_lib.kfold_indices(labels, 1)
+    with pytest.raises(ValueError, match="slides"):
+        mil_lib.kfold_indices(np.asarray([0, 1]), 3)
+
+
+def test_mil_crossval():
+    """K-fold CV on the separable toy solves every fold and reports
+    mean/std over folds."""
+    bags, labels, _ = _toy_bags(n_slides=30, tiles=16, dim=16, seed=6)
+    embs, mask = mil_lib.pad_bags(bags)
+    cv = mil_lib.crossval_mil(embs, mask, labels, num_classes=2, folds=3,
+                              hidden=32, epochs=50, lr=3e-3, batch_size=8)
+    assert cv["folds"] == 3 and len(cv["per_fold"]) == 3
+    # every fold validates on a disjoint slide subset of the right size
+    assert sum(r["val_slides"] for r in cv["per_fold"]) == len(bags)
+    assert cv["val_acc_mean"] >= 0.8, cv
+    assert 0.0 <= cv["val_acc_std"] <= 0.5
+    assert "val_auc_mean" in cv
+
+
 def _write_embeddings_npz(path, bags, cls_names, slide_ids):
     paths, rows = [], []
     for bag, cls, sid in zip(bags, cls_names, slide_ids):
@@ -152,8 +189,12 @@ def test_cli_mil_train_and_predict(tmp_path, capsys):
     _write_embeddings_npz(emb, bags, cls_names, sids)
     milp = str(tmp_path / "mil.npz")
     rc = cli.main(["mil-train", f"--embeddings={emb}", f"--output={milp}",
-                   "--hidden=16", "--epochs=20", "--batch-size=8"])
+                   "--hidden=16", "--epochs=20", "--batch-size=8",
+                   "--folds=2"])
     assert rc == 0 and os.path.exists(milp)
+    assert "crossval (2 folds): val_acc" in capsys.readouterr().out
+    _, _, meta = mil_lib.load_mil(milp)
+    assert meta["report"]["crossval"]["folds"] == 2
     out_csv = str(tmp_path / "slides.csv")
     attn_npz = str(tmp_path / "attn.npz")
     rc = cli.main(["mil-predict", f"--embeddings={emb}", f"--mil={milp}",

@@ -1420,6 +1420,10 @@ def main(argv=None):
                   f"(from `cli predict --embeddings=`)")
             return 1
         if cmd == "mil-train":
+            if "folds" in opts and int(opts["folds"]) < 2:
+                print(f"--folds={opts['folds']}: cross-validation "
+                      f"needs at least 2 folds (omit --folds to skip CV)")
+                return 1
             return cmd_mil_train(
                 opts["embeddings"],
                 output=opts.get("output", "mil.npz"),

@@ -117,9 +117,11 @@ def kfold_indices(labels: np.ndarray, folds: int, seed: int = 0
         raise ValueError(f"--folds={folds} but only {len(labels)} slides")
     rng = np.random.default_rng(seed)
     assign = np.empty(len(labels), np.int64)
-    for c in np.unique(labels):
+    offset = 0            # rotate the round-robin start per class so
+    for c in np.unique(labels):   # remainder slides spread across folds
         idx = rng.permutation(np.where(labels == c)[0])
-        assign[idx] = np.arange(len(idx)) % folds
+        assign[idx] = (np.arange(len(idx)) + offset) % folds
+        offset += len(idx)
     out = []
     for f in range(folds):
         va = np.where(assign == f)[0]
@@ -185,12 +187,15 @@ def train_mil(embs: np.ndarray, mask: np.ndarray, labels: np.ndarray,
               lr: float = 1e-3, weight_decay: float = 1e-4,
               batch_size: int = 16, val_fraction: float = 0.2,
               seed: int = 0, verbose: bool = False,
-              split: Optional[Tuple[np.ndarray, np.ndarray]] = None
-              ) -> Tuple[Dict, Dict]:
+              split: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+              select: str = "best") -> Tuple[Dict, Dict]:
     """Train gated-attention MIL on padded bags; returns (params,
     report). Slide-level stratified train/val split (or an explicit
-    (train_idx, val_idx) `split` — the cross-validation hook); the
-    best-val-acc epoch's params are returned (ties -> earliest)."""
+    (train_idx, val_idx) `split` — the cross-validation hook).
+    `select="best"` returns the best-val-acc epoch's params (ties ->
+    earliest) — early stopping ON the val fold, so the reported val
+    metrics are optimistically biased; `select="final"` returns the
+    last epoch's params, the unbiased choice for cross-validation."""
     import optax
 
     model = GatedAttentionMIL(embed_dim=embs.shape[-1], hidden=hidden,
@@ -230,7 +235,8 @@ def train_mil(embs: np.ndarray, mask: np.ndarray, labels: np.ndarray,
             state, m = step(state, embs[sel], mask[sel],
                             labels[sel].astype(np.int32), w)
         val_acc, val_auc = eval_split(state["params"], va)
-        if val_acc is not None and val_acc > best["val_acc"]:
+        if select == "best" and val_acc is not None \
+                and val_acc > best["val_acc"]:
             best = {"val_acc": val_acc,
                     "params": jax.tree.map(np.asarray, state["params"]),
                     "epoch": epoch}
@@ -262,7 +268,8 @@ def crossval_mil(embs: np.ndarray, mask: np.ndarray, labels: np.ndarray,
     reports = []
     for f, (tr, va) in enumerate(kfold_indices(labels, folds, seed)):
         _, rep = train_mil(embs, mask, labels, num_classes=num_classes,
-                           seed=seed + f, split=(tr, va), **train_kw)
+                           seed=seed + f, split=(tr, va),
+                           select="final", **train_kw)
         reports.append(rep)
         if verbose:
             print(f"[mil fold {f + 1}/{folds}] "
@@ -270,14 +277,16 @@ def crossval_mil(embs: np.ndarray, mask: np.ndarray, labels: np.ndarray,
                   f"val_auc={rep['val_auc']}", flush=True)
     accs = np.asarray([r["val_acc"] for r in reports], np.float64)
     aucs = [r["val_auc"] for r in reports]
+    # sample std (ddof=1): the conventional spread for K-fold reports;
+    # kfold_indices enforces folds >= 2 so ddof=1 is always defined
     summary = {"folds": folds,
                "val_acc_mean": float(accs.mean()),
-               "val_acc_std": float(accs.std()),
+               "val_acc_std": float(accs.std(ddof=1)),
                "per_fold": reports}
     if all(a is not None for a in aucs):
         av = np.asarray(aucs, np.float64)
         summary["val_auc_mean"] = float(av.mean())
-        summary["val_auc_std"] = float(av.std())
+        summary["val_auc_std"] = float(av.std(ddof=1))
     return summary
 
 

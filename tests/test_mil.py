@@ -133,6 +133,29 @@ def test_mil_kfold_indices_partition():
         mil_lib.kfold_indices(np.asarray([0, 1]), 3)
 
 
+def test_mil_kfold_remainders_spread():
+    """Per-class round-robin starts rotate, so (a) remainder slides do
+    not pile onto fold 0 and (b) several small classes (each < folds
+    slides) still yield a full valid partition instead of an empty
+    last fold."""
+    # four classes of 4 slides, 3 folds: naive (offset-0) assignment
+    # gives val sizes [8, 4, 4]; rotated gives a 6/5/5 spread
+    labels = np.asarray([0] * 4 + [1] * 4 + [2] * 4 + [3] * 4, np.int32)
+    sizes = sorted(len(va) for _, va in
+                   mil_lib.kfold_indices(labels, 3, seed=0))
+    assert sizes == [5, 5, 6]
+    # three singleton classes + one big class, 3 folds: offset-0 would
+    # put all singletons in fold 0 and leave fold 2 val-degenerate for
+    # them; rotation spreads one singleton per fold
+    labels = np.asarray([0, 1, 2] + [3] * 9, np.int32)
+    splits = mil_lib.kfold_indices(labels, 3, seed=1)
+    singleton_folds = []
+    for f, (_, va) in enumerate(splits):
+        assert 3 <= len(va) <= 5
+        singleton_folds += [f for s in (0, 1, 2) if s in labels[va]]
+    assert sorted(singleton_folds) == [0, 1, 2]
+
+
 def test_mil_crossval():
     """K-fold CV on the separable toy solves every fold and reports
     mean/std over folds."""

@@ -1354,15 +1354,18 @@ def cmd_fetch_weights(rest):
 
 
 def cmd_verify_checkpoint(rest):
-    """`cli verify-checkpoint --artifact=NAME | --file=PATH
+    """`cli verify-checkpoint --artifact=NAME | --all | --file=PATH
     [--family=release|legacy] [--cache_dir=DIR]`: convert a real torch
     checkpoint and print a logit-parity report vs the live torch oracle
     (bar: max|diff| <= 1e-4). With --artifact and the file absent, prints
-    the fetch plan and exits 0 (offline-clean)."""
+    the fetch plan and exits 0 (offline-clean). --all walks the whole
+    registry (absent files are skipped with their fetch plan printed;
+    exit 2 only if a present artifact fails parity)."""
     from .utils import artifacts
 
     name = path = cache = None
     family = None
+    run_all = False
     for a in rest:
         k = a.lstrip("-")
         if k.startswith("artifact="):
@@ -1373,6 +1376,11 @@ def cmd_verify_checkpoint(rest):
             family = k.split("=", 1)[1]
         elif k.startswith("cache_dir="):
             cache = k.split("=", 1)[1]
+        elif k == "all":
+            run_all = True
+    if run_all:
+        summary = artifacts.verify_all(cache_dir=cache)
+        return 2 if summary["failed"] else 0
     if name:
         rep = artifacts.verify(name, cache_dir=cache, path=path)
         return 0 if (rep is None or rep.get("pass")) else 2
@@ -1382,8 +1390,8 @@ def cmd_verify_checkpoint(rest):
             path, legacy=None if family is None else family == "legacy")
         print(_json.dumps(rep), flush=True)
         return 0 if rep["pass"] else 2
-    print("verify-checkpoint requires --artifact=NAME or --file=PATH "
-          f"(artifacts: {', '.join(artifacts.ARTIFACTS)})")
+    print("verify-checkpoint requires --artifact=NAME, --all, or "
+          f"--file=PATH (artifacts: {', '.join(artifacts.ARTIFACTS)})")
     return 1
 
 

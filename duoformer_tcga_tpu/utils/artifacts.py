@@ -413,6 +413,26 @@ def verify(name: str, cache_dir: Optional[str] = None,
     return rep
 
 
+def verify_all(cache_dir: Optional[str] = None) -> Dict:
+    """Verify every artifact in the registry in one pass (the
+    connected-environment runbook: `cli fetch-weights --all` then
+    `cli verify-checkpoint --all`). Absent files print their fetch plan
+    and count as skipped — offline runs stay clean. Returns
+    {"verified": n, "failed": [names], "skipped": [names]}."""
+    failed, skipped, verified = [], [], 0
+    for name in ARTIFACTS:
+        rep = verify(name, cache_dir=cache_dir)
+        if rep is None:
+            skipped.append(name)
+        elif rep.get("pass"):
+            verified += 1
+        else:
+            failed.append(name)
+    summary = {"verified": verified, "failed": failed, "skipped": skipped}
+    print("[verify-all] " + json.dumps(summary), flush=True)
+    return summary
+
+
 def _verify_timm_hybrid(path: str, model_name: str,
                         tol: float = 1e-4) -> Dict:
     """Convert a timm hybrid state_dict and compare logits against the

@@ -146,6 +146,28 @@ def test_cli_verify_artifact_absent_prints_plan(tmp_path, capsys):
     assert "bt_rn50_ep200.torch" in out and "fetch first" in out
 
 
+def test_cli_verify_all(tmp_path, capsys):
+    """--all walks the registry: present artifacts verify, absent ones
+    print their fetch plan and count as skipped; exit stays 0 offline."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from torch_oracle import OracleDuoFormer
+
+    from duoformer_tcga_tpu import cli
+
+    torch.manual_seed(4)
+    om = OracleDuoFormer(depth=1, embed_dim=96, num_classes=2, proj_dim=96)
+    om.eval()
+    _save_q14_checkpoint(
+        artifacts.artifact_path("checkpoint1", cache_dir=str(tmp_path)), om)
+    rc = cli.main(["verify-checkpoint", "--all", f"--cache_dir={tmp_path}"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    summary = json.loads(out.strip().splitlines()[-1].split("[verify-all] ")[1])
+    assert summary["verified"] == 1 and not summary["failed"]
+    assert set(summary["skipped"]) == set(artifacts.ARTIFACTS) - {"checkpoint1"}
+
+
 def test_verify_resnet_trunk_roundtrip(tmp_path):
     import sys
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

@@ -699,10 +699,20 @@ def _ln_bwd_f32(dln, lns, xhat, inv):
             jnp.sum(dln, axis=0, keepdims=True))
 
 
+def _dw_in_kernel() -> bool:
+    """In-kernel accumulation of the attention weight-grad GEMMs (dwqkv =
+    ln^T dqkv and A = attn^T g) in revisited f32 VMEM blocks, instead of
+    emitting the ln/attn/dqkv row-space tensors to HBM for XLA-side
+    GEMMs. Saves ~770MB/block of HBM traffic (VERDICT r3 weak #2 lever)
+    at the price of ~9.4MB of VMEM accumulators (narrower row tiles).
+    Env DUOFORMER_BWD_DW=0/1."""
+    return os.environ.get("DUOFORMER_BWD_DW", "0") == "1"
+
+
 def _fused_block_bwd_kernel(*refs, num_heads, seg_len, groups,
                             scale, ln_eps, use_ln, use_residual,
                             attn_drop=0.0, proj_drop=0.0, has_gamma=False,
-                            has_seed=False):
+                            has_seed=False, dw=False):
     """dx + row-space grad intermediates for the attention-residual branch.
 
     Recomputes LN/qkv/softmax in VMEM (in-kernel recompute — forward saves
@@ -719,16 +729,32 @@ def _fused_block_bwd_kernel(*refs, num_heads, seg_len, groups,
     fwd/bwd row caps don't matter); gm_ref (present iff proj_drop>0)
     emits the proj-dropout-masked upstream gradient the XLA-side dwproj
     GEMM contracts against; dbp accumulates colsum(gm) and the caller
-    applies gamma/bias identities outside (see _far_reg_bwd)."""
+    applies gamma/bias identities outside (see _far_reg_bwd).
+
+    dw=True (the in-kernel-dW mode): the ln/attn/dqkv/gm row-space
+    outputs are replaced by two REVISITED f32 accumulator blocks —
+    dwqkv [C, 3Co] += ln^T dqkv and dwA [Co, C] += attn^T (gm|g) — so
+    the weight-grad GEMMs happen here, on operands already resident in
+    VMEM, and nothing row-space ever round-trips HBM. The caller derives
+    dwproj (and the reg gamma identities) from dwA."""
     it = iter(refs)
     (x_ref, g_ref, lns_ref, lnb_ref, bqkv_ref, wprojT_ref,
      wqkvT_ref) = (next(it) for _ in range(7))
     gamma_ref = next(it) if has_gamma else None
     seed_ref = next(it) if has_seed else None
-    (dx_ref, ln_ref, attn_ref, dqkv_ref, dlns_ref, dlnb_ref, dbq_ref,
-     dbp_ref) = (next(it) for _ in range(8))
-    gm_ref = next(it) if proj_drop > 0.0 else None
+    dx_ref = next(it)
+    ln_ref = None if dw else next(it)
+    attn_out = None if dw else next(it)
+    dqkv_out = None if dw else next(it)
+    dlns_ref, dlnb_ref, dbq_ref, dbp_ref = (next(it) for _ in range(4))
+    dwqkv_ref = next(it) if dw else None
+    dwA_ref = next(it) if dw else None
+    gm_ref = next(it) if (proj_drop > 0.0 and not dw) else None
     qkv_scratch = next(it)
+    # with dw, dqkv/attn assemble in single-buffered scratch (the output
+    # blocks would be double-buffered; scratch halves that footprint)
+    dqkv_ref = next(it) if dw else dqkv_out
+    attn_ref = next(it) if dw else attn_out
 
     R = x_ref.shape[1]
     C = x_ref.shape[2]
@@ -747,6 +773,9 @@ def _fused_block_bwd_kernel(*refs, num_heads, seg_len, groups,
         dlnb_ref[:] = jnp.zeros_like(dlnb_ref)
         dbq_ref[:] = jnp.zeros_like(dbq_ref)
         dbp_ref[:] = jnp.zeros_like(dbp_ref)
+        if dw:
+            dwqkv_ref[:] = jnp.zeros_like(dwqkv_ref)
+            dwA_ref[:] = jnp.zeros_like(dwA_ref)
 
     x = x_ref[0]
     g = g_ref[0]
@@ -756,7 +785,8 @@ def _fused_block_bwd_kernel(*refs, num_heads, seg_len, groups,
         ln = lnf.astype(x.dtype)
     else:
         ln = x
-    ln_ref[0] = ln
+    if not dw:
+        ln_ref[0] = ln
 
     # qkv recompute via the TRANSPOSED weight: contracting ln dim-1 with
     # wqkvT dim-1 == ln @ wqkv, so no second weight buffer is resident
@@ -773,7 +803,8 @@ def _fused_block_bwd_kernel(*refs, num_heads, seg_len, groups,
         km = _keep_mask_tile((R, C), seed, _SITE_PROJ, proj_drop,
                              row_off=pid * R)
         gm = _drop(g.astype(jnp.float32), km, proj_drop)
-        gm_ref[0] = gm.astype(x.dtype)
+        if gm_ref is not None:
+            gm_ref[0] = gm.astype(x.dtype)
         geff = gm.astype(x.dtype)
     if has_gamma:
         geff = (geff.astype(jnp.float32)
@@ -840,6 +871,17 @@ def _fused_block_bwd_kernel(*refs, num_heads, seg_len, groups,
                 dv.astype(x.dtype)
 
     dqkv = dqkv_ref[0]
+    if dw:
+        # weight-grad accumulation on VMEM-resident operands: dwqkv +=
+        # ln^T dqkv; dwA += attn^T (gm|g) — bf16 operands, f32
+        # accumulators, same contraction the XLA path runs over HBM
+        dwqkv_ref[:] = dwqkv_ref[:] + jax.lax.dot_general(
+            ln, dqkv, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        gacc = (gm.astype(x.dtype) if proj_drop > 0.0 else g)
+        dwA_ref[:] = dwA_ref[:] + jax.lax.dot_general(
+            attn_ref[0], gacc, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
     # bias grads accumulated in-kernel: saves the XLA-side full re-read of
     # dqkv (~347MB/block) and g for the column sums
     dbq_ref[0:1] = dbq_ref[0:1] + jnp.sum(
@@ -869,22 +911,31 @@ def _fused_block_bwd_impl(x, g, ln_scale, ln_bias, wqkv, bqkv, wproj,
                           num_heads, seg_len, scale, ln_eps,
                           use_ln, use_residual,
                           gamma=None, seed=None, attn_drop=0.0,
-                          proj_drop=0.0):
+                          proj_drop=0.0, dw=False):
     """Returns (dx, ln, attn, dqkv, dlns, dlnb, dbq, dbp[, gm]) with the
     row-space tensors flattened to [n_rows_padded, *]; padded rows carry
     zero gradients (g is zero-padded), so downstream weight-grad GEMMs
     need no masking. gm (proj-dropout-masked g) is appended iff
-    proj_drop > 0."""
+    proj_drop > 0.
+
+    dw=True returns (dx, dlns, dlnb, dbq, dbp, dwqkv, dwA) instead: the
+    weight-grad GEMMs are accumulated in-kernel and NO row-space tensor
+    is written to HBM (see _fused_block_bwd_kernel)."""
     n_seg, S, C = x.shape
     Co = wqkv.shape[-1] // 3
     # rows cap: wider tiles raise MXU fill of the per-head core matmuls
     # ([rows,64]x[64,rows]) and cut grid steps. 192 fits scoped VMEM once
     # wqkv stopped being resident (qkv recomputes via wqkvT) and is
     # measured faster than 128 (456 vs 469 ms full train step at B=256);
-    # 384 still exceeds the 16MB limit.
+    # 384 still exceeds the 16MB limit. The dw mode's ~9.4MB of f32
+    # accumulators force a narrower default (its row tensors stop being
+    # outputs, which buys back ~3MB of double-buffering).
+    default_cap = "192"
+    if dw:
+        default_cap = os.environ.get("DUOFORMER_BWD_DW_ROWS", "96")
     G = _segments_per_tile(
         seg_len, n_seg,
-        rows_cap=int(os.environ.get("DUOFORMER_BWD_ROWS_CAP", "192")))
+        rows_cap=int(os.environ.get("DUOFORMER_BWD_ROWS_CAP", default_cap)))
     arows = G * S
     # single sub-tile: the backward kernel holds ~4x the forward's buffers
     # per step (x+g in, dx+ln+attn+dqkv out, one 3C scratch, wqkvT);
@@ -908,7 +959,8 @@ def _fused_block_bwd_impl(x, g, ln_scale, ln_bias, wqkv, bqkv, wproj,
         _fused_block_bwd_kernel, num_heads=num_heads, seg_len=seg_len,
         groups=G, scale=scale, ln_eps=ln_eps, use_ln=use_ln,
         use_residual=use_residual, attn_drop=attn_drop,
-        proj_drop=proj_drop, has_gamma=has_gamma, has_seed=has_seed)
+        proj_drop=proj_drop, has_gamma=has_gamma, has_seed=has_seed,
+        dw=dw)
     wspec = [
         pl.BlockSpec((1, R, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, R, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -928,44 +980,47 @@ def _fused_block_bwd_impl(x, g, ln_scale, ln_bias, wqkv, bqkv, wproj,
         wspec.append(pl.BlockSpec((1, 1), lambda i: (0, 0),
                                   memory_space=pltpu.SMEM))
         operands.append(seed.reshape(1, 1))
-    out_specs = [
-        pl.BlockSpec((1, R, C), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, R, C), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, R, Co), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, R, 3 * Co), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((8, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((8, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((8, 3 * Co), lambda i: (0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((8, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
-    ]
-    out_shape = [
-        jax.ShapeDtypeStruct((n_steps, R, C), x.dtype),
-        jax.ShapeDtypeStruct((n_steps, R, C), x.dtype),
-        jax.ShapeDtypeStruct((n_steps, R, Co), x.dtype),
-        jax.ShapeDtypeStruct((n_steps, R, 3 * Co), x.dtype),
-        jax.ShapeDtypeStruct((8, C), jnp.float32),
-        jax.ShapeDtypeStruct((8, C), jnp.float32),
-        jax.ShapeDtypeStruct((8, 3 * Co), jnp.float32),
-        jax.ShapeDtypeStruct((8, C), jnp.float32),
-    ]
-    if proj_drop > 0.0:
-        out_specs.append(pl.BlockSpec((1, R, C), lambda i: (i, 0, 0),
+    row_spec = lambda last: pl.BlockSpec(               # noqa: E731
+        (1, R, last), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out_specs = [row_spec(C)]
+    out_shape = [jax.ShapeDtypeStruct((n_steps, R, C), x.dtype)]
+    if not dw:
+        out_specs += [row_spec(C), row_spec(Co), row_spec(3 * Co)]
+        out_shape += [jax.ShapeDtypeStruct((n_steps, R, C), x.dtype),
+                      jax.ShapeDtypeStruct((n_steps, R, Co), x.dtype),
+                      jax.ShapeDtypeStruct((n_steps, R, 3 * Co), x.dtype)]
+    for last in (C, C, 3 * Co, C):
+        out_specs.append(pl.BlockSpec((8, last), lambda i: (0, 0),
                                       memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((8, last), jnp.float32))
+    if dw:
+        out_specs += [pl.BlockSpec((C, 3 * Co), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((Co, C), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)]
+        out_shape += [jax.ShapeDtypeStruct((C, 3 * Co), jnp.float32),
+                      jax.ShapeDtypeStruct((Co, C), jnp.float32)]
+    if proj_drop > 0.0 and not dw:
+        out_specs.append(row_spec(C))
         out_shape.append(jax.ShapeDtypeStruct((n_steps, R, C), x.dtype))
+    scratch = [pltpu.VMEM((R, 3 * Co), x.dtype)]
+    if dw:
+        scratch += [pltpu.VMEM((1, R, 3 * Co), x.dtype),
+                    pltpu.VMEM((1, R, Co), x.dtype)]
     res = pl.pallas_call(
         kern,
         grid=(n_steps,),
         in_specs=wspec,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((R, 3 * Co), x.dtype)],
+        scratch_shapes=scratch,
         interpret=_interpret(),
     )(*operands)
+    if dw:
+        dx, dlns, dlnb, dbq, dbp, dwqkv, dwA = res
+        return (dx.reshape(-1, S, C)[:n_seg] if n_pad
+                else dx.reshape(-1, S, C),
+                dlns[0], dlnb[0], dbq[0], dbp[0], dwqkv, dwA)
     dx, ln, attn, dqkv, dlns, dlnb, dbq, dbp = res[:8]
     n_rows = n_steps * R
     out = (dx.reshape(-1, S, C)[:n_seg] if n_pad else dx.reshape(-1, S, C),
@@ -1009,6 +1064,15 @@ def _far_bwd(num_heads, seg_len, scale, ln_eps, use_ln, use_residual, res, g):
                                         use_ln, use_residual),
             *res)
         return vjp(g)
+    if _dw_in_kernel():
+        dx, dlns, dlnb, dbqkv, dbproj, dwqkv, dwA = _fused_block_bwd_impl(
+            x, g, ln_scale, ln_bias, wqkv, bqkv, wproj,
+            num_heads, seg_len, scale, ln_eps, use_ln, use_residual,
+            dw=True)
+        return (dx,
+                dlns.astype(ln_scale.dtype), dlnb.astype(ln_bias.dtype),
+                dwqkv.astype(wqkv.dtype), dbqkv.astype(bqkv.dtype),
+                dwA.astype(wproj.dtype), dbproj.astype(bproj.dtype))
     dx, ln, attn, dqkv, dlns, dlnb, dbqkv, dbproj = _fused_block_bwd_impl(
         x, g, ln_scale, ln_bias, wqkv, bqkv, wproj,
         num_heads, seg_len, scale, ln_eps, use_ln, use_residual)
@@ -1156,27 +1220,35 @@ def _far_reg_bwd(num_heads, seg_len, scale, ln_eps, use_ln, use_residual,
                                             proj_drop),
             x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, gamma)
         return (*vjp(g), dseed)
-    outs = _fused_block_bwd_impl(
-        x, g, ln_scale, ln_bias, wqkv, bqkv, wproj,
-        num_heads, seg_len, scale, ln_eps, use_ln, use_residual,
-        gamma=gamma, seed=seed, attn_drop=attn_drop, proj_drop=proj_drop)
-    dx, ln, attn, dqkv, dlns, dlnb, dbqkv, dbp = outs[:8]
-    n_seg, S, C = x.shape
-    if proj_drop > 0.0:
-        gm2d = outs[8]        # proj-masked g, kernel row space
+    if _dw_in_kernel():
+        dx, dlns, dlnb, dbqkv, dbp, dwqkv, A = _fused_block_bwd_impl(
+            x, g, ln_scale, ln_bias, wqkv, bqkv, wproj,
+            num_heads, seg_len, scale, ln_eps, use_ln, use_residual,
+            gamma=gamma, seed=seed, attn_drop=attn_drop,
+            proj_drop=proj_drop, dw=True)
     else:
-        gm2d = g.reshape(n_seg * S, C)
-        if ln.shape[0] != gm2d.shape[0]:
-            gm2d = jnp.concatenate(
-                [gm2d, jnp.zeros((ln.shape[0] - gm2d.shape[0], C),
-                                 g.dtype)], axis=0)
-    dwqkv = jax.lax.dot_general(ln, dqkv, (((0,), (0,)), ((), ())),
+        outs = _fused_block_bwd_impl(
+            x, g, ln_scale, ln_bias, wqkv, bqkv, wproj,
+            num_heads, seg_len, scale, ln_eps, use_ln, use_residual,
+            gamma=gamma, seed=seed, attn_drop=attn_drop,
+            proj_drop=proj_drop)
+        dx, ln, attn, dqkv, dlns, dlnb, dbqkv, dbp = outs[:8]
+        n_seg, S, C = x.shape
+        if proj_drop > 0.0:
+            gm2d = outs[8]        # proj-masked g, kernel row space
+        else:
+            gm2d = g.reshape(n_seg * S, C)
+            if ln.shape[0] != gm2d.shape[0]:
+                gm2d = jnp.concatenate(
+                    [gm2d, jnp.zeros((ln.shape[0] - gm2d.shape[0], C),
+                                     g.dtype)], axis=0)
+        dwqkv = jax.lax.dot_general(ln, dqkv, (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        # A = attn^T gm: one GEMM yields dwproj (column-scaled by gamma)
+        # AND dgamma via the identity dgamma = sum_k A*wproj +
+        # bproj*colsum(gm) — the branch output is never rematerialized
+        A = jax.lax.dot_general(attn, gm2d, (((0,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-    # A = attn^T gm: one GEMM yields dwproj (column-scaled by gamma) AND
-    # dgamma via the identity dgamma = sum_k A*wproj + bproj*colsum(gm) —
-    # the branch output is never rematerialized
-    A = jax.lax.dot_general(attn, gm2d, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
     gf = gamma.astype(jnp.float32)
     dwproj = A * gf[None, :]
     dgamma = (jnp.sum(A * wproj.astype(jnp.float32), axis=0)

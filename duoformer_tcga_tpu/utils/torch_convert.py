@@ -123,6 +123,48 @@ def convert_resnet(sd: Dict, depth: int = 50, prefix: str = "") -> Dict:
     return p
 
 
+def resnet_to_torch_state_dict(params: Dict, depth: int = 50) -> Dict:
+    """ResNetBackbone param tree -> torchvision-named torch state_dict
+    (the exact inverse of convert_resnet). Lets a trunk trained in this
+    framework be exported for torch interop — and round-tripped through
+    the `--train.init_backbone=` converter path (warm-start workflows,
+    e.g. the end-to-end convergence proof in tests/test_convergence.py).
+    Values are torch tensors; save with torch.save(sd, path)."""
+    import torch
+
+    def t(x):
+        return torch.from_numpy(np.array(x)).contiguous()
+
+    def put_conv(out, name, p):
+        out[f"{name}.weight"] = t(p["w"]).permute(3, 2, 0, 1).contiguous()
+        if "b" in p:
+            out[f"{name}.bias"] = t(p["b"])
+
+    def put_bn(out, name, p):
+        out[f"{name}.weight"] = t(p["scale"])
+        out[f"{name}.bias"] = t(p["bias"])
+        out[f"{name}.running_mean"] = t(p["mean"])
+        out[f"{name}.running_var"] = t(p["var"])
+        out[f"{name}.num_batches_tracked"] = torch.zeros((), torch.int64)
+
+    stage_blocks = {50: [3, 4, 6, 3], 18: [2, 2, 2, 2]}[depth]
+    n_convs = {50: 3, 18: 2}[depth]
+    sd: Dict = {}
+    put_conv(sd, "conv1", params["conv1"])
+    put_bn(sd, "bn1", params["bn1"])
+    for si, nblocks in enumerate(stage_blocks):
+        for bi in range(nblocks):
+            blk = params[f"layer{si + 1}"][bi]
+            pre = f"layer{si + 1}.{bi}"
+            for ci in range(1, n_convs + 1):
+                put_conv(sd, f"{pre}.conv{ci}", blk[f"conv{ci}"])
+                put_bn(sd, f"{pre}.bn{ci}", blk[f"bn{ci}"])
+            if "downsample" in blk:
+                put_conv(sd, f"{pre}.downsample.0", blk["downsample"]["conv"])
+                put_bn(sd, f"{pre}.downsample.1", blk["downsample"]["bn"])
+    return sd
+
+
 # ---------------------------------------------------------------------------
 # Transformer stacks
 # ---------------------------------------------------------------------------

@@ -197,3 +197,70 @@ def test_scale_block_train_grads_through_megakernels(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4,
             err_msg=f"{jax.tree_util.keystr(path)}")
+
+
+@pytest.mark.parametrize("n_seg,S", [(98, 6), (20, 50)])
+def test_attention_backward_dw_in_kernel_parity(n_seg, S, monkeypatch):
+    """DUOFORMER_BWD_DW=1 (weight grads accumulated in revisited VMEM
+    blocks, no row-space HBM round-trip) must match both the XLA-dW
+    kernel path and the pure-XLA vjp on every cotangent."""
+    C, H = 128, 8
+    args, g = _attn_args(jax.random.PRNGKey(3), n_seg, S, C, jnp.float32)
+    scale = (C // H) ** -0.5
+
+    def kernel_fn(*a):
+        return pa.fused_attention_residual(*a, H, S, scale, 1e-6,
+                                           True, True)
+
+    monkeypatch.setenv("DUOFORMER_PALLAS_BWD", "1")
+    monkeypatch.setenv("DUOFORMER_BWD_DW", "1")
+    out_dw, grads_dw = _grads(kernel_fn, args, g)
+    monkeypatch.setenv("DUOFORMER_BWD_DW", "0")
+    out_k, grads_k = _grads(kernel_fn, args, g)
+    out_x, grads_x = _grads(
+        lambda *a: pa._fused_block_xla(*a, H, S, scale, 1e-6, True, True),
+        args, g)
+    np.testing.assert_allclose(np.asarray(out_dw), np.asarray(out_k),
+                               atol=1e-5, rtol=1e-5)
+    names = ["dx", "dln_scale", "dln_bias", "dwqkv", "dbqkv", "dwproj",
+             "dbproj"]
+    for name, gdw, gk, gx in zip(names, grads_dw, grads_k, grads_x):
+        np.testing.assert_allclose(
+            np.asarray(gdw), np.asarray(gk), atol=2e-4, rtol=2e-4,
+            err_msg=f"{name} dw-vs-kernel mismatch")
+        np.testing.assert_allclose(
+            np.asarray(gdw), np.asarray(gx), atol=2e-4, rtol=2e-4,
+            err_msg=f"{name} dw-vs-xla mismatch")
+
+
+def test_attention_backward_dw_in_kernel_reg_parity(monkeypatch):
+    """The reg megakernel (dropout + LayerScale) under DUOFORMER_BWD_DW=1:
+    the in-kernel A = attn^T gm accumulator must reproduce the XLA-side
+    gamma identities (dwproj, dgamma, dbproj) exactly."""
+    x, lns, lnb, wqkv, bqkv, wproj, bproj, gamma = (
+        jax.random.normal(k, s, jnp.float32) * m for k, s, m in zip(
+            jax.random.split(jax.random.PRNGKey(4), 8),
+            [(52, 6, 128), (128,), (128,), (128, 384), (384,),
+             (128, 128), (128,), (128,)],
+            [1.0, 0.1, 0.1, 0.05, 0.1, 0.05, 0.1, 0.5]))
+    lns, gamma = lns + 1.0, gamma + 0.5
+    args = (x, lns, lnb, wqkv, bqkv, wproj, bproj, gamma)
+    seed = jnp.int32(777)
+    nh, S = 8, 6
+    scale = (128 // nh) ** -0.5
+
+    def loss(*a):
+        y = pa.fused_attention_residual_reg(*a, seed, nh, S, scale, 1e-6,
+                                            True, True, 0.1, 0.15)
+        return jnp.sum(y * jnp.sin(0.01 * jnp.arange(
+            y.size, dtype=jnp.float32).reshape(y.shape)))
+
+    monkeypatch.setenv("DUOFORMER_PALLAS_BWD", "1")
+    monkeypatch.setenv("DUOFORMER_BWD_DW", "1")
+    g_dw = jax.grad(loss, argnums=tuple(range(8)))(*args)
+    monkeypatch.setenv("DUOFORMER_BWD_DW", "0")
+    g_ref = jax.grad(loss, argnums=tuple(range(8)))(*args)
+    names = ["x", "lns", "lnb", "wqkv", "bqkv", "wproj", "bproj", "gamma"]
+    for n, a, b in zip(names, g_dw, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4, err_msg=n)

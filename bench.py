@@ -174,22 +174,19 @@ def measure_jax(batch=256, iters=20, dtype="bfloat16"):
     return batch / dt   # tiles/sec on this chip
 
 
-def measure_train(batch=256, iters=6, dtype="bfloat16",
-                  augment="none", jitter=0.0):
-    """Full train-step throughput (frozen backbone, Adam+OneCycle), same
-    chained-jit methodology. Opt-in via --mode=train / DUOFORMER_BENCH=train
-    — the driver contract (default invocation) stays the forward metric."""
+def _train_throughput(model, batch, iters, dtype="bfloat16",
+                      augment="none", jitter=0.0):
+    """Chained-jit train-step throughput for one built model: `iters`
+    production steps (frozen backbone, Adam+OneCycle, speed-accum memory
+    plan) inside ONE jit, fetching the accumulated LOSS (anything less
+    lets XLA DCE the model out of the loop)."""
     import numpy as np
 
     import jax
     import jax.numpy as jnp
 
-    import duoformer_tcga_tpu as dft
     from duoformer_tcga_tpu import train as train_lib
 
-    model = dft.build_model_no_extra_params(
-        num_classes=2, num_layers=2, embed_dim=768, proj_dim=768,
-        num_heads=12, depth=12, dtype=getattr(jnp, dtype))
     sched = train_lib.onecycle_schedule(1e-4, total_steps=1000)
     opt = train_lib.make_optimizer(
         sched, weight_decay=1e-4,
@@ -213,8 +210,6 @@ def measure_train(batch=256, iters=6, dtype="bfloat16",
             bi = {"image": b["image"] + (i.astype(b["image"].dtype) * 0),
                   "label": b["label"]}
             st, m = step(st, bi, rng)
-            # fetch the accumulated LOSS: anything less lets XLA DCE the
-            # whole model out of the loop (docs/performance.md)
             return st, acc + m["loss"].astype(jnp.float32)
         _, acc = jax.lax.fori_loop(0, n, body, (state, jnp.float32(0.0)))
         return acc
@@ -232,6 +227,68 @@ def measure_train(batch=256, iters=6, dtype="bfloat16",
     return batch / dt
 
 
+def measure_train(batch=256, iters=6, dtype="bfloat16",
+                  augment="none", jitter=0.0):
+    """Full train-step throughput (frozen backbone, Adam+OneCycle), same
+    chained-jit methodology. Opt-in via --mode=train / DUOFORMER_BENCH=train
+    — the driver contract (default invocation) stays the forward metric."""
+    import jax.numpy as jnp
+
+    import duoformer_tcga_tpu as dft
+
+    model = dft.build_model_no_extra_params(
+        num_classes=2, num_layers=2, embed_dim=768, proj_dim=768,
+        num_heads=12, depth=12, dtype=getattr(jnp, dtype))
+    return _train_throughput(model, batch, iters, dtype=dtype,
+                             augment=augment, jitter=jitter)
+
+
+def matrix_configs():
+    """The variant matrix measured A/B in ONE process (VERDICT r3 weak #3:
+    ad-hoc cross-process probe numbers carry ±15% spread, so per-variant
+    regressions were invisible). Mirrors docs/performance.md's policy
+    table: flagship anchor, release+drop (reg megakernels), 3-scale,
+    legacy-channel at its reference hyperparams."""
+    import jax.numpy as jnp
+
+    import duoformer_tcga_tpu as dft
+
+    return [
+        ("flagship-2scale", 256, lambda: dft.build_model_no_extra_params(
+            num_classes=2, num_layers=2, embed_dim=768, proj_dim=768,
+            num_heads=12, depth=12, dtype=jnp.bfloat16)),
+        ("release-drop0.1", 256, lambda: dft.build_model_no_extra_params(
+            num_classes=2, num_layers=2, embed_dim=768, proj_dim=768,
+            num_heads=12, depth=12, attn_drop_rate=0.1, proj_drop_rate=0.1,
+            dtype=jnp.bfloat16)),
+        ("release-3scale", 128, lambda: dft.build_model_no_extra_params(
+            num_classes=2, num_layers=3, embed_dim=768, proj_dim=768,
+            num_heads=12, depth=12, dtype=jnp.bfloat16)),
+        ("legacy-channel", 128, lambda: dft.build_model(
+            num_classes=2, num_layers=2, embed_dim=768, proj_dim=768,
+            pretrained=False, dtype=jnp.bfloat16)),
+    ]
+
+
+def measure_matrix(iters=4):
+    """One JSON line per variant, all measured in THIS process."""
+    out = []
+    for name, batch, build in matrix_configs():
+        try:
+            tps = _train_throughput(build(), batch, iters)
+            row = {"metric": f"224^2 tiles/sec/chip ({name} TRAIN step, "
+                             f"bf16, batch {batch})",
+                   "value": round(tps, 2), "unit": "tiles/sec/chip",
+                   "vs_baseline": 0.0}
+        except Exception as e:   # report, keep measuring the rest
+            row = {"metric": f"{name} TRAIN step", "value": 0.0,
+                   "unit": "tiles/sec/chip", "vs_baseline": 0.0,
+                   "error": f"{type(e).__name__}: {str(e)[:160]}"}
+        print(json.dumps(row), flush=True)
+        out.append(row)
+    return out
+
+
 def main():
     from duoformer_tcga_tpu.utils import profiling
     profiling.enable_compile_cache()   # DUOFORMER_COMPILE_CACHE, no-op unset
@@ -244,8 +301,12 @@ def main():
                          "(only do this on a quiet host)")
     ap.add_argument("--mode", default=os.environ.get("DUOFORMER_BENCH",
                                                      "forward"),
-                    choices=["forward", "train"])
+                    choices=["forward", "train", "matrix"])
     args = ap.parse_args()
+
+    if args.mode == "matrix":
+        measure_matrix(iters=min(args.iters, 6))
+        return
 
     if args.mode == "train":
         tbl = torch_train_baseline(rebuild=args.rebaseline_train)

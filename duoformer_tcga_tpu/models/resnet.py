@@ -140,6 +140,39 @@ def _basic_apply(p, x, stride, train=False, stats=None):
     return nn.relu(y + idn)
 
 
+def _stem_conv_s2d(p, x):
+    """The 7x7/stride-2 stem conv as a space-to-depth 4x4/stride-1 conv —
+    the standard TPU transform (DUOFORMER_S2D_STEM=1): EXACT identity.
+
+    Derivation: front-pad the kernel to 8x8 (W'[u+1] = W[u], zero row/col
+    at index 0) so the taps split as u' = 2a + p; then
+      out(i,j) = sum conv7x7(x, stride 2, pad 3)
+               = conv4x4(s2d(x, 2), W2, stride 1, pad (2,1))
+    with W2[a,b,(p,q,c),o] = W'[2a+p, 2b+q, c, o] and the s2d channel
+    order (p, q, c). The 4x4x12 contraction (192) fills the MXU K-dim
+    better than 7x7x3 (147) at a quarter of the spatial positions per
+    output row, and avoids the stride-2 input re-walk."""
+    import jax.lax as lax
+
+    B, H, W, C = x.shape
+    w = p["w"].astype(x.dtype)                       # [7,7,3,64] HWIO
+    wp = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))  # [8,8,3,64]
+    w2 = wp.reshape(4, 2, 4, 2, C, w.shape[-1]) \
+           .transpose(0, 2, 1, 3, 4, 5) \
+           .reshape(4, 4, 4 * C, w.shape[-1])
+    z = x.reshape(B, H // 2, 2, W // 2, 2, C) \
+         .transpose(0, 1, 3, 2, 4, 5) \
+         .reshape(B, H // 2, W // 2, 4 * C)
+    return lax.conv_general_dilated(
+        z, w2, window_strides=(1, 1), padding=[(2, 1), (2, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _use_s2d_stem() -> bool:
+    import os
+    return os.environ.get("DUOFORMER_S2D_STEM", "0") == "1"
+
+
 class ResNetBackbone:
     """Feature-pyramid ResNet. apply() returns {"0": 56x56, "1": 28x28,
     "2": 14x14, "3": 7x7} NHWC stage features for a 224x224 input."""
@@ -181,7 +214,10 @@ class ResNetBackbone:
         land in a params-shaped subtree (merge back with
         utils.checkpoint.merge_tree / train-step bn_stats support)."""
         block_apply = _bottleneck_apply if self.kind == "bottleneck" else _basic_apply
-        y = nn.conv2d(params["conv1"], x, 2, 3)
+        if _use_s2d_stem() and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            y = _stem_conv_s2d(params["conv1"], x)
+        else:
+            y = nn.conv2d(params["conv1"], x, 2, 3)
         y = nn.relu(_bn_or_affine(params["bn1"], y, train=train,
                                   stats=stats, key="bn1"))
         y = nn.maxpool2d(y, window=3, stride=2, padding=1)

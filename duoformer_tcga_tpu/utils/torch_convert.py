@@ -145,7 +145,8 @@ def resnet_to_torch_state_dict(params: Dict, depth: int = 50) -> Dict:
         out[f"{name}.bias"] = t(p["bias"])
         out[f"{name}.running_mean"] = t(p["mean"])
         out[f"{name}.running_var"] = t(p["var"])
-        out[f"{name}.num_batches_tracked"] = torch.zeros((), torch.int64)
+        out[f"{name}.num_batches_tracked"] = torch.zeros((),
+                                                         dtype=torch.int64)
 
     stage_blocks = {50: [3, 4, 6, 3], 18: [2, 2, 2, 2]}[depth]
     n_convs = {50: 3, 18: 2}[depth]

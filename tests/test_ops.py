@@ -194,3 +194,41 @@ def test_mlp_train_without_rng_skips_dropout():
     out = nn.mlp(params, x, drop=0.1, rng=None, train=True)
     ref = nn.mlp(params, x, drop=0.0, rng=None, train=False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+
+
+def test_s2d_stem_exact():
+    """The space-to-depth stem transform (DUOFORMER_S2D_STEM) is an EXACT
+    re-expression of the 7x7/stride-2/pad-3 stem conv: front-padded 8x8
+    kernel rearranged to 4x4 over (2,2,C) space-to-depth channels, pad
+    (2,1) — forward and weight-grad identical to float rounding."""
+    from duoformer_tcga_tpu.models import resnet as rn
+
+    p = {"w": jax.random.normal(jax.random.PRNGKey(0), (7, 7, 3, 64),
+                                jnp.float32) * 0.05}
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 224, 224, 3))
+    a = nn.conv2d(p, x, 2, 3)
+    b = rn._stem_conv_s2d(p, x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-5, rtol=1e-5)
+    ga = jax.grad(lambda w: jnp.sum(jnp.sin(nn.conv2d({"w": w}, x, 2, 3))))(
+        p["w"])
+    gb = jax.grad(
+        lambda w: jnp.sum(jnp.sin(rn._stem_conv_s2d({"w": w}, x))))(p["w"])
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                               atol=5e-4, rtol=5e-4)
+
+
+def test_s2d_stem_backbone_parity(monkeypatch):
+    """Backbone pyramid with the s2d stem == without, on a small input."""
+    from duoformer_tcga_tpu.models.resnet import ResNetBackbone
+
+    bb = ResNetBackbone(50, jnp.float32)
+    params = bb.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    monkeypatch.setenv("DUOFORMER_S2D_STEM", "0")
+    ref = bb.apply(params, x)
+    monkeypatch.setenv("DUOFORMER_S2D_STEM", "1")
+    got = bb.apply(params, x)
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
+                                   atol=2e-4, rtol=2e-4)

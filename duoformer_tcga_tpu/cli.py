@@ -651,7 +651,7 @@ def _weights_for_serving(cfg, model, opt, params_path=None, torch_path=None,
 
 
 def cmd_export(cfg, output="model.npz", quantize=False, stablehlo=None,
-               temperature=None):
+               temperature=None, torch_backbone=None):
     """Export the trained checkpoint as a standalone serving artifact:
     BN-folded (optionally int8-quantized) params in one npz with a JSON
     meta entry. `predict --params=<npz>` serves it with no orbax
@@ -690,6 +690,21 @@ def cmd_export(cfg, output="model.npz", quantize=False, stablehlo=None,
     print(f"exported {which} checkpoint (step {int(state['step'])}) -> "
           f"{output} folded={m['folded']} quantized={m['quantized']}",
           flush=True)
+    if torch_backbone:
+        # trained-trunk hand-off to the torch ecosystem (and this CLI's
+        # own --train.init_backbone= warm-start path): torchvision-named
+        # state_dict, exact inverse of the import converter
+        import numpy as np
+        import torch
+
+        from .utils import torch_convert as tc
+        params = jax.device_get(train_lib.serving_params(state))["backbone"]
+        params = jax.tree.map(lambda a: np.asarray(a, np.float32), params)
+        depth = 18 if cfg.model.backbone == "r18" else 50
+        torch.save(tc.resnet_to_torch_state_dict(params, depth),
+                   torch_backbone)
+        print(f"exported backbone trunk (torchvision state_dict, "
+              f"r{depth}) -> {torch_backbone}", flush=True)
     if stablehlo:
         from .utils.stablehlo import export_stablehlo
         sm = export_stablehlo(model,
@@ -1460,6 +1475,7 @@ def main(argv=None):
     pred_embeddings, pred_by_slide = None, None
     pred_stablehlo, export_stablehlo_path = None, None
     export_output, export_quant = "model.npz", False
+    export_torch_backbone = None
     pred_attn_maps = None
     pred_tta, serve_temperature, eval_calibrate = False, None, False
     hm_slide, hm_output, hm_class = None, "heatmap.png", 1
@@ -1532,6 +1548,8 @@ def main(argv=None):
             export_quant = True
         elif cmd == "export" and key.startswith("stablehlo="):
             export_stablehlo_path = a.split("=", 1)[1]
+        elif cmd == "export" and key.startswith("torch-backbone="):
+            export_torch_backbone = a.split("=", 1)[1]
         elif key == "debug_nans":
             from .utils import profiling
             profiling.enable_nan_checks(True)
@@ -1569,7 +1587,8 @@ def main(argv=None):
         elif cmd == "export":
             cmd_export(cfg, export_output, quantize=export_quant,
                        stablehlo=export_stablehlo_path,
-                       temperature=serve_temperature)
+                       temperature=serve_temperature,
+                       torch_backbone=export_torch_backbone)
         elif cmd == "crossval":
             cmd_crossval(cfg, max_steps=max_steps, folds=crossval_folds,
                          report_path=eval_report)

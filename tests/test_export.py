@@ -138,3 +138,44 @@ def test_predict_rejects_mismatched_artifact(small_model_params, tmp_path):
         f"--train.checkpoint_dir={tmp_path}/ck"])
     with pytest.raises(ValueError, match="embed_dim"):
         cli.cmd_predict(cfg, str(tmp_path), params_path=path)
+
+
+def test_cli_export_torch_backbone(tmp_path, capsys):
+    """cli export --torch-backbone= writes the trained trunk as a
+    torchvision state_dict that round-trips bit-exactly through the
+    import converter — and warm-starts a fresh model via the
+    --train.init_backbone= path."""
+    import torch
+
+    from duoformer_tcga_tpu import cli
+    from duoformer_tcga_tpu import train as train_lib
+    from duoformer_tcga_tpu.utils import torch_convert as tc
+
+    ck = str(tmp_path / "ck")
+    tiny = ["--preset=release-2scale", "--model.depth=1",
+            "--model.embed_dim=96", "--model.proj_dim=96",
+            "--model.dtype=float32", "--train.platform=cpu",
+            "--train.batch_size=8", "--steps=1",
+            f"--train.checkpoint_dir={ck}"]
+    assert cli.main(["train"] + tiny) in (0, None)
+    out_sd = str(tmp_path / "trunk.torch")
+    assert cli.main(["export"] + tiny +
+                    [f"--output={tmp_path}/m.npz",
+                     f"--torch-backbone={out_sd}"]) in (0, None)
+    assert "exported backbone trunk" in capsys.readouterr().out
+
+    sd = torch.load(out_sd, map_location="cpu", weights_only=True)
+    assert "layer4.2.bn3.running_var" in sd
+    rt = tc.convert_resnet(sd, 50)
+
+    model = dft.build_model_no_extra_params(
+        num_classes=2, num_layers=2, embed_dim=96, proj_dim=96,
+        num_heads=12, depth=1)
+    fresh = model.init(jax.random.PRNGKey(5))
+    warm = train_lib.warm_start_params(model, fresh, init_backbone=out_sd)
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(warm["backbone"]),
+            jax.tree_util.tree_leaves_with_path(rt)):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b),
+            err_msg=jax.tree_util.keystr(pa))

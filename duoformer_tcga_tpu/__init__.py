@@ -43,7 +43,8 @@ def build_model_no_extra_params(
     depth=12, embed_dim=768, num_heads=12, num_classes=2, num_layers=2,
     num_patches=49, proj_dim=768, mlp_ratio=4.0, attn_drop_rate=0.0,
     proj_drop_rate=0.0, freeze_backbone=True, backbone="r50",
-    scale_token="random", patch_attn=True, remat=False, dtype=jnp.float32,
+    scale_token="random", patch_attn=True, remat=False,
+    apply_fc_norm=False, dtype=jnp.float32,
 ):
     """Release-variant DuoFormer (reference build_model_no_extra_params,
     models/__init__.py:40-70)."""
@@ -52,6 +53,7 @@ def build_model_no_extra_params(
         num_classes=num_classes, num_layers=num_layers,
         num_patches=num_patches, mlp_ratio=mlp_ratio,
         attn_drop_rate=attn_drop_rate, proj_drop_rate=proj_drop_rate,
+        apply_fc_norm=apply_fc_norm,
         proj_dim=proj_dim, freeze_backbone=freeze_backbone,
         backbone=backbone, scale_token=scale_token, patch_attn=patch_attn,
         remat=remat, dtype=dtype)

@@ -39,6 +39,11 @@ class ModelConfig:
     scale_token: str = "random"    # random | channel
     patch_attn: bool = True
     freeze_backbone: bool = True
+    # Q7 fix, opt-in (release family only): apply fc_norm to the CLS
+    # before the head instead of discarding it — makes FROM-SCRATCH
+    # full-size training feasible (see MultiscaleFormer.__init__);
+    # default False = bit-faithful reference behavior
+    apply_fc_norm: bool = False
     remat: bool = False            # activation rematerialization in stacks
     dtype: str = "bfloat16"        # compute dtype; params stay float32
 
@@ -58,7 +63,8 @@ class ModelConfig:
                 proj_drop_rate=self.proj_drop_rate, proj_dim=self.proj_dim,
                 freeze_backbone=self.freeze_backbone, backbone=self.backbone,
                 scale_token=self.scale_token, patch_attn=self.patch_attn,
-                init_values=self.init_values, remat=self.remat, dtype=d)
+                init_values=self.init_values, remat=self.remat,
+                apply_fc_norm=self.apply_fc_norm, dtype=d)
         if self.family == "duoformer_legacy":
             return dft.DuoFormerLegacy(
                 depth=self.depth, embed_dim=self.embed_dim,

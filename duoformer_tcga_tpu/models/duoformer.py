@@ -42,7 +42,7 @@ class DuoFormer:
                  attn_drop_rate=0.0, proj_drop_rate=0.0, proj_dim=768,
                  freeze_backbone=True, backbone="r50", scale_token="random",
                  patch_attn=True, init_values=None, remat=False,
-                 dtype=jnp.float32):
+                 apply_fc_norm=False, dtype=jnp.float32):
         if scale_token not in ("random", "channel"):
             raise ValueError(f"scale_token must be 'random' or 'channel', got {scale_token}")
         self.num_layers = num_layers
@@ -61,7 +61,8 @@ class DuoFormer:
             proj_drop_rate=proj_drop_rate,
             attn_drop_rate=attn_drop_rate, init_values=init_values,
             num_classes=num_classes, num_patches=num_patches,
-            patch_attn=patch_attn, remat=remat, dtype=dtype)
+            patch_attn=patch_attn, remat=remat,
+            apply_fc_norm=apply_fc_norm, dtype=dtype)
 
     def init(self, key):
         kb, kp, kc, kt, ktok = jax.random.split(key, 5)

@@ -452,7 +452,7 @@ class MultiscaleFormer:
                  proj_drop_rate=0.0, attn_drop_rate=0.0, init_values=None,
                  num_classes=100, num_patches=49, pos_drop_rate=0.0,
                  patch_attn=True, ln_eps=1e-6, remat=False,
-                 dtype=jnp.float32):
+                 apply_fc_norm=False, dtype=jnp.float32):
         self.depth = depth
         self.scales = scales
         self.num_heads = num_heads
@@ -471,6 +471,16 @@ class MultiscaleFormer:
         self.patch_attn = patch_attn
         self.ln_eps = ln_eps
         self.remat = remat
+        # Q7 fix, OPT-IN: the reference computes fc_norm(cls) and discards
+        # it (scale_attention.py:341-343), so the head runs on the raw CLS
+        # — which the residual-free patch chain attenuates to ~(0.31)^depth
+        # of token scale (~1e-6 at depth 12). That makes FROM-SCRATCH
+        # full-size training pathologically slow (the micro-logits drown
+        # under the head bias). apply_fc_norm=True applies the LayerNorm
+        # the reference created for exactly this purpose. Default False:
+        # bit-faithful Q7 for checkpoint parity (released checkpoints were
+        # trained elsewhere and carry inert fc_norm params).
+        self.apply_fc_norm = apply_fc_norm
         self.dtype = dtype
         self.fea_dim = num_scale_tokens(scales)
 
@@ -575,7 +585,11 @@ class MultiscaleFormer:
                               self.depth - 1, remat=self.remat)
 
         cls = tokens[:, 0, :]
-        _ = nn.layernorm(params["fc_norm"], cls, self.ln_eps)  # Q7: discarded
+        if self.apply_fc_norm:       # Q7 fix (opt-in, see __init__)
+            cls = nn.layernorm(params["fc_norm"], cls, self.ln_eps)
+        else:
+            _ = nn.layernorm(params["fc_norm"], cls, self.ln_eps)  # Q7:
+            # computed and discarded, exactly as the reference does
         logits = nn.linear(params["head"], cls)
         return (logits, cls) if with_embedding else logits
 

@@ -1,5 +1,6 @@
 """Variant-matrix edges: patch_attn=False, scaleformer family, presets."""
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -106,3 +107,32 @@ def test_drop_path_active_training():
     t2 = tf.apply(params, x, rng=jax.random.PRNGKey(3), train=True)
     assert np.abs(np.asarray(t1) - np.asarray(t2)).max() > 0
     assert np.isfinite(np.asarray(t1)).all()
+
+
+def test_apply_fc_norm_q7_fix_optin():
+    """Default = bit-faithful Q7 (fc_norm computed and discarded, head on
+    raw CLS). apply_fc_norm=True applies the LayerNorm the reference
+    created — same params, logits = head(LN(cls)). The fix is what makes
+    FROM-SCRATCH full-size training feasible (docs/performance.md r4)."""
+    from duoformer_tcga_tpu.ops import nn
+
+    kw = dict(num_classes=2, num_layers=2, embed_dim=96, proj_dim=96,
+              num_heads=12, depth=1, dtype=jnp.float32)
+    m0 = dft.build_model_no_extra_params(**kw)
+    m1 = dft.build_model_no_extra_params(apply_fc_norm=True, **kw)
+    params = m0.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 224, 224, 3))
+    l0, cls = m0.apply(params, x, with_embedding=True)
+    l1 = m1.apply(params, x)
+    assert float(np.abs(np.asarray(l0 - l1)).max()) > 0
+    want = nn.linear(params["transformer"]["head"],
+                     nn.layernorm(params["transformer"]["fc_norm"],
+                                  cls, 1e-6))
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(want),
+                               atol=1e-6, rtol=1e-6)
+    # config plumbing
+    from duoformer_tcga_tpu import config as config_lib
+    cfg = config_lib.from_args(
+        ["--preset=release-2scale", "--model.apply_fc_norm=true",
+         "--model.depth=1", "--model.embed_dim=96", "--model.proj_dim=96"])
+    assert cfg.model.build().transformer.apply_fc_norm

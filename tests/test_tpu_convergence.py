@@ -1,0 +1,146 @@
+"""Full-size convergence on the real chip (VERDICT r3 missing #1).
+
+Trains the ACTUAL flagship shapes (768/12/12) on the learnable tint task
+with a warm-started trunk, to the reference's >=0.75 eval-accuracy gate
+(/root/reference/main_toy.py:138):
+
+  * DuoFormerLegacy at its reference hyperparams (attn_drop 0.1 +
+    LayerScale -> the reg megakernels) — passes AS-IS (measured round 4:
+    eval 1.0 by step 25, probes/_probe_r4_converge.py);
+  * the release family with the opt-in Q7 fix (apply_fc_norm=True) —
+    the bit-faithful config's head runs on a ~1e-6-magnitude CLS (the
+    residual-free patch chain) and is measured NOT to move in 600 steps
+    (docs/performance.md round 4), which is an architecture property
+    reproduced from the reference, not a framework defect.
+
+Gated on DUOFORMER_RUN_TPU_TESTS=1 (single-chip claim, run alone):
+
+    DUOFORMER_RUN_TPU_TESTS=1 python -m pytest tests/test_tpu_convergence.py -q
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+run_tpu = os.environ.get("DUOFORMER_RUN_TPU_TESTS") == "1"
+pytestmark = [pytest.mark.tpu,
+              pytest.mark.skipif(not run_tpu,
+                                 reason="set DUOFORMER_RUN_TPU_TESTS=1 "
+                                        "(claims the real chip)")]
+
+import jax                                        # noqa: E402
+import jax.numpy as jnp                           # noqa: E402
+
+import duoformer_tcga_tpu as dft                  # noqa: E402
+from duoformer_tcga_tpu import train as train_lib           # noqa: E402
+from duoformer_tcga_tpu.data import pipeline as dl          # noqa: E402
+from duoformer_tcga_tpu.models.resnet import ResNet50withFC  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def on_tpu(monkeypatch):
+    tpus = [d for d in jax.devices() if d.platform == "tpu"]
+    if not tpus:
+        pytest.skip("no TPU device")
+    monkeypatch.setenv("DUOFORMER_PALLAS_INTERPRET", "0")
+    prev = jax.config.jax_default_device
+    prev_prec = jax.config.jax_default_matmul_precision
+    jax.config.update("jax_default_device", tpus[0])
+    jax.config.update("jax_default_matmul_precision", "default")
+    yield
+    jax.config.update("jax_default_device", prev)
+    jax.config.update("jax_default_matmul_precision", prev_prec)
+
+
+def _batches(batch, seed, n):
+    return zip(range(n), dl.synthetic_tiles(batch, 2, seed=seed,
+                                            learnable=True))
+
+
+@pytest.fixture(scope="module")
+def trunk_path(tmp_path_factory):
+    """Tint-pretrained trunk exported as a torchvision state_dict."""
+    import torch
+
+    probe = ResNet50withFC(num_classes=2, dtype=jnp.bfloat16)
+
+    class M:
+        @staticmethod
+        def apply(params, x, rng=None, train=False, bn_stats=None):
+            return probe.apply(params, x, rng=rng, train=train,
+                               freeze=False, bn_stats=bn_stats)
+
+    opt = train_lib.make_optimizer(train_lib.onecycle_schedule(1e-3, 60))
+    state = train_lib.init_train_state(probe, jax.random.PRNGKey(0), opt)
+    step = train_lib.make_train_step(M, opt, donate=False, bn_stats=True)
+    rng = jax.random.PRNGKey(1)
+    for _, raw in _batches(64, seed=0, n=60):
+        b = {"image": dl.preprocess_tiles(jnp.asarray(raw["image"]),
+                                          dtype=jnp.bfloat16),
+             "label": jnp.asarray(raw["label"])}
+        state, m = step(state, b, rng)
+    assert float(m["accuracy"]) >= 0.95
+
+    from duoformer_tcga_tpu.utils import torch_convert as tc
+    trunk = jax.tree.map(lambda a: np.asarray(a, np.float32),
+                         jax.device_get(state["params"]["trunk"]))
+    path = str(tmp_path_factory.mktemp("trunk") / "trunk_tint.torch")
+    torch.save(tc.resnet_to_torch_state_dict(trunk, 50), path)
+    return path
+
+
+def _train_to_gate(model, trunk, batch, steps, lr):
+    opt = train_lib.make_optimizer(
+        train_lib.onecycle_schedule(lr, steps),
+        frozen_label_fn=train_lib.backbone_frozen_labels)
+    state = train_lib.init_train_state(model, jax.random.PRNGKey(2), opt)
+    state["params"] = train_lib.warm_start_params(
+        model, state["params"], init_backbone=trunk)
+    plan = train_lib.plan_train_memory(model, batch)
+    step = train_lib.make_train_step(
+        model, opt, donate=False,
+        frozen_label_fn=train_lib.backbone_frozen_labels,
+        accum_steps=plan["accum_steps"])
+    fwd = jax.jit(lambda p, x: model.apply(p, x, train=False))
+    ev = [(jnp.asarray(r["image"]), r["label"])
+          for _, r in _batches(64, seed=777, n=4)]
+
+    def eacc(params):
+        c = n = 0
+        for xi, y in ev:
+            x = dl.preprocess_tiles(xi, dtype=jnp.bfloat16)
+            c += int((np.asarray(fwd(params, x)).argmax(-1) == y).sum())
+            n += len(y)
+        return c / n
+
+    rng = jax.random.PRNGKey(3)
+    best = 0.0
+    for i, raw in _batches(batch, seed=11, n=steps):
+        b = {"image": dl.preprocess_tiles(jnp.asarray(raw["image"]),
+                                          dtype=jnp.bfloat16),
+             "label": jnp.asarray(raw["label"])}
+        state, _ = step(state, b, rng)
+        if (i + 1) % 25 == 0:
+            best = max(best, eacc(state["params"]))
+            if best >= 0.95:
+                break
+    return best
+
+
+def test_legacy_full_size_learns(trunk_path):
+    """DuoFormerLegacy 768/12/12, reference hyperparams, reg kernels."""
+    model = dft.build_model(num_classes=2, embed_dim=768, proj_dim=768,
+                            depth=12, pretrained=False,
+                            dtype=jnp.bfloat16)
+    best = _train_to_gate(model, trunk_path, batch=128, steps=150, lr=3e-4)
+    assert best >= 0.75, f"legacy full size did not learn: {best}"
+
+
+def test_release_full_size_learns_with_fc_norm(trunk_path):
+    """Release 768/12/12 with the opt-in Q7 fix."""
+    model = dft.build_model_no_extra_params(
+        num_classes=2, num_layers=2, embed_dim=768, proj_dim=768,
+        num_heads=12, depth=12, apply_fc_norm=True, dtype=jnp.bfloat16)
+    best = _train_to_gate(model, trunk_path, batch=256, steps=300, lr=3e-4)
+    assert best >= 0.75, f"release+fc_norm full size did not learn: {best}"

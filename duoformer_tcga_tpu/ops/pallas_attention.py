@@ -291,6 +291,16 @@ def _xla_reference(qkv, num_heads, seg_len, scale):
 ATTN_SUBTILES = 5   # attention sub-tiles per grid step (VMEM-budgeted)
 
 
+def _f32_shrink(rt: int, dtype) -> int:
+    """Halve a row-tile DEFAULT that was sized for 2-byte dtypes when the
+    compute dtype is 4-byte: f32 doubles every VMEM buffer, and the
+    bf16-tuned tiles then exceed the 16MB scoped limit (measured: the f32
+    save-hidden MLP kernel at the bf16 default is rejected at 18M by the
+    AOT compile service). Callers apply this only when the corresponding
+    env override is unset — an explicit knob always wins."""
+    return max(rt // 2, 8) if jnp.dtype(dtype).itemsize >= 4 else rt
+
+
 def _attn_subtiles() -> int:
     """Sub-tiles per grid step for the attention megakernels. Tunable so
     a wider rows-cap (DUOFORMER_ATTN_ROWS_CAP) can trade sub-tile count
@@ -568,9 +578,10 @@ def _fused_block_impl(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
     (see keep_mask_from_counters), regenerated identically in backward."""
     n_seg, S, C = x.shape
     Co = wqkv.shape[-1] // 3
+    env_cap = os.environ.get("DUOFORMER_ATTN_ROWS_CAP")
     G = _segments_per_tile(
         seg_len, n_seg,
-        rows_cap=int(os.environ.get("DUOFORMER_ATTN_ROWS_CAP", "128")))
+        rows_cap=int(env_cap) if env_cap else _f32_shrink(128, x.dtype))
     arows = G * S
     # pack ATTN_SUBTILES attention tiles per grid step when they divide evenly
     T = _attn_subtiles()
@@ -930,12 +941,14 @@ def _fused_block_bwd_impl(x, g, ln_scale, ln_bias, wqkv, bqkv, wproj,
     # 384 still exceeds the 16MB limit. The dw mode's ~9.4MB of f32
     # accumulators force a narrower default (its row tensors stop being
     # outputs, which buys back ~3MB of double-buffering).
-    default_cap = "192"
+    default_cap = _f32_shrink(192, x.dtype)
     if dw:
-        default_cap = os.environ.get("DUOFORMER_BWD_DW_ROWS", "96")
+        default_cap = int(os.environ.get("DUOFORMER_BWD_DW_ROWS",
+                                         _f32_shrink(96, x.dtype)))
+    env_cap = os.environ.get("DUOFORMER_BWD_ROWS_CAP")
     G = _segments_per_tile(
         seg_len, n_seg,
-        rows_cap=int(os.environ.get("DUOFORMER_BWD_ROWS_CAP", default_cap)))
+        rows_cap=int(env_cap) if env_cap else default_cap)
     arows = G * S
     # single sub-tile: the backward kernel holds ~4x the forward's buffers
     # per step (x+g in, dx+ln+attn+dqkv out, one 3C scratch, wqkvT);
@@ -1394,7 +1407,7 @@ def _fused_mlp_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps,
     # drop>0 instantiates per-site mask vectors in VMEM; 256-row tiles
     # with [rt, hidden] i32 hash temporaries exceed the 16MB scoped limit
     # (same pressure the return_hidden branch documents) -> shrink
-    rt = MLP_ROW_TILE if drop == 0.0 else 128
+    rt = _f32_shrink(MLP_ROW_TILE if drop == 0.0 else 128, x.dtype)
     if return_hidden:
         # the z-emitting kernel sits at the scoped-VMEM edge at rt=256 /
         # C=768 (~16.0M): the chipless AOT compile path adopted by this
@@ -1405,8 +1418,9 @@ def _fused_mlp_impl(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps,
         # instantiation adds mask-vector pressure (16.26M at rt=192,
         # 268KB over) -> 128 when drop > 0 (weights stay VMEM-resident
         # across grid steps either way, so the smaller tile costs ~nothing).
-        rt = int(os.environ.get("DUOFORMER_MLP_SH_ROWS",
-                                "128" if drop > 0.0 else "192"))
+        env_rt = os.environ.get("DUOFORMER_MLP_SH_ROWS")
+        rt = (int(env_rt) if env_rt
+              else _f32_shrink(128 if drop > 0.0 else 192, x.dtype))
     n_pad = (-n) % rt
     if n_pad:
         flat = jnp.concatenate([flat, jnp.zeros((n_pad, C), flat.dtype)],

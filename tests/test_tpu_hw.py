@@ -302,3 +302,35 @@ def test_reg_kernels_on_hw():
     b = np.asarray(omlp(i), np.float32)
     assert np.isfinite(a).all()
     np.testing.assert_allclose(a, b, atol=0.1, rtol=0.1)
+
+
+def test_f32_kernels_compile_on_hw():
+    """f32 compute must fit the bf16-tuned kernels' scoped-VMEM budget via
+    the dtype-aware tile shrink (_f32_shrink): round 4's faithful-f32
+    convergence probe found the save-hidden MLP kernel rejected at 18M
+    with the bf16 default tile. Forward + backward of both branches, f32,
+    production C/hidden, on the real chip."""
+    import numpy as np
+
+    H, S, C = 12, 6, 768
+    i = _branch_inputs(jax.random.PRNGKey(7), n_seg=392, dtype=jnp.float32)
+    scale = (C // H) ** -0.5
+    k2 = jax.random.split(jax.random.PRNGKey(8), 4)
+    w1 = (jax.random.normal(k2[0], (C, 4 * C)) * 0.02).astype(jnp.float32)
+    b1 = (jax.random.normal(k2[1], (4 * C,)) * 0.02).astype(jnp.float32)
+    w2 = (jax.random.normal(k2[2], (4 * C, C)) * 0.02).astype(jnp.float32)
+    b2 = (jax.random.normal(k2[3], (C,)) * 0.02).astype(jnp.float32)
+
+    def loss(i, w1, b1, w2, b2):
+        y = pa.fused_attention_residual(
+            i["x"], i["lns"], i["lnb"], i["wqkv"], i["bqkv"], i["wproj"],
+            i["bproj"], H, S, scale)
+        z = pa.fused_mlp_residual(y, i["lns"], i["lnb"], w1, b1, w2, b2)
+        return jnp.sum(z.astype(jnp.float32) ** 2)
+
+    val, grads = jax.jit(jax.value_and_grad(loss, argnums=(1, 3)))(
+        i, w1, b1, w2, b2)
+    v = float(np.asarray(val))          # host fetch proves completion
+    assert np.isfinite(v) and v > 0
+    for g in grads:
+        assert np.isfinite(np.asarray(g)).all()

@@ -9,6 +9,11 @@ run the reference model locally — compare logits on a shared batch.
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import numpy as np
 

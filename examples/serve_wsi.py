@@ -8,6 +8,11 @@ normalize -> batched bf16 DuoFormer forward, over every visible chip.
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -30,7 +30,11 @@ Notes from the measured study (docs/performance.md, round 4):
 
 import argparse
 import os
+import sys
 import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def main():

@@ -698,9 +698,10 @@ def cmd_export(cfg, output="model.npz", quantize=False, stablehlo=None,
         import torch
 
         from .utils import torch_convert as tc
+        from .models.duoformer import _backbone_depth
         params = jax.device_get(train_lib.serving_params(state))["backbone"]
         params = jax.tree.map(lambda a: np.asarray(a, np.float32), params)
-        depth = 18 if cfg.model.backbone == "r18" else 50
+        depth = _backbone_depth(cfg.model.backbone)
         torch.save(tc.resnet_to_torch_state_dict(params, depth),
                    torch_backbone)
         print(f"exported backbone trunk (torchvision state_dict, "

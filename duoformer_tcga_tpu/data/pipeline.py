@@ -184,8 +184,7 @@ class PrefetchLoader:
 
 def write_synthetic_hdf5(path: str, n_tiles: int, num_classes: int = 2,
                          seed: int = 0, size: int = 224,
-                         learnable: bool = True,
-                         tint: Optional[int] = None) -> str:
+                         learnable: bool = True) -> str:
     """Materialize the synthetic tile stream as an HDF5 dataset in the
     framework's packed format (images [N,H,W,3] uint8 + labels [N]) so
     the full `cli train --train.dataset=*.h5` path — loaders, folds,
@@ -193,8 +192,7 @@ def write_synthetic_hdf5(path: str, n_tiles: int, num_classes: int = 2,
     This is the stand-in for the reference's missing dataset module
     (main_toy.py:11) in convergence tests: the per-class color tint is
     linearly decodable from any conv trunk, so a model that can learn at
-    all reaches high accuracy quickly. tint: override the +60 default
-    margin (smaller = harder task)."""
+    all reaches high accuracy quickly."""
     import h5py
 
     gen = synthetic_tiles(min(n_tiles, 64), num_classes, seed=seed,
@@ -204,14 +202,6 @@ def write_synthetic_hdf5(path: str, n_tiles: int, num_classes: int = 2,
     for raw in gen:
         take = min(len(raw["label"]), n_tiles - got)
         img = raw["image"][:take]
-        if learnable and tint is not None and tint != 60:
-            # re-tint: subtract the default margin, apply the custom one
-            lab = raw["label"][:take]
-            adj = np.zeros((take, 1, 1, 3), np.int16)
-            for c in range(3):
-                adj[lab % 3 == c, 0, 0, c] = tint - 60
-            img = np.clip(img.astype(np.int16) + adj, 0, 255).astype(
-                np.uint8)
         imgs.append(img)
         labels.append(raw["label"][:take])
         got += take

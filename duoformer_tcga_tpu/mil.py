@@ -253,7 +253,10 @@ def train_mil(embs: np.ndarray, mask: np.ndarray, labels: np.ndarray,
     report = {"train_slides": int(len(tr)), "val_slides": int(len(va)),
               "train_acc": train_acc, "val_acc": val_acc,
               "train_auc": train_auc, "val_auc": val_auc,
-              "best_epoch": int(best["epoch"]) + 1, "epochs": epochs}
+              # select="final": the returned params ARE the last epoch's
+              "best_epoch": (epochs if select == "final"
+                             else int(best["epoch"]) + 1),
+              "epochs": epochs}
     return params, report
 
 

@@ -163,9 +163,12 @@ def _stem_conv_s2d(p, x):
     z = x.reshape(B, H // 2, 2, W // 2, 2, C) \
          .transpose(0, 1, 3, 2, 4, 5) \
          .reshape(B, H // 2, W // 2, 4 * C)
-    return lax.conv_general_dilated(
+    y = lax.conv_general_dilated(
         z, w2, window_strides=(1, 1), padding=[(2, 1), (2, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if "b" in p:      # torchvision stems are bias-free, SSL exports vary
+        y = y + p["b"].astype(y.dtype)
+    return y
 
 
 def _use_s2d_stem() -> bool:

@@ -1637,7 +1637,8 @@ def _fused_mlp_bwd_impl(x, g, ln_scale, ln_bias, w1, b1, w2, ln_eps):
         n *= d
     xf = x.reshape(n, C)
     gf = g.reshape(n, C)
-    rt = int(os.environ.get("DUOFORMER_MLP_BWD_ROWS", "128"))
+    env_rt = os.environ.get("DUOFORMER_MLP_BWD_ROWS")
+    rt = int(env_rt) if env_rt else _f32_shrink(128, x.dtype)
     n_pad = (-n) % rt
     if n_pad:
         pad = jnp.zeros((n_pad, C), x.dtype)

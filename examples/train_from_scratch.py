@@ -84,6 +84,7 @@ def main():
     state = train_lib.init_train_state(probe, jax.random.PRNGKey(0), opt)
     step = train_lib.make_train_step(M, opt, donate=False, bn_stats=True)
     rng = jax.random.PRNGKey(1)
+    m = None
     for i, raw in zip(range(args.pretrain_steps),
                       dl.synthetic_tiles(args.batch, 2, seed=0,
                                          learnable=True)):
@@ -91,8 +92,9 @@ def main():
                                           dtype=jnp.float32),
              "label": jnp.asarray(raw["label"])}
         state, m = step(state, b, rng)
-    print(f"[pretrain] {args.pretrain_steps} steps, final train acc "
-          f"{float(m['accuracy']):.2f}")
+    if m is not None:
+        print(f"[pretrain] {args.pretrain_steps} steps, final train acc "
+              f"{float(m['accuracy']):.2f}")
 
     # -- 2. export the trunk as a torchvision state_dict -----------------
     trunk = jax.tree.map(lambda a: np.asarray(a, np.float32),

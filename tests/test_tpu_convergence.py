@@ -13,7 +13,9 @@ with a warm-started trunk, to the reference's >=0.75 eval-accuracy gate
     (docs/performance.md round 4), which is an architecture property
     reproduced from the reference, not a framework defect.
 
-Gated on DUOFORMER_RUN_TPU_TESTS=1 (single-chip claim, run alone):
+Gated on DUOFORMER_RUN_TPU_TESTS=1 (single-chip claim, run alone).
+Measured runtime on the round-4 chip: ~2h for both tests (five full
+remote compiles dominate; budget timeouts >= 9000s):
 
     DUOFORMER_RUN_TPU_TESTS=1 python -m pytest tests/test_tpu_convergence.py -q
 """

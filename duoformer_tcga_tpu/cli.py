@@ -630,7 +630,14 @@ def _weights_for_serving(cfg, model, opt, params_path=None, torch_path=None,
         from .inference import load_serving_artifact
         artifact, ameta = load_serving_artifact(params_path)
         mm = ameta.get("model", {})
-        for k in ("num_classes", "embed_dim", "num_layers", "family"):
+        # every architecture/behavior field that changes logits — including
+        # the shape-invariant ones (num_heads, patch_attn, apply_fc_norm,
+        # scale_token) where a mismatch would otherwise serve silently-wrong
+        # predictions instead of erroring (ADVICE r4)
+        for k in ("num_classes", "embed_dim", "proj_dim", "num_layers",
+                  "family", "depth", "num_heads", "num_patches", "mlp_ratio",
+                  "scale_token", "backbone", "patch_attn", "init_values",
+                  "apply_fc_norm"):
             if k in mm and getattr(cfg.model, k, mm[k]) != mm[k]:
                 raise ValueError(
                     f"artifact was exported with model.{k}={mm[k]} but the "

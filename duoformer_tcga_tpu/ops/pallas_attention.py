@@ -945,7 +945,11 @@ def _fused_block_bwd_impl(x, g, ln_scale, ln_bias, wqkv, bqkv, wproj,
     if dw:
         default_cap = int(os.environ.get("DUOFORMER_BWD_DW_ROWS",
                                          _f32_shrink(96, x.dtype)))
-    env_cap = os.environ.get("DUOFORMER_BWD_ROWS_CAP")
+    # dw mode ignores DUOFORMER_BWD_ROWS_CAP: its documented 192 default
+    # is tuned for the no-dw kernel and exceeds scoped VMEM once the f32
+    # dW accumulators are resident — only DUOFORMER_BWD_DW_ROWS applies
+    # there (ADVICE r4; interaction noted in docs/knobs.md)
+    env_cap = None if dw else os.environ.get("DUOFORMER_BWD_ROWS_CAP")
     G = _segments_per_tile(
         seg_len, n_seg,
         rows_cap=int(env_cap) if env_cap else default_cap)

@@ -140,6 +140,28 @@ def test_predict_rejects_mismatched_artifact(small_model_params, tmp_path):
         cli.cmd_predict(cfg, str(tmp_path), params_path=path)
 
 
+def test_predict_rejects_behavior_flag_mismatch(small_model_params,
+                                                tmp_path):
+    """apply_fc_norm changes logits without changing any param shape —
+    an artifact trained with it must not silently serve under a config
+    without it (ADVICE r4 medium)."""
+    from duoformer_tcga_tpu import cli, config as config_lib
+
+    _model, params = small_model_params
+    path = str(tmp_path / "m.npz")
+    inf.export_serving_artifact(path, params,
+                                {"model": {"num_classes": 2,
+                                           "embed_dim": 96,
+                                           "apply_fc_norm": True}})
+    cfg = config_lib.from_args([
+        "--preset=release-2scale", "--model.depth=1",
+        "--model.embed_dim=96", "--model.proj_dim=96",
+        "--model.dtype=float32", "--train.platform=cpu",
+        f"--train.checkpoint_dir={tmp_path}/ck"])
+    with pytest.raises(ValueError, match="apply_fc_norm"):
+        cli.cmd_predict(cfg, str(tmp_path), params_path=path)
+
+
 def test_cli_export_torch_backbone(tmp_path, capsys):
     """cli export --torch-backbone= writes the trained trunk as a
     torchvision state_dict that round-trips bit-exactly through the

@@ -125,6 +125,29 @@ def _build(cfg):
     return model, mesh, opt, steps_per_epoch, total_steps, frozen
 
 
+def q7_knife_edge_warning(cfg):
+    """Warning text for a measured non-training configuration, or None.
+
+    Measured fact (docs/performance.md round 4): the bit-faithful release
+    config's Q7 fc_norm-discard (/root/reference/scale_attention.py:341-343)
+    plus the residual-free patch chain attenuates the CLS ~0.31^depth; a
+    FROM-SCRATCH run at depth >= 6 stays pinned at ln(num_classes) for its
+    entire bf16 OneCycle budget while looking healthy. init_backbone does
+    not help — the pathology is in the transformer, not the trunk. Only a
+    full-model warm start (--train.init_from=) or the opt-in Q7 fix
+    (--model.apply_fc_norm=true) escapes it."""
+    if (cfg.model.family == "duoformer" and not cfg.model.apply_fc_norm
+            and cfg.model.depth >= 6 and not cfg.train.init_from):
+        return ("warning: release family from scratch at depth "
+                f"{cfg.model.depth} with apply_fc_norm=false is a measured "
+                "non-training configuration (Q7 CLS attenuation, "
+                "docs/performance.md round 4): loss stays at "
+                "ln(num_classes) for the whole run. Pass "
+                "--model.apply_fc_norm=true (opt-in Q7 fix) or warm start "
+                "the full model via --train.init_from=.")
+    return None
+
+
 def cmd_train(cfg, max_steps=None):
     sh_before = os.environ.get("DUOFORMER_MLP_SAVE_HIDDEN")
     try:
@@ -171,6 +194,10 @@ def _cmd_train(cfg, max_steps=None):
         print(f"warm start from {src}"
               + (" (head reinitialized)" if cfg.train.reinit_head else ""),
               flush=True)
+    if restored is None:
+        warn = q7_knife_edge_warning(cfg)
+        if warn:
+            print(warn, flush=True)
     if cfg.train.model_parallel > 1:
         # TP layouts live on the state arguments (make_train_step's TP
         # branch jits with in_shardings=None): place params with the

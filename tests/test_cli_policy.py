@@ -58,3 +58,41 @@ def test_steps_clamp_survives_remat_rebuild(tmp_path, monkeypatch):
     cli.main(_args(tmp_path))
     steps = _logged_steps(tmp_path)
     assert steps and max(steps) == 1
+
+
+def _q7_cfg(extra=()):
+    from duoformer_tcga_tpu import config as config_lib
+
+    return config_lib.from_args(["--preset=release-2scale", *extra])
+
+
+def test_q7_knife_edge_warning_matrix():
+    """The measured-fact warning (VERDICT r4 #4) fires exactly for the
+    release family, from scratch, deep, without the fc_norm fix."""
+    assert cli.q7_knife_edge_warning(_q7_cfg()) is not None  # depth 12
+    warn = cli.q7_knife_edge_warning(_q7_cfg(["--model.depth=6"]))
+    assert warn and "apply_fc_norm" in warn
+    # not under the opt-in Q7 fix
+    assert cli.q7_knife_edge_warning(
+        _q7_cfg(["--model.apply_fc_norm=true"])) is None
+    # not under a full-model warm start
+    assert cli.q7_knife_edge_warning(
+        _q7_cfg(["--train.init_from=ck.pt"])) is None
+    # init_backbone alone does NOT suppress it (trunk != transformer)
+    assert cli.q7_knife_edge_warning(
+        _q7_cfg(["--train.init_backbone=trunk.pt"])) is not None
+    # not at shallow depth
+    assert cli.q7_knife_edge_warning(_q7_cfg(["--model.depth=2"])) is None
+    # not for other families
+    assert cli.q7_knife_edge_warning(
+        _q7_cfg(["--preset=legacy-channel"])) is None
+
+
+def test_q7_warning_prints_in_cmd_train(tmp_path, capsys):
+    """End-to-end: a fresh deep release run prints the warning; the
+    shallow default test config does not."""
+    assert cli.main(_args(tmp_path, ["--model.depth=6"])) == 0
+    assert "Q7 CLS attenuation" in capsys.readouterr().out
+    assert cli.main(
+        _args(tmp_path, [f"--train.checkpoint_dir={tmp_path}/ck3"])) == 0
+    assert "Q7 CLS attenuation" not in capsys.readouterr().out

@@ -184,19 +184,28 @@ class PrefetchLoader:
 
 def write_synthetic_hdf5(path: str, n_tiles: int, num_classes: int = 2,
                          seed: int = 0, size: int = 224,
-                         learnable: bool = True) -> str:
+                         learnable: bool = True, task: str = "tint") -> str:
     """Materialize the synthetic tile stream as an HDF5 dataset in the
     framework's packed format (images [N,H,W,3] uint8 + labels [N]) so
     the full `cli train --train.dataset=*.h5` path — loaders, folds,
     epoch-end eval, best-checkpoint gate — runs on a LEARNABLE task.
     This is the stand-in for the reference's missing dataset module
-    (main_toy.py:11) in convergence tests: the per-class color tint is
-    linearly decodable from any conv trunk, so a model that can learn at
-    all reaches high accuracy quickly."""
+    (main_toy.py:11) in convergence tests: the per-class color tint
+    (task="tint") is linearly decodable from any conv trunk, so a model
+    that can learn at all reaches high accuracy quickly. task=
+    "cross_scale" / "cross_scale_pretrain" writes the co-location task
+    (_cross_scale_batch) that only a cross-scale architecture solves."""
     import h5py
 
-    gen = synthetic_tiles(min(n_tiles, 64), num_classes, seed=seed,
-                          size=size, learnable=learnable)
+    if task == "tint":
+        gen = synthetic_tiles(min(n_tiles, 64), num_classes, seed=seed,
+                              size=size, learnable=learnable)
+    elif task in ("cross_scale", "cross_scale_pretrain"):
+        mode = "task" if task == "cross_scale" else "pretrain"
+        gen = synthetic_cross_scale(min(n_tiles, 64), seed=seed,
+                                    size=size, mode=mode)
+    else:
+        raise ValueError(f"unknown synthetic task {task!r}")
     imgs, labels = [], []
     got = 0
     for raw in gen:
@@ -212,6 +221,111 @@ def write_synthetic_hdf5(path: str, n_tiles: int, num_classes: int = 2,
                          chunks=(1, size, size, 3))
         f.create_dataset("labels", data=np.concatenate(labels))
     return path
+
+
+def _cross_scale_batch(rng, batch_size: int, size: int, mode: str):
+    """One batch of the cross-scale co-location task (VERDICT r4 #1).
+
+    Geometry: the 224 tile is a 7x7 grid of 32px regions — exactly the
+    DuoFormer region grid (stage-3 token = one region). Two independent
+    attributes per image:
+
+      * blob (coarse scale): K regions get a +40 red tint over the whole
+        32x32 region — a low-frequency attribute visible in the coarse
+        pyramid stages;
+      * motifs (fine scale): M regions get a 16x16 central checkerboard
+        formed by PERMUTING the region's own base noise — per channel,
+        the patch's 256 values are split at the median and the high half
+        is scattered onto the 4px checker-high cells, the low half onto
+        the low cells. The patch's pixel histogram is exactly the base
+        histogram (it is a permutation of the same i.i.d. samples); only
+        the spatial arrangement changes — a high-frequency attribute
+        visible to edge/grating detectors in the fine stages but
+        carrying ZERO pooled-histogram signal.
+
+    mode="task" (2 classes, K=16, M=4): label 1 = every motif sits INSIDE
+    a blob region, label 0 = every motif sits OUTSIDE. Both classes have
+    identical pixel-value distributions — same total tint area, same
+    motif count, permutation motifs, no clipping (base noise 45..169,
+    tint +40) — so any spatially-pooled histogram statistic is class-
+    independent BY CONSTRUCTION; the label is decodable only from the
+    per-region CO-OCCURRENCE of the fine motif with the coarse blob,
+    i.e. by relating pyramid levels per region (the multi-scale
+    attention's job, /root/reference/models/model_wo_extra_params.py:
+    226-302). tests/test_cross_scale.py measures that a pooled linear
+    probe stays near chance while DuoFormer clears the reference's 0.75
+    gate.
+
+    mode="pretrain" (4 classes): label = 2*has_motifs + big_blob with
+    has_motifs in {0 motifs, 4 motifs} and blob K in {8 (small), 24
+    (big)}; motif placement is UNCONSTRAINED (co-occurrence carries no
+    label signal). Both factors are pooled-decodable, so linear-probe
+    pretraining on this task teaches the shared trunk motif- and tint-
+    detectors without teaching any co-location feature — the fair warm
+    start for both the probe and DuoFormer on the task above."""
+    grid, reg = 7, size // 7
+    if reg * 7 != size:
+        raise ValueError(f"cross-scale task needs size % 7 == 0, "
+                         f"got {size}")
+    imgs = rng.integers(45, 170, (batch_size, size, size, 3), np.int16)
+    # 16x16 central checker of 4px cells (boolean mask; the motif is a
+    # histogram-preserving permutation of the patch's own noise)
+    m0, span = (reg - 16) // 2, 16
+    yy, xx = np.meshgrid(np.arange(span), np.arange(span), indexing="ij")
+    checker_hi = (((yy // 4 + xx // 4) % 2) > 0).reshape(-1)
+    n_hi = int(checker_hi.sum())
+    if mode == "task":
+        labels = rng.integers(0, 2, (batch_size,), np.int32)
+        k_blob = np.full(batch_size, 16)
+        n_motif = np.full(batch_size, 4)
+    elif mode == "pretrain":
+        labels = rng.integers(0, 4, (batch_size,), np.int32)
+        k_blob = np.where(labels % 2 > 0, 24, 8)
+        n_motif = np.where(labels // 2 > 0, 4, 0)
+    else:
+        raise ValueError(f"cross-scale mode {mode!r}: "
+                         f"expected 'task' or 'pretrain'")
+    for b in range(batch_size):
+        perm = rng.permutation(grid * grid)
+        blob = perm[:k_blob[b]]
+        if mode == "task":
+            # inside (label 1): motifs drawn from the blob set; outside
+            # (label 0): from its complement
+            pool = blob if labels[b] else perm[k_blob[b]:]
+            motif = pool[rng.permutation(len(pool))[:n_motif[b]]]
+        else:
+            motif = rng.permutation(grid * grid)[:n_motif[b]]
+        for r in motif:
+            y, x = (r // grid) * reg + m0, (r % grid) * reg + m0
+            patch = imgs[b, y:y + span, x:x + span]
+            for ch in range(3):
+                v = np.sort(patch[..., ch], axis=None)
+                out = np.empty(span * span, np.int16)
+                out[checker_hi] = rng.permutation(v[-n_hi:])
+                out[~checker_hi] = rng.permutation(v[:-n_hi])
+                patch[..., ch] = out.reshape(span, span)
+        for r in blob:
+            y, x = (r // grid) * reg, (r % grid) * reg
+            imgs[b, y:y + reg, x:x + reg, 0] += 40
+    return imgs.astype(np.uint8), labels
+
+
+def synthetic_cross_scale(batch_size: int, num_batches: Optional[int] = None,
+                          seed: int = 0, size: int = 224,
+                          mode: str = "task", start_step: int = 0,
+                          shard=None):
+    """Cross-scale co-location tile stream (see _cross_scale_batch).
+    Same contract as synthetic_tiles: batch i is a pure function of
+    (seed, i); shard=(k, n) yields process k's row block."""
+    from .folder import _check_shard
+
+    rows, _sn = _check_shard(shard, batch_size)
+    i = start_step
+    while num_batches is None or i < num_batches:
+        rng = np.random.default_rng((seed, 77, i))
+        img, label = _cross_scale_batch(rng, batch_size, size, mode)
+        yield {"image": img[rows], "label": label[rows]}
+        i += 1
 
 
 def synthetic_tiles(batch_size: int, num_classes: int = 2,

@@ -233,15 +233,17 @@ def _cross_scale_batch(rng, batch_size: int, size: int, mode: str):
       * blob (coarse scale): K regions get a +40 red tint over the whole
         32x32 region — a low-frequency attribute visible in the coarse
         pyramid stages;
-      * motifs (fine scale): M regions get a 16x16 central checkerboard
-        formed by PERMUTING the region's own base noise — per channel,
-        the patch's 256 values are split at the median and the high half
-        is scattered onto the 4px checker-high cells, the low half onto
-        the low cells. The patch's pixel histogram is exactly the base
-        histogram (it is a permutation of the same i.i.d. samples); only
-        the spatial arrangement changes — a high-frequency attribute
-        visible to edge/grating detectors in the fine stages but
-        carrying ZERO pooled-histogram signal.
+      * motifs (fine scale): M regions get a region-filling 4px-cell
+        checkerboard formed by PERMUTING the region's own base noise —
+        per channel, the region's 1024 values are split at the median
+        and the high half is scattered onto the checker-high cells, the
+        low half onto the low cells. The region's pixel histogram is
+        exactly the base histogram (it is a permutation of the same
+        i.i.d. samples) and its MEAN is untouched, so the coarse
+        (mean-pooling) pyramid stages cannot see it; only the spatial
+        arrangement changes — a high-frequency attribute visible to
+        edge/grating detectors in the fine stages but carrying ZERO
+        pooled-histogram signal.
 
     mode="task" (2 classes, K=16, M=4): label 1 = every motif sits INSIDE
     a blob region, label 0 = every motif sits OUTSIDE. Both classes have
@@ -257,7 +259,7 @@ def _cross_scale_batch(rng, batch_size: int, size: int, mode: str):
     gate.
 
     mode="pretrain" (4 classes): label = 2*has_motifs + big_blob with
-    has_motifs in {0 motifs, 4 motifs} and blob K in {8 (small), 24
+    has_motifs in {0 motifs, 12 motifs} and blob K in {8 (small), 24
     (big)}; motif placement is UNCONSTRAINED (co-occurrence carries no
     label signal). Both factors are pooled-decodable, so linear-probe
     pretraining on this task teaches the shared trunk motif- and tint-
@@ -268,9 +270,9 @@ def _cross_scale_batch(rng, batch_size: int, size: int, mode: str):
         raise ValueError(f"cross-scale task needs size % 7 == 0, "
                          f"got {size}")
     imgs = rng.integers(45, 170, (batch_size, size, size, 3), np.int16)
-    # 16x16 central checker of 4px cells (boolean mask; the motif is a
-    # histogram-preserving permutation of the patch's own noise)
-    m0, span = (reg - 16) // 2, 16
+    # region-filling checker of 4px cells (boolean mask; the motif is a
+    # histogram-preserving permutation of the region's own noise)
+    m0, span = 0, reg
     yy, xx = np.meshgrid(np.arange(span), np.arange(span), indexing="ij")
     checker_hi = (((yy // 4 + xx // 4) % 2) > 0).reshape(-1)
     n_hi = int(checker_hi.sum())
@@ -281,7 +283,7 @@ def _cross_scale_batch(rng, batch_size: int, size: int, mode: str):
     elif mode == "pretrain":
         labels = rng.integers(0, 4, (batch_size,), np.int32)
         k_blob = np.where(labels % 2 > 0, 24, 8)
-        n_motif = np.where(labels // 2 > 0, 4, 0)
+        n_motif = np.where(labels // 2 > 0, 12, 0)
     else:
         raise ValueError(f"cross-scale mode {mode!r}: "
                          f"expected 'task' or 'pretrain'")

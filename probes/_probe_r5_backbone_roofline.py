@@ -77,12 +77,14 @@ def stage_costs():
 
 
 def make_prefix(model, n_stages):
-    """Jittable: run stem + first n_stages stages, chained ITERS times."""
+    """Jittable: run stem + first n_stages stages, chained n times
+    (np.asarray fetch proves completion — the axon block_until_ready
+    does not, probes/README.md)."""
 
-    def prefix(params, x):
+    def prefix(params, x, n):
         def body(i, carry):
             x, acc = carry
-            xi = x + (i.astype(x.dtype) * 1e-6)
+            xi = x + (i.astype(x.dtype) * 0)
             y = nn.conv2d(params["conv1"], xi, 2, 3)
             y = nn.relu(_bn_or_affine(params["bn1"], y))
             y = nn.maxpool2d(y, window=3, stride=2, padding=1)
@@ -92,7 +94,8 @@ def make_prefix(model, n_stages):
                     y = _bottleneck_apply(blk, y, stride)
             return (x, acc + jnp.sum(y.astype(jnp.float32)))
 
-        _, acc = jax.lax.fori_loop(0, ITERS, body, (x, jnp.zeros((), jnp.float32)))
+        _, acc = jax.lax.fori_loop(0, n, body,
+                                   (x, jnp.zeros((), jnp.float32)))
         return acc
 
     return jax.jit(prefix)
@@ -109,10 +112,14 @@ def main():
     times = []
     for n in range(5):
         fn = make_prefix(model, n)
-        fn(params, x).block_until_ready()        # compile + warm
-        t0 = time.perf_counter()
-        fn(params, x).block_until_ready()
-        dt = (time.perf_counter() - t0) / ITERS * 1e3
+        _ = np.asarray(fn(params, x, 2))         # compile + warm
+        t1 = time.perf_counter()
+        _ = np.asarray(fn(params, x, 1))
+        t1 = time.perf_counter() - t1
+        tN = time.perf_counter()
+        _ = np.asarray(fn(params, x, ITERS + 1))
+        tN = time.perf_counter() - tN
+        dt = (tN - t1) / ITERS * 1e3
         times.append(dt)
         print(f"prefix stem+{n} stages: {dt:.2f} ms", flush=True)
 

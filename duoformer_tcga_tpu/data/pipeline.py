@@ -193,8 +193,9 @@ def write_synthetic_hdf5(path: str, n_tiles: int, num_classes: int = 2,
     (main_toy.py:11) in convergence tests: the per-class color tint
     (task="tint") is linearly decodable from any conv trunk, so a model
     that can learn at all reaches high accuracy quickly. task=
-    "cross_scale" / "cross_scale_pretrain" writes the co-location task
-    (_cross_scale_batch) that only a cross-scale architecture solves."""
+    "cross_scale" / "cross_scale_pretrain" writes the cross-scale XOR
+    task (_cross_scale_batch) that only a cross-scale architecture
+    solves."""
     import h5py
 
     if task == "tint":
@@ -224,99 +225,100 @@ def write_synthetic_hdf5(path: str, n_tiles: int, num_classes: int = 2,
 
 
 def _cross_scale_batch(rng, batch_size: int, size: int, mode: str):
-    """One batch of the cross-scale co-location task (VERDICT r4 #1).
+    """One batch of the cross-scale XOR task (VERDICT r4 #1).
 
     Geometry: the 224 tile is a 7x7 grid of 32px regions — exactly the
     DuoFormer region grid (stage-3 token = one region). Two independent
-    attributes per image:
+    binary attributes per image, spatially DISJOINT:
 
-      * blob (coarse scale): K regions get a +40 red tint over the whole
-        32x32 region — a low-frequency attribute visible in the coarse
-        pyramid stages;
-      * motifs (fine scale): M regions get a region-filling 4px-cell
-        checkerboard formed by PERMUTING the region's own base noise —
-        per channel, the region's 1024 values are split at the median
-        and the high half is scattered onto the checker-high cells, the
-        low half onto the low cells. The region's pixel histogram is
-        exactly the base histogram (it is a permutation of the same
-        i.i.d. samples) and its MEAN is untouched, so the coarse
-        (mean-pooling) pyramid stages cannot see it; only the spatial
-        arrangement changes — a high-frequency attribute visible to
-        edge/grating detectors in the fine stages but carrying ZERO
-        pooled-histogram signal.
+      * bar (coarse scale): a 2-region-wide stripe of regions spanning
+        the full grid — two adjacent ROWS (o_bar=0) or two adjacent
+        COLUMNS (o_bar=1) at a random offset — gets a +40 red tint.
+        Always 14 tinted regions, so tint AREA is orientation-free; the
+        bar's orientation is a coarse spatial-layout attribute;
+      * stripes (fine scale): every region OFF the bar (35 of 49) gets
+        region-filling 4px stripes — horizontal (o_str=0) or vertical
+        (o_str=1): odd stripes draw uniformly from the UPPER half of the
+        base range, even stripes from the LOWER half. The region's
+        pixel-value distribution is exactly the base uniform (an equal
+        mixture of the two half-ranges); only the fine spatial
+        arrangement carries the orientation.
 
-    mode="task" (2 classes, K=16, M=4): label 1 = every motif sits INSIDE
-    a blob region, label 0 = every motif sits OUTSIDE. Both classes have
-    identical pixel-value distributions — same total tint area, same
-    motif count, permutation motifs, no clipping (base noise 45..169,
-    tint +40) — so any spatially-pooled histogram statistic is class-
-    independent BY CONSTRUCTION; the label is decodable only from the
-    per-region CO-OCCURRENCE of the fine motif with the coarse blob,
-    i.e. by relating pyramid levels per region (the multi-scale
-    attention's job, /root/reference/models/model_wo_extra_params.py:
-    226-302). tests/test_cross_scale.py measures that a pooled linear
-    probe stays near chance while DuoFormer clears the reference's 0.75
-    gate.
+    mode="task" (2 classes): label = o_bar XOR o_str. Because o_bar and
+    o_str are independent fair coins, EVERY function of the image whose
+    expectation lacks an (o_bar x o_str) interaction term is
+    uncorrelated with the label — each attribute alone, any pooled
+    histogram, any local texture/tint conjunction (the stripes never
+    touch the bar) all carry zero signal. Decoding requires computing
+    the PRODUCT of a coarse-scale layout attribute and a fine-scale
+    texture attribute — relating pyramid levels, which is precisely what
+    the reference's multi-scale attention stack exists to do
+    (/root/reference/models/model_wo_extra_params.py:226-302) and what a
+    linear readout of spatially-pooled features provably cannot (XOR is
+    not linear in the pair of decoded attributes).
 
-    mode="pretrain" (4 classes): label = 2*has_motifs + big_blob with
-    has_motifs in {0 motifs, 12 motifs} and blob K in {8 (small), 24
-    (big)}; motif placement is UNCONSTRAINED (co-occurrence carries no
-    label signal). Both factors are pooled-decodable, so linear-probe
-    pretraining on this task teaches the shared trunk motif- and tint-
-    detectors without teaching any co-location feature — the fair warm
-    start for both the probe and DuoFormer on the task above."""
+    [Design history: the first round-5 task — fine motif inside vs
+    outside a coarse blob, VERDICT r4's literal suggestion — was
+    measured SOLVED (0.973) by the pooled linear probe: with trained
+    motif- and tint-detectors in the trunk, ReLU units whose receptive
+    field sees both attributes leak the local conjunction into the
+    pooled mean. The XOR form removes every single-attribute and
+    single-site channel by symmetry, not by pixel bookkeeping.]
+
+    mode="pretrain" (4 classes): label = 2*o_str + o_bar over the SAME
+    image distribution — both attributes are pooled-decodable
+    separately, so pretraining the shared trunk on it teaches bar- and
+    stripe-orientation detectors without teaching their product: the
+    fair warm start for both the probe and DuoFormer. A probe that
+    aces pretrain (pair-decoding) yet sits at chance on task
+    (XOR-decoding) demonstrates the readout gap is architectural."""
     grid, reg = 7, size // 7
     if reg * 7 != size:
         raise ValueError(f"cross-scale task needs size % 7 == 0, "
                          f"got {size}")
-    imgs = rng.integers(45, 170, (batch_size, size, size, 3), np.int16)
-    # region-filling checker of 4px cells (boolean mask; the motif is a
-    # histogram-preserving permutation of the region's own noise)
-    m0, span = 0, reg
-    yy, xx = np.meshgrid(np.arange(span), np.arange(span), indexing="ij")
-    checker_hi = (((yy // 4 + xx // 4) % 2) > 0).reshape(-1)
-    n_hi = int(checker_hi.sum())
-    if mode == "task":
-        labels = rng.integers(0, 2, (batch_size,), np.int32)
-        k_blob = np.full(batch_size, 16)
-        n_motif = np.full(batch_size, 4)
-    elif mode == "pretrain":
-        labels = rng.integers(0, 4, (batch_size,), np.int32)
-        k_blob = np.where(labels % 2 > 0, 24, 8)
-        n_motif = np.where(labels // 2 > 0, 12, 0)
-    else:
+    if mode not in ("task", "pretrain"):
         raise ValueError(f"cross-scale mode {mode!r}: "
                          f"expected 'task' or 'pretrain'")
-    for b in range(batch_size):
-        perm = rng.permutation(grid * grid)
-        blob = perm[:k_blob[b]]
-        if mode == "task":
-            # inside (label 1): motifs drawn from the blob set; outside
-            # (label 0): from its complement
-            pool = blob if labels[b] else perm[k_blob[b]:]
-            motif = pool[rng.permutation(len(pool))[:n_motif[b]]]
-        else:
-            motif = rng.permutation(grid * grid)[:n_motif[b]]
-        for r in motif:
-            y, x = (r // grid) * reg + m0, (r % grid) * reg + m0
-            patch = imgs[b, y:y + span, x:x + span]
-            for ch in range(3):
-                v = np.sort(patch[..., ch], axis=None)
-                out = np.empty(span * span, np.int16)
-                out[checker_hi] = rng.permutation(v[-n_hi:])
-                out[~checker_hi] = rng.permutation(v[:-n_hi])
-                patch[..., ch] = out.reshape(span, span)
-        for r in blob:
-            y, x = (r // grid) * reg, (r % grid) * reg
-            imgs[b, y:y + reg, x:x + reg, 0] += 40
-    return imgs.astype(np.uint8), labels
+    # base range 45..168 (124 values) splits into equal 62-value halves
+    lo0, half, n_vals = 45, 107, 62
+    imgs = rng.integers(lo0, 169, (batch_size, size, size, 3), np.int16)
+    yy, xx = np.meshgrid(np.arange(reg), np.arange(reg), indexing="ij")
+    stripe_hi = np.stack([(yy // 4) % 2 > 0,          # horizontal bands
+                          (xx // 4) % 2 > 0])          # vertical bands
+    o_bar = rng.integers(0, 2, (batch_size,), np.int32)
+    o_str = rng.integers(0, 2, (batch_size,), np.int32)
+    offsets = rng.integers(0, grid - 1, (batch_size,))
+    labels = (o_bar ^ o_str) if mode == "task" else (2 * o_str + o_bar)
+    # [B, 49] region masks: two adjacent rows (o_bar=0) / columns (=1)
+    ridx = np.arange(grid * grid).reshape(grid, grid)
+    axis_idx = np.where(o_bar[:, None, None] == 0,
+                        ridx // grid, ridx % grid).reshape(batch_size, -1)
+    on_bar = (axis_idx == offsets[:, None]) | \
+             (axis_idx == offsets[:, None] + 1)
+    motif_idx = np.argsort(on_bar, axis=1, kind="stable")[:, :grid * grid - 2 * grid]
+    # region-grid view [B, 49, reg, reg, 3]
+    gv = np.ascontiguousarray(
+        imgs.reshape(batch_size, grid, reg, grid, reg, 3)
+            .transpose(0, 1, 3, 2, 4, 5))
+    gv = gv.reshape(batch_size, grid * grid, reg, reg, 3)
+    # stripes: one uniform draw per motif pixel, offset by its band half
+    m = motif_idx.shape[1]
+    base = rng.integers(0, n_vals, (batch_size, m, reg, reg, 3), np.int16)
+    hi_mask = stripe_hi[o_str][:, None, :, :, None]   # [B,1,reg,reg,1]
+    np.put_along_axis(
+        gv, motif_idx[:, :, None, None, None],
+        base + np.where(hi_mask, half, lo0).astype(np.int16), axis=1)
+    gv[..., 0] += (40 * on_bar)[:, :, None, None].astype(np.int16)
+    imgs = gv.reshape(batch_size, grid, grid, reg, reg, 3) \
+             .transpose(0, 1, 3, 2, 4, 5).reshape(batch_size, size, size, 3)
+    return imgs.astype(np.uint8), labels.astype(np.int32)
 
 
 def synthetic_cross_scale(batch_size: int, num_batches: Optional[int] = None,
                           seed: int = 0, size: int = 224,
                           mode: str = "task", start_step: int = 0,
                           shard=None):
-    """Cross-scale co-location tile stream (see _cross_scale_batch).
+    """Cross-scale XOR tile stream (see _cross_scale_batch).
     Same contract as synthetic_tiles: batch i is a pure function of
     (seed, i); shard=(k, n) yields process k's row block."""
     from .folder import _check_shard

@@ -1,14 +1,17 @@
-"""The cross-scale co-location task (VERDICT r4 missing #1): a synthetic
-task whose label is the per-region co-occurrence of a fine-scale motif
-with a coarse-scale blob — decodable only by relating pyramid levels per
-region, the multi-scale attention's job
-(/root/reference/models/model_wo_extra_params.py:226-302).
+"""The cross-scale XOR task (VERDICT r4 missing #1): label = (coarse
+bar orientation) XOR (fine stripe orientation) — decodable only by
+combining pyramid levels, the multi-scale attention's job
+(/root/reference/models/model_wo_extra_params.py:226-302). Each
+attribute alone is independent of the label, so every single-attribute
+feature — pooled or local — carries zero class signal by symmetry (see
+data/pipeline._cross_scale_batch, including why the co-location form
+VERDICT r4 literally suggested was measured leaky and replaced).
 
-Fast tests pin the generator's leak-freedom guarantees (identical
-pooled statistics across classes, by construction). The slow test is
-the architecture proof: a pooled linear probe trained to its ceiling on
-a FROZEN shared trunk stays near chance while DuoFormer, warm-started
-from the SAME trunk, clears the reference's 0.75 eval-accuracy gate
+Fast tests pin the generator's symmetry guarantees. The slow test is
+the architecture proof: a pooled linear probe that ACES the 4-class
+pretrain labeling (both attributes decoded) stays near chance on the
+XOR labeling of the same images, while DuoFormer, warm-started from
+the SAME trunk, clears the reference's 0.75 eval-accuracy gate
 (/root/reference/main_toy.py:138)."""
 
 import numpy as np
@@ -43,40 +46,51 @@ def test_cross_scale_resume_and_shard():
     np.testing.assert_array_equal(sh["image"], first["image"][4:])
 
 
-def test_cross_scale_pooled_stats_are_class_independent():
-    """The anti-leak construction: same tint area, same motif count, and
-    the motif is a histogram-preserving permutation of the patch's own
-    noise — so per-class pixel-value distributions are identical up to
-    sampling noise. Checked on the exact-count statistic that a naive
-    extreme-value motif would leak through (red pixels in a high
-    window, present only under tint)."""
-    b = next(dl.synthetic_cross_scale(256, seed=0))
-    img = b["image"].astype(np.int64)
-    y = b["label"]
-    red = img[..., 0].reshape(len(y), -1)
-    # per-image count of red values in the tinted-extreme window
-    w = ((red >= 185) & (red <= 209)).sum(1)
-    m0, m1 = w[y == 0].mean(), w[y == 1].mean()
-    s = w.std() / np.sqrt(len(y)) * 4 + 1e-9
-    assert abs(m0 - m1) < 4 * s, (m0, m1, s)
-    # global mean per channel matches across classes
+def test_cross_scale_attributes_are_label_independent():
+    """The XOR symmetry: the task label equals o_bar ^ o_str, and the
+    pretrain labeling of the SAME distribution exposes the attributes —
+    each attribute alone must be independent of the task label, and the
+    pixel-value histogram must match across task classes (same tint
+    area, histogram-preserving stripe permutation, no clipping)."""
+    # pretrain labeling recovers attributes; same (seed, step) gives the
+    # same attribute coins, so cross-check XOR against the pair labels
+    bt = next(dl.synthetic_cross_scale(128, seed=0, mode="task"))
+    bp = next(dl.synthetic_cross_scale(128, seed=0, mode="pretrain"))
+    o_bar, o_str = bp["label"] % 2, bp["label"] // 2
+    np.testing.assert_array_equal(bt["label"], o_bar ^ o_str)
+    # each attribute is a fair coin independent of the XOR label
+    y = bt["label"]
+    for attr in (o_bar, o_str):
+        both = np.corrcoef(attr, y)[0, 1]
+        assert abs(both) < 0.25, both
+    img = bt["image"].astype(np.int64)
+    # identical pixel statistics across classes: bar area is constant
+    # (14 regions) and stripes are permutations of the base noise
     for ch in range(3):
         d = abs(img[y == 0, ..., ch].mean() - img[y == 1, ..., ch].mean())
         assert d < 0.5, (ch, d)
-    # and the motif/tint structure is actually present: regional
-    # high-frequency energy differs between motif and plain regions
+    w = ((img[..., 0] >= 185) & (img[..., 0] <= 209)).reshape(len(y), -1).sum(1)
+    assert abs(w[y == 0].mean() - w[y == 1].mean()) < 4 * w.std() / np.sqrt(len(y) / 4) + 1e-9
     assert img.max() <= 209 and img.min() >= 45
 
 
-def test_cross_scale_pretrain_mode_labels():
-    b = next(dl.synthetic_cross_scale(64, seed=1, mode="pretrain"))
-    assert set(np.unique(b["label"])) <= {0, 1, 2, 3}
-    img = b["image"].astype(np.int64)
-    # big-blob classes (odd labels) have more tinted area -> higher red
-    red = img[..., 0].reshape(64, -1).mean(1)
-    big = red[b["label"] % 2 == 1].mean()
-    small = red[b["label"] % 2 == 0].mean()
-    assert big > small + 3, (big, small)
+def test_cross_scale_structure_present():
+    """The attributes ARE in the image: tinted bar rows/cols have higher
+    red mean; stripe regions have oriented high-frequency energy."""
+    bp = next(dl.synthetic_cross_scale(64, seed=2, mode="pretrain"))
+    img = bp["image"].astype(np.float64)
+    o_str = bp["label"] // 2
+    # stripe orientation: vertical-stripe images have more horizontal-
+    # neighbor contrast than vertical-neighbor contrast
+    dx = np.abs(np.diff(img[..., 1], axis=2)).mean((1, 2))
+    dy = np.abs(np.diff(img[..., 1], axis=1)).mean((1, 2))
+    ori = (dx > dy).astype(int)
+    agree = (ori == o_str).mean()
+    assert agree > 0.9, agree
+    # tint present: red channel mean above green everywhere (bar adds 40
+    # on 14/49 regions -> ~+11 shift)
+    shift = (img[..., 0] - img[..., 1]).mean()
+    assert 8 < shift < 15, shift
 
 
 def test_cross_scale_hdf5_writer(tmp_path):

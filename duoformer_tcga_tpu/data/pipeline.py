@@ -265,13 +265,24 @@ def _cross_scale_batch(rng, batch_size: int, size: int, mode: str):
     pooled mean. The XOR form removes every single-attribute and
     single-site channel by symmetry, not by pixel bookkeeping.]
 
-    mode="pretrain" (4 classes): label = 2*o_str + o_bar over the SAME
-    image distribution — both attributes are pooled-decodable
-    separately, so pretraining the shared trunk on it teaches bar- and
-    stripe-orientation detectors without teaching their product: the
-    fair warm start for both the probe and DuoFormer. A probe that
-    aces pretrain (pair-decoding) yet sits at chance on task
-    (XOR-decoding) demonstrates the readout gap is architectural."""
+    mode="pretrain" (4 classes): every image exposes exactly ONE
+    attribute — bar-only images (no stripes) labeled {0: bar-H,
+    1: bar-V} and stripe-only images (no bar; all 49 regions striped)
+    labeled {2: stripes-H, 3: stripes-V}. Pretraining the shared trunk
+    on it teaches bar- and stripe-orientation detectors while making
+    (bar x stripe) interaction features UNLEARNABLE — no training image
+    contains both attributes.
+
+    [Design history 2: the first pretrain labeling was the joint pair
+    (o_bar, o_str) over task-type images; measured on chip, the frozen
+    probe then read XOR at 1.000 — cross-entropy on the pair builds
+    class-cluster features, and XOR is a linear function of pair
+    logits. Attribute detectors must be trained on images where the
+    other attribute does not exist.]
+
+    A probe that aces pretrain (each attribute decoded) yet sits at
+    chance on task (their XOR) demonstrates the readout gap is
+    architectural, not informational."""
     grid, reg = 7, size // 7
     if reg * 7 != size:
         raise ValueError(f"cross-scale task needs size % 7 == 0, "
@@ -288,26 +299,36 @@ def _cross_scale_batch(rng, batch_size: int, size: int, mode: str):
     o_bar = rng.integers(0, 2, (batch_size,), np.int32)
     o_str = rng.integers(0, 2, (batch_size,), np.int32)
     offsets = rng.integers(0, grid - 1, (batch_size,))
-    labels = (o_bar ^ o_str) if mode == "task" else (2 * o_str + o_bar)
+    # pretrain: which single attribute this image exposes (0=bar only,
+    # 1=stripes only); drawn for both modes to keep the stream aligned
+    b_type = rng.integers(0, 2, (batch_size,), np.int32)
+    if mode == "task":
+        labels = o_bar ^ o_str
+    else:
+        labels = np.where(b_type == 0, o_bar, 2 + o_str)
     # [B, 49] region masks: two adjacent rows (o_bar=0) / columns (=1)
     ridx = np.arange(grid * grid).reshape(grid, grid)
     axis_idx = np.where(o_bar[:, None, None] == 0,
                         ridx // grid, ridx % grid).reshape(batch_size, -1)
     on_bar = (axis_idx == offsets[:, None]) | \
              (axis_idx == offsets[:, None] + 1)
-    motif_idx = np.argsort(on_bar, axis=1, kind="stable")[:, :grid * grid - 2 * grid]
+    if mode == "task":
+        striped = ~on_bar
+    else:
+        bar_img = (b_type == 0)[:, None]
+        on_bar &= bar_img                 # stripe-only images: no bar
+        striped = ~bar_img & np.ones_like(on_bar)   # all 49 regions
     # region-grid view [B, 49, reg, reg, 3]
     gv = np.ascontiguousarray(
         imgs.reshape(batch_size, grid, reg, grid, reg, 3)
             .transpose(0, 1, 3, 2, 4, 5))
     gv = gv.reshape(batch_size, grid * grid, reg, reg, 3)
-    # stripes: one uniform draw per motif pixel, offset by its band half
-    m = motif_idx.shape[1]
-    base = rng.integers(0, n_vals, (batch_size, m, reg, reg, 3), np.int16)
+    # stripes: one uniform draw per pixel, offset by its band half;
+    # applied per-region via the striped mask
+    base = rng.integers(0, n_vals, gv.shape, np.int16)
     hi_mask = stripe_hi[o_str][:, None, :, :, None]   # [B,1,reg,reg,1]
-    np.put_along_axis(
-        gv, motif_idx[:, :, None, None, None],
-        base + np.where(hi_mask, half, lo0).astype(np.int16), axis=1)
+    stripes = base + np.where(hi_mask, half, lo0).astype(np.int16)
+    gv = np.where(striped[:, :, None, None, None], stripes, gv)
     gv[..., 0] += (40 * on_bar)[:, :, None, None].astype(np.int16)
     imgs = gv.reshape(batch_size, grid, grid, reg, reg, 3) \
              .transpose(0, 1, 3, 2, 4, 5).reshape(batch_size, size, size, 3)

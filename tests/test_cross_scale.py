@@ -46,51 +46,60 @@ def test_cross_scale_resume_and_shard():
     np.testing.assert_array_equal(sh["image"], first["image"][4:])
 
 
-def test_cross_scale_attributes_are_label_independent():
-    """The XOR symmetry: the task label equals o_bar ^ o_str, and the
-    pretrain labeling of the SAME distribution exposes the attributes —
-    each attribute alone must be independent of the task label, and the
-    pixel-value histogram must match across task classes (same tint
-    area, histogram-preserving stripe permutation, no clipping)."""
-    # pretrain labeling recovers attributes; same (seed, step) gives the
-    # same attribute coins, so cross-check XOR against the pair labels
-    bt = next(dl.synthetic_cross_scale(128, seed=0, mode="task"))
-    bp = next(dl.synthetic_cross_scale(128, seed=0, mode="pretrain"))
-    o_bar, o_str = bp["label"] % 2, bp["label"] // 2
-    np.testing.assert_array_equal(bt["label"], o_bar ^ o_str)
-    # each attribute is a fair coin independent of the XOR label
-    y = bt["label"]
-    for attr in (o_bar, o_str):
-        both = np.corrcoef(attr, y)[0, 1]
-        assert abs(both) < 0.25, both
-    img = bt["image"].astype(np.int64)
-    # identical pixel statistics across classes: bar area is constant
-    # (14 regions) and stripes are permutations of the base noise
-    for ch in range(3):
-        d = abs(img[y == 0, ..., ch].mean() - img[y == 1, ..., ch].mean())
-        assert d < 0.5, (ch, d)
-    w = ((img[..., 0] >= 185) & (img[..., 0] <= 209)).reshape(len(y), -1).sum(1)
-    assert abs(w[y == 0].mean() - w[y == 1].mean()) < 4 * w.std() / np.sqrt(len(y) / 4) + 1e-9
-    assert img.max() <= 209 and img.min() >= 45
-
-
-def test_cross_scale_structure_present():
-    """The attributes ARE in the image: tinted bar rows/cols have higher
-    red mean; stripe regions have oriented high-frequency energy."""
-    bp = next(dl.synthetic_cross_scale(64, seed=2, mode="pretrain"))
-    img = bp["image"].astype(np.float64)
-    o_str = bp["label"] // 2
-    # stripe orientation: vertical-stripe images have more horizontal-
-    # neighbor contrast than vertical-neighbor contrast
+def _estimate_attributes(img):
+    """Recover (o_bar, o_str) estimates from pixel statistics: bar
+    orientation from whether the 7-bin row or column red-mean profile
+    is peakier; stripe orientation from horizontal vs vertical
+    neighbor contrast (green channel, tint-free)."""
+    B = len(img)
+    red = img[..., 0].reshape(B, 7, 32, 7, 32).mean((2, 4))  # [B,7,7]
+    row_var = red.mean(2).var(1)
+    col_var = red.mean(1).var(1)
+    o_bar = (col_var > row_var).astype(int)
     dx = np.abs(np.diff(img[..., 1], axis=2)).mean((1, 2))
     dy = np.abs(np.diff(img[..., 1], axis=1)).mean((1, 2))
-    ori = (dx > dy).astype(int)
-    agree = (ori == o_str).mean()
-    assert agree > 0.9, agree
-    # tint present: red channel mean above green everywhere (bar adds 40
-    # on 14/49 regions -> ~+11 shift)
-    shift = (img[..., 0] - img[..., 1]).mean()
-    assert 8 < shift < 15, shift
+    o_str = (dx > dy).astype(int)
+    return o_bar, o_str
+
+
+def test_cross_scale_xor_structure_and_label_independence():
+    """Task images: both attributes are recoverable from pixel
+    statistics, their XOR reproduces the label, and EACH attribute alone
+    is independent of the label (the symmetry that kills every
+    single-attribute readout, pooled or local)."""
+    bt = next(dl.synthetic_cross_scale(256, seed=0, mode="task"))
+    img = bt["image"].astype(np.float64)
+    y = bt["label"]
+    o_bar, o_str = _estimate_attributes(img)
+    assert ((o_bar ^ o_str) == y).mean() > 0.95
+    for attr in (o_bar, o_str):
+        assert abs((attr == y).mean() - 0.5) < 0.15
+    # identical pixel statistics across classes
+    im = bt["image"].astype(np.int64)
+    for ch in range(3):
+        d = abs(im[y == 0, ..., ch].mean() - im[y == 1, ..., ch].mean())
+        assert d < 0.5, (ch, d)
+    assert im.max() <= 208 and im.min() >= 45
+
+
+def test_cross_scale_pretrain_single_attribute_images():
+    """Pretrain images expose exactly ONE attribute: bar-only images
+    (labels 0/1, no stripe asymmetry, red tint present) and stripe-only
+    images (labels 2/3, oriented stripes, no tint) — so (bar x stripe)
+    interaction features cannot be learned from this distribution."""
+    bp = next(dl.synthetic_cross_scale(128, seed=2, mode="pretrain"))
+    img = bp["image"].astype(np.float64)
+    lab = bp["label"]
+    assert set(np.unique(lab)) == {0, 1, 2, 3}
+    o_bar_est, o_str_est = _estimate_attributes(img)
+    bar_imgs, stripe_imgs = lab < 2, lab >= 2
+    # bar images: tint present (+40 on 14/49 regions -> ~+11 red-green
+    # shift), orientation recovered; stripe images: no tint
+    shift = (img[..., 0] - img[..., 1]).mean((1, 2))
+    assert shift[bar_imgs].min() > 8, shift[bar_imgs].min()
+    assert abs(shift[stripe_imgs]).max() < 3
+    assert (o_bar_est[bar_imgs] == lab[bar_imgs]).mean() > 0.95
+    assert (o_str_est[stripe_imgs] == lab[stripe_imgs] - 2).mean() > 0.95
 
 
 def test_cross_scale_hdf5_writer(tmp_path):

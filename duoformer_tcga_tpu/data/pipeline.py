@@ -236,13 +236,18 @@ def _cross_scale_batch(rng, batch_size: int, size: int, mode: str):
         COLUMNS (o_bar=1) at a random offset — gets a +40 red tint.
         Always 14 tinted regions, so tint AREA is orientation-free; the
         bar's orientation is a coarse spatial-layout attribute;
-      * stripes (fine scale): every region OFF the bar (35 of 49) gets
+      * stripes (fine scale): every region at distance >= 2 from the
+        bar's axis span (21-35 of 49, depending on the bar offset) gets
         region-filling 4px stripes — horizontal (o_str=0) or vertical
         (o_str=1): odd stripes draw uniformly from the UPPER half of the
         base range, even stripes from the LOWER half. The region's
         pixel-value distribution is exactly the base uniform (an equal
         mixture of the two half-ranges); only the fine spatial
-        arrangement carries the orientation.
+        arrangement carries the orientation. The one-region PLAIN GAP
+        ring around the bar keeps stripes out of any receptive field
+        centred on a bar edge (measured: with stripes directly abutting
+        the bar, boundary units leak a weak tint-edge x stripe
+        conjunction that lifts the pooled probe to 0.76).
 
     mode="task" (2 classes): label = o_bar XOR o_str. Because o_bar and
     o_str are independent fair coins, EVERY function of the image whose
@@ -313,7 +318,8 @@ def _cross_scale_batch(rng, batch_size: int, size: int, mode: str):
     on_bar = (axis_idx == offsets[:, None]) | \
              (axis_idx == offsets[:, None] + 1)
     if mode == "task":
-        striped = ~on_bar
+        striped = (axis_idx < offsets[:, None] - 1) | \
+                  (axis_idx > offsets[:, None] + 2)
     else:
         bar_img = (b_type == 0)[:, None]
         on_bar &= bar_img                 # stripe-only images: no bar

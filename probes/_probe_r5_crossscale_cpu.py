@@ -1,13 +1,16 @@
-"""Cross-scale co-location task (VERDICT r4 #1), reduced size on CPU:
+"""Cross-scale XOR task, reduced size on CPU — calibration for the slow
+test in tests/test_cross_scale.py:
 
-  1. pretrain a ResNet50 trunk (via ResNet50withFC, 4-class) on the
-     pretrain mode — motif-presence x blob-size, NO co-location signal —
-     so the shared trunk has motif- and tint-detectors;
-  2. linear probe: FROZEN pretrained trunk + fresh fc on the co-location
-     task, trained to plateau -> expect ~chance (the label is invisible
-     to pooled features by construction);
-  3. DuoFormer (release+fc_norm, reduced 96/depth2) warm-started with
-     the SAME trunk -> expect >= 0.75 (the reference's gate).
+  1. pretrain a GENERIC trunk on the tint task (no bar/stripe attribute
+     detectors — measured on chip, any attribute-pretrained trunk leaks
+     the attributes' product into pooled features via deep-layer
+     interactions);
+  2. linear probe: FROZEN generic trunk + fresh fc on the XOR task,
+     trained to plateau -> expect ~chance;
+  3. DuoFormerLegacy (reduced 96/depth2) warm-started with the SAME
+     trunk -> expect >= 0.75 (measured full-size on chip: legacy
+     learns XOR; the release family's residual-free patch chain does
+     not — see docs/performance.md round 5).
 
 Run on the 1-core CPU host: python probes/_probe_r5_crossscale_cpu.py
 """
@@ -40,7 +43,7 @@ def log(msg):
     print(f"[{time.time() - t0:7.0f}s] {msg}", flush=True)
 
 
-def batches(batch, seed, n, mode):
+def cs_batches(batch, seed, n, mode="task"):
     return zip(range(n), dl.synthetic_cross_scale(batch, seed=seed,
                                                   mode=mode))
 
@@ -51,8 +54,10 @@ def prep(raw):
             "label": jnp.asarray(raw["label"])}
 
 
-def pretrain_trunk(steps=150, batch=8):
-    probe = ResNet50withFC(num_classes=4, dtype=jnp.float32)
+def pretrain_tint_trunk(steps=40, batch=8):
+    """Generic trunk: the tint task (same recipe as the committed
+    test_convergence fixture)."""
+    probe = ResNet50withFC(num_classes=2, dtype=jnp.float32)
 
     class M:
         @staticmethod
@@ -64,19 +69,17 @@ def pretrain_trunk(steps=150, batch=8):
     state = train_lib.init_train_state(probe, jax.random.PRNGKey(0), opt)
     step = train_lib.make_train_step(M, opt, donate=False, bn_stats=True)
     rng = jax.random.PRNGKey(1)
-    accs = []
-    for i, raw in batches(batch, 0, steps, "pretrain"):
+    for i, raw in zip(range(steps),
+                      dl.synthetic_tiles(batch, 2, seed=0,
+                                         learnable=True)):
         state, m = step(state, prep(raw), rng)
-        accs.append(float(m["accuracy"]))
-        if (i + 1) % 25 == 0:
-            log(f"pretrain {i + 1}: acc(last25)={np.mean(accs[-25:]):.3f}")
-    log(f"pretrain done: acc(last25)={np.mean(accs[-25:]):.3f}")
+    log(f"tint pretrain done: final acc={float(m['accuracy']):.3f}")
     return state["params"]["trunk"]
 
 
 def eval_acc(fwd, params, seed=777, n=4, batch=32):
     c = t = 0
-    for _, raw in batches(batch, seed, n, "task"):
+    for _, raw in cs_batches(batch, seed, n):
         b = prep(raw)
         c += int((np.asarray(fwd(params, b["image"])).argmax(-1)
                   == np.asarray(b["label"])).sum())
@@ -84,12 +87,12 @@ def eval_acc(fwd, params, seed=777, n=4, batch=32):
     return c / t
 
 
-def linear_probe(trunk, steps=400, batch=16):
+def linear_probe(trunk, steps=300, batch=16):
     probe = ResNet50withFC(num_classes=2, dtype=jnp.float32)
 
     def apply(params, x, rng=None, train=False):
         return probe.apply(params, x, train=train, freeze=True,
-                           bn_stats=None, bn_batch_stats=True)
+                           bn_batch_stats=True)
 
     model_like = type("M", (), {"apply": staticmethod(apply)})()
     opt = train_lib.make_optimizer(
@@ -105,7 +108,7 @@ def linear_probe(trunk, steps=400, batch=16):
     rng = jax.random.PRNGKey(3)
     tr = []
     best = 0.0
-    for i, raw in batches(batch, 11, steps, "task"):
+    for i, raw in cs_batches(batch, 11, steps):
         state, m = step(state, prep(raw), rng)
         tr.append(float(m["accuracy"]))
         if (i + 1) % 50 == 0:
@@ -117,10 +120,9 @@ def linear_probe(trunk, steps=400, batch=16):
     return best
 
 
-def duoformer(trunk_path, steps=500, batch=8):
-    model = dft.build_model_no_extra_params(
-        num_classes=2, num_layers=2, embed_dim=96, proj_dim=96,
-        num_heads=12, depth=2, apply_fc_norm=True, dtype=jnp.float32)
+def duoformer_legacy(trunk_path, steps=600, batch=8):
+    model = dft.build_model(num_classes=2, embed_dim=96, proj_dim=96,
+                            depth=2, pretrained=False, dtype=jnp.float32)
     opt = train_lib.make_optimizer(
         train_lib.onecycle_schedule(1e-3, steps),
         frozen_label_fn=train_lib.backbone_frozen_labels)
@@ -133,14 +135,18 @@ def duoformer(trunk_path, steps=500, batch=8):
     fwd = jax.jit(lambda p, x: model.apply(p, x, train=False))
     rng = jax.random.PRNGKey(5)
     best = 0.0
-    for i, raw in batches(batch, 21, steps, "task"):
+    accs = []
+    for i, raw in cs_batches(batch, 21, steps):
         state, m = step(state, prep(raw), rng)
+        accs.append(float(m["accuracy"]))
         if (i + 1) % 50 == 0:
             ea = eval_acc(fwd, state["params"])
             best = max(best, ea)
-            log(f"duoformer {i + 1}: loss={float(m['loss']):.4f} "
-                f"eval={ea:.3f}")
-    log(f"duoformer done: BEST eval={best:.3f}")
+            log(f"legacy {i + 1}: loss={float(m['loss']):.4f} "
+                f"train(last50)={np.mean(accs[-50:]):.3f} eval={ea:.3f}")
+            if best >= 0.95:
+                break
+    log(f"legacy done: BEST eval={best:.3f}")
     return best
 
 
@@ -148,15 +154,15 @@ def main():
     import torch
     from duoformer_tcga_tpu.utils import torch_convert as tc
 
-    trunk = pretrain_trunk()
+    trunk = pretrain_tint_trunk()
     tr32 = jax.tree.map(lambda a: np.asarray(a, np.float32),
                         jax.device_get(trunk))
-    trunk_path = "/tmp/r5_crossscale_trunk.torch"
+    trunk_path = "/tmp/r5_cs_tint_trunk.torch"
     torch.save(tc.resnet_to_torch_state_dict(tr32, 50), trunk_path)
     probe_best = linear_probe(trunk)
-    duo_best = duoformer(trunk_path)
-    log(f"RESULT probe={probe_best:.3f} duoformer={duo_best:.3f} "
-        f"(want probe<=0.6, duo>=0.75)")
+    duo_best = duoformer_legacy(trunk_path)
+    log(f"RESULT probe={probe_best:.3f} legacy={duo_best:.3f} "
+        f"(want probe<=0.6, legacy>=0.75)")
 
 
 if __name__ == "__main__":

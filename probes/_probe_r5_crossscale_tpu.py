@@ -173,19 +173,45 @@ def duoformer(trunk_path, family, lr, steps=600, batch=128, seed=4):
 
 
 def main():
-    trunk_path, trunk = pretrain_trunk()
-    probe4 = linear_probe(trunk, "pretrain", 4)
-    probe2 = linear_probe(trunk, "task", 2)
-    results = {"probe_pair4_best": probe4, "probe_xor_best": probe2}
-    for family in ("release_fcnorm", "legacy"):
+    # CS_TRUNK: path to an existing torch trunk (e.g. the r4
+    # tint-pretrained artifact). Measured (design history 3): ANY trunk
+    # pretrained on the task's own attributes leaks their product into
+    # pooled features through deep-layer interactions (joint-pair
+    # pretrain: probe XOR 1.000; single-attribute pretrain: 0.992) — so
+    # the headline comparison uses a GENERIC trunk with no attribute
+    # detectors: both readouts get identical generic features and must
+    # build the attribute->XOR computation themselves. The linear probe
+    # cannot (frozen trunk, linear head); the transformer can.
+    ext = os.environ.get("CS_TRUNK")
+    if ext:
+        from duoformer_tcga_tpu.utils import pretrained
+        trunk_path = ext
+        trunk = jax.tree.map(
+            lambda a: jnp.asarray(a, jnp.bfloat16),
+            pretrained.load_backbone(ext, depth=50))
+        log(f"using external trunk {ext}")
+    else:
+        trunk_path, trunk = pretrain_trunk()
+    phases = os.environ.get(
+        "CS_PHASES", "probe4,probe2,legacy,release_fcnorm").split(",")
+    results = {}
+    if "probe4" in phases:
+        results["probe_pair4_best"] = linear_probe(trunk, "pretrain", 4)
+    if "probe2" in phases:
+        results["probe_xor_best"] = linear_probe(trunk, "task", 2)
+    for family in ("legacy", "release_fcnorm"):
+        if family not in phases:
+            continue
         best = 0.0
-        for lr in (1e-3, 3e-4):
-            best = max(best, duoformer(trunk_path, family, lr))
+        for lr, steps in ((1e-3, 600), (3e-4, 600)):
+            best = max(best, duoformer(trunk_path, family, lr,
+                                       steps=steps))
             if best >= 0.75:
                 break
         results[f"{family}_best"] = best
     with open(os.path.join(OUT, "curve.json"), "w") as f:
         json.dump({"task": "cross_scale_xor", "full_size": "768/12/12",
+                   "trunk": ext or "single-attribute pretrain",
                    **results, "curves": CURVES}, f, indent=1)
     log(f"RESULT {results} (want probe_pair4 high, probe_xor<=0.6, "
         f"duoformer>=0.75)")

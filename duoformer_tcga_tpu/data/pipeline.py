@@ -231,13 +231,16 @@ def _cross_scale_batch(rng, batch_size: int, size: int, mode: str):
     DuoFormer region grid (stage-3 token = one region). Two independent
     binary attributes per image, spatially DISJOINT:
 
-      * bar (coarse scale): a 2-region-wide stripe of regions spanning
-        the full grid — two adjacent ROWS (o_bar=0) or two adjacent
-        COLUMNS (o_bar=1) at a random offset — gets a +40 red tint.
-        Always 14 tinted regions, so tint AREA is orientation-free; the
-        bar's orientation is a coarse spatial-layout attribute;
-      * stripes (fine scale): every region at distance >= 2 from the
-        bar's axis span (21-35 of 49, depending on the bar offset) gets
+      * bar (coarse scale): two adjacent ROWS (o_bar=0) or COLUMNS
+        (o_bar=1) of regions at a random offset in {0, 1, 4, 5} get a
+        +40 red tint. Always 14 tinted regions, so tint AREA is
+        orientation-free; the bar's orientation is a coarse
+        spatial-layout attribute. (Offsets 2-3 are excluded: with the
+        two-region gap below they would leave only one striped row;
+        the task distribution is closed under the dihedral group, so
+        d4 train-time augmentation is exact);
+      * stripes (fine scale): every region at distance >= 3 from the
+        bar's axis start (14-21 of 49, depending on the bar offset) gets
         region-filling 4px stripes — horizontal (o_str=0) or vertical
         (o_str=1): odd stripes draw uniformly from the UPPER half of the
         base range, even stripes from the LOWER half. The region's
@@ -245,9 +248,12 @@ def _cross_scale_batch(rng, batch_size: int, size: int, mode: str):
         mixture of the two half-ranges); only the fine spatial
         arrangement carries the orientation. The one-region PLAIN GAP
         ring around the bar keeps stripes out of any receptive field
-        centred on a bar edge (measured: with stripes directly abutting
-        the bar, boundary units leak a weak tint-edge x stripe
-        conjunction that lifts the pooled probe to 0.76).
+        centred on a bar edge. (Measured calibration, full-size chip:
+        stripes abutting the bar leaked probe 0.76; a 1-region gap
+        0.645; a 1-wide bar with 1-region gap 0.72. The shipped
+        2-region gap holds the probe at 0.586; the stripe-area cost is
+        paid back with exact d4 train-time augmentation — see
+        tests/test_cross_scale.py.)
 
     mode="task" (2 classes): label = o_bar XOR o_str. Because o_bar and
     o_str are independent fair coins, EVERY function of the image whose
@@ -303,7 +309,8 @@ def _cross_scale_batch(rng, batch_size: int, size: int, mode: str):
                           (xx // 4) % 2 > 0])          # vertical bands
     o_bar = rng.integers(0, 2, (batch_size,), np.int32)
     o_str = rng.integers(0, 2, (batch_size,), np.int32)
-    offsets = rng.integers(0, grid - 1, (batch_size,))
+    offsets = np.asarray([0, 1, 4, 5])[
+        rng.integers(0, 4, (batch_size,))]
     # pretrain: which single attribute this image exposes (0=bar only,
     # 1=stripes only); drawn for both modes to keep the stream aligned
     b_type = rng.integers(0, 2, (batch_size,), np.int32)
@@ -318,8 +325,8 @@ def _cross_scale_batch(rng, batch_size: int, size: int, mode: str):
     on_bar = (axis_idx == offsets[:, None]) | \
              (axis_idx == offsets[:, None] + 1)
     if mode == "task":
-        striped = (axis_idx < offsets[:, None] - 1) | \
-                  (axis_idx > offsets[:, None] + 2)
+        striped = (axis_idx < offsets[:, None] - 2) | \
+                  (axis_idx > offsets[:, None] + 3)
     else:
         bar_img = (b_type == 0)[:, None]
         on_bar &= bar_img                 # stripe-only images: no bar

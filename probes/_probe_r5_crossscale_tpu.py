@@ -111,7 +111,11 @@ def linear_probe(trunk, mode, num_classes, steps=400, batch=64):
         })
     state = train_lib.init_train_state(probe, jax.random.PRNGKey(2), opt)
     state["params"]["trunk"] = trunk
-    step = train_lib.make_train_step(model_like, opt, donate=False)
+    # both readouts train on the SAME d4-augmented pipeline (the task
+    # distribution is exactly dihedral-closed, so this is label-exact)
+    step = train_lib.make_train_step(
+        model_like, opt, donate=False,
+        augment=os.environ.get("CS_AUGMENT", "d4"))
     fwd = jax.jit(lambda p, x: apply(p, x))
     rng = jax.random.PRNGKey(3)
     best = 0.0
@@ -148,7 +152,8 @@ def duoformer(trunk_path, family, lr, steps=600, batch=128, seed=4):
     step = train_lib.make_train_step(
         model, opt, donate=False,
         frozen_label_fn=train_lib.backbone_frozen_labels,
-        accum_steps=plan["accum_steps"])
+        accum_steps=plan["accum_steps"],
+        augment=os.environ.get("CS_AUGMENT", "d4"))
     fwd = jax.jit(lambda p, x: model.apply(p, x, train=False))
     rng = jax.random.PRNGKey(5)
     tag = f"{family}_lr{lr:g}"

@@ -111,11 +111,14 @@ def linear_probe(trunk, mode, num_classes, steps=400, batch=64):
         })
     state = train_lib.init_train_state(probe, jax.random.PRNGKey(2), opt)
     state["params"]["trunk"] = trunk
-    # both readouts train on the SAME d4-augmented pipeline (the task
-    # distribution is exactly dihedral-closed, so this is label-exact)
+    # both readouts train on the SAME d4-augmented pipeline for the XOR
+    # task (label d4-invariant: transpose swaps BOTH orientations). The
+    # pretrain labels are single orientations — transpose FLIPS them —
+    # so augmentation must stay off there.
     step = train_lib.make_train_step(
         model_like, opt, donate=False,
-        augment=os.environ.get("CS_AUGMENT", "d4"))
+        augment=os.environ.get("CS_AUGMENT", "d4")
+        if mode == "task" else "none")
     fwd = jax.jit(lambda p, x: apply(p, x))
     rng = jax.random.PRNGKey(3)
     best = 0.0
@@ -207,8 +210,10 @@ def main():
     for family in ("legacy", "release_fcnorm"):
         if family not in phases:
             continue
+        lrs = [(float(x), 600) for x in
+               os.environ.get("CS_LRS", "1e-3,3e-4").split(",")]
         best = 0.0
-        for lr, steps in ((1e-3, 600), (3e-4, 600)):
+        for lr, steps in lrs:
             best = max(best, duoformer(trunk_path, family, lr,
                                        steps=steps))
             if best >= 0.75:
